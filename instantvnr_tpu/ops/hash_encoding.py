@@ -1,0 +1,183 @@
+"""Multi-resolution hash-grid encoding — pure-JAX reference implementation.
+
+Semantics mirror tiny-cuda-nn's GridEncoding exactly, as re-derived from the
+reference's in-shader decoder (`core/networks/tcnn_impl_decoder.cu:7-133`)
+and tcnn's grid encoding:
+
+- per-level scale:      scale_l = 2^(l·log2_s) · base_resolution − 1
+- grid resolution:      res_l  = ceil(scale_l) + 1
+- position fract:       x = p·scale + 0.5;  cell = floor(x);  w = x − cell
+- level table size:     next_multiple(min(res_l³, 2^log2_hashmap_size), 8)
+- dense levels use stride indexing; once res³ overflows the table the index is
+  the prime-XOR hash  (x·1) ⊻ (y·2654435761) ⊻ (z·805459861)  mod table_size
+- 8-corner trilinear blend of F features per level, concatenated over levels.
+
+TPU-first design notes: all L levels' corner indices are computed together and
+issued as ONE flat gather of [B, L·8, F] from a single flat [T, F] table —
+XLA lowers this to a single fused gather, and its transpose (the training
+backward) to a single scatter-add. The Pallas fused kernel
+(`ops/pallas/hash_mlp.py`) is the fast path; this module is the semantic
+ground truth it is tested against.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instantvnr_tpu.config import EncodingConfig
+
+_PRIMES = (1, 2654435761, 805459861)
+
+
+def _next_multiple(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class HashGridSpec:
+    """Static (trace-time) description of the hash grid layout."""
+
+    n_levels: int
+    n_features: int
+    log2_hashmap_size: int
+    base_resolution: int
+    per_level_scale: float
+
+    @classmethod
+    def from_config(cls, cfg: EncodingConfig) -> "HashGridSpec":
+        return cls(
+            n_levels=cfg.n_levels,
+            n_features=cfg.n_features_per_level,
+            log2_hashmap_size=cfg.log2_hashmap_size,
+            base_resolution=cfg.base_resolution,
+            per_level_scale=cfg.per_level_scale,
+        )
+
+    @property
+    def scales(self) -> tuple[float, ...]:
+        log2s = math.log2(self.per_level_scale)
+        return tuple(
+            2.0 ** (l * log2s) * self.base_resolution - 1.0
+            for l in range(self.n_levels)
+        )
+
+    @property
+    def resolutions(self) -> tuple[int, ...]:
+        return tuple(int(math.ceil(s)) + 1 for s in self.scales)
+
+    @property
+    def level_sizes(self) -> tuple[int, ...]:
+        cap = 1 << self.log2_hashmap_size
+        return tuple(
+            _next_multiple(min(r * r * r, cap), 8) for r in self.resolutions
+        )
+
+    @property
+    def level_offsets(self) -> tuple[int, ...]:
+        offs = [0]
+        for s in self.level_sizes:
+            offs.append(offs[-1] + s)
+        return tuple(offs)
+
+    @property
+    def level_is_dense(self) -> tuple[bool, ...]:
+        """Dense stride indexing applies while res³ fits the level's table
+        (tcnn grid_index: hash only when the running stride exceeds it)."""
+        return tuple(
+            r * r * r <= s for r, s in zip(self.resolutions, self.level_sizes)
+        )
+
+    @property
+    def n_entries(self) -> int:
+        return self.level_offsets[-1]
+
+    @property
+    def n_params(self) -> int:
+        return self.n_entries * self.n_features
+
+    @property
+    def n_output_dims(self) -> int:
+        return self.n_levels * self.n_features
+
+
+# The 8 corner offsets of a cell, shaped [8, 3] (x fastest, matching the
+# reference's bit loop idx & (1<<dim), tcnn_impl_decoder.cu:101-118).
+_CORNERS = np.array(
+    [[(c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1] for c in range(8)], np.int32
+)
+
+
+def init_hash_table(key: jax.Array, spec: HashGridSpec,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """tcnn initializes hash grids uniform in [-1e-4, 1e-4]."""
+    return jax.random.uniform(
+        key, (spec.n_entries, spec.n_features), dtype=jnp.float32,
+        minval=-1e-4, maxval=1e-4,
+    ).astype(dtype)
+
+
+def corner_indices_and_weights(spec: HashGridSpec, coords: jnp.ndarray):
+    """Compute flat table indices and trilinear weights for all levels.
+
+    coords: [B, 3] in [0,1]³ (float32).
+    Returns (indices [B, L·8] int32 into the flat table, weights [B, L·8]).
+    This is the shared address-generation path for the pure-JAX forward, the
+    XLA scatter-add backward, and the macrocell-style utilities.
+    """
+    b = coords.shape[0]
+    idx_parts = []
+    w_parts = []
+    corners = jnp.asarray(_CORNERS)  # [8,3]
+    for lvl in range(spec.n_levels):
+        scale = spec.scales[lvl]
+        res = spec.resolutions[lvl]
+        size = spec.level_sizes[lvl]
+        offset = spec.level_offsets[lvl]
+        x = coords * jnp.float32(scale) + 0.5
+        cell = jnp.floor(x)
+        frac = x - cell
+        cell = cell.astype(jnp.int32)  # [B,3]
+        pos = cell[:, None, :] + corners[None, :, :]  # [B,8,3]
+        if spec.level_is_dense[lvl]:
+            idx = (
+                pos[..., 0]
+                + pos[..., 1] * np.int32(res)
+                + pos[..., 2] * np.int32(res * res)
+            ).astype(jnp.uint32)
+        else:
+            pu = pos.astype(jnp.uint32)
+            idx = (
+                pu[..., 0] * np.uint32(_PRIMES[0])
+                ^ pu[..., 1] * np.uint32(_PRIMES[1])
+                ^ pu[..., 2] * np.uint32(_PRIMES[2])
+            )
+        idx = (idx % np.uint32(size)).astype(jnp.int32) + np.int32(offset)
+        # trilinear weight of each corner
+        cw = jnp.where(corners[None, :, :] == 0, 1.0 - frac[:, None, :],
+                       frac[:, None, :])
+        w = cw[..., 0] * cw[..., 1] * cw[..., 2]  # [B,8]
+        idx_parts.append(idx)
+        w_parts.append(w)
+    indices = jnp.concatenate(idx_parts, axis=1)  # [B, L*8]
+    weights = jnp.concatenate(w_parts, axis=1)
+    return indices.reshape(b, -1), weights.reshape(b, -1)
+
+
+def hash_encode(table: jnp.ndarray, coords: jnp.ndarray,
+                spec: HashGridSpec, compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Encode [B,3] coords → [B, L·F] features.
+
+    One fused gather for all levels; differentiable w.r.t. `table` (XLA emits
+    a single scatter-add in the backward — the reference path's equivalent of
+    tcnn's grid-gradient kernel).
+    """
+    b = coords.shape[0]
+    indices, weights = corner_indices_and_weights(spec, coords)
+    feats = table[indices]  # [B, L*8, F] — one gather
+    feats = feats.astype(compute_dtype) * weights.astype(compute_dtype)[..., None]
+    feats = feats.reshape(b, spec.n_levels, 8, spec.n_features).sum(axis=2)
+    return feats.reshape(b, spec.n_levels * spec.n_features)

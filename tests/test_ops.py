@@ -1,0 +1,173 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instantvnr_tpu.config import EncodingConfig, NetworkConfig
+from instantvnr_tpu.ops.hash_encoding import (
+    HashGridSpec,
+    corner_indices_and_weights,
+    hash_encode,
+    init_hash_table,
+)
+from instantvnr_tpu.ops.mlp import init_mlp_params, mlp_apply
+from instantvnr_tpu.ops.trilinear import (
+    sample_volume,
+    sample_volume_tex,
+    sample_volume_voxel,
+)
+
+
+class TestTrilinear:
+    def test_voxel_centers_exact(self):
+        """Sampling exactly at voxel centers returns the voxel values."""
+        rng = np.random.default_rng(0)
+        vol = jnp.asarray(rng.random((5, 6, 7)).astype(np.float32))
+        iz, iy, ix = 2, 3, 4
+        p = jnp.array([[ix + 0.5, iy + 0.5, iz + 0.5]], jnp.float32)
+        v = sample_volume_voxel(vol, p)
+        assert np.allclose(v, vol[iz, iy, ix], atol=1e-6)
+
+    def test_midpoint_interpolation(self):
+        vol = jnp.zeros((2, 2, 2), jnp.float32).at[0, 0, 1].set(1.0)
+        # midpoint between voxel (0,0,0) and (1,0,0) centers on x axis
+        p = jnp.array([[1.0, 0.5, 0.5]], jnp.float32)
+        v = sample_volume_voxel(vol, p)
+        assert np.allclose(v, 0.5, atol=1e-6)
+
+    def test_clamp_addressing(self):
+        vol = jnp.arange(8, dtype=jnp.float32).reshape(2, 2, 2)
+        v_out = sample_volume_voxel(vol, jnp.array([[-5.0, -5.0, -5.0]]))
+        assert np.allclose(v_out, vol[0, 0, 0])
+        v_out = sample_volume_voxel(vol, jnp.array([[99.0, 99.0, 99.0]]))
+        assert np.allclose(v_out, vol[1, 1, 1])
+
+    def test_cell_centered_remap_corners(self):
+        """With the renderer remap, p=0 hits voxel 0's center exactly
+        (raytracing.h:105-110)."""
+        rng = np.random.default_rng(1)
+        vol = jnp.asarray(rng.random((4, 4, 4)).astype(np.float32))
+        v0 = sample_volume(vol, jnp.array([[0.0, 0.0, 0.0]]))
+        v1 = sample_volume(vol, jnp.array([[1.0, 1.0, 1.0]]))
+        assert np.allclose(v0, vol[0, 0, 0], atol=1e-6)
+        assert np.allclose(v1, vol[3, 3, 3], atol=1e-6)
+
+    def test_tex_vs_scipy(self):
+        """Direct-tex sampling matches scipy map_coordinates on interior."""
+        from scipy.ndimage import map_coordinates
+
+        rng = np.random.default_rng(2)
+        vol_np = rng.random((8, 9, 10)).astype(np.float32)
+        vol = jnp.asarray(vol_np)
+        pts = rng.uniform(0.2, 0.8, (64, 3)).astype(np.float32)
+        ours = np.asarray(sample_volume_tex(vol, jnp.asarray(pts)))
+        dims = np.array([10, 9, 8], np.float32)
+        voxel = pts * dims - 0.5  # x,y,z order
+        ref = map_coordinates(
+            vol_np, [voxel[:, 2], voxel[:, 1], voxel[:, 0]], order=1, mode="nearest"
+        )
+        assert np.allclose(ours, ref, atol=1e-5)
+
+
+class TestHashEncoding:
+    def spec(self, **kw):
+        defaults = dict(n_levels=4, n_features_per_level=2,
+                        log2_hashmap_size=12, base_resolution=4)
+        defaults.update(kw)
+        return HashGridSpec.from_config(EncodingConfig(**defaults))
+
+    def test_layout(self):
+        spec = self.spec()
+        # scales: 2^l*4-1 → 3,7,15,31; resolutions 4,8,16,32
+        assert spec.resolutions == (4, 8, 16, 32)
+        # sizes: min(res³, 4096) next_multiple 8 → 64, 512, 4096, 4096
+        assert spec.level_sizes == (64, 512, 4096, 4096)
+        assert spec.level_is_dense == (True, True, True, False)
+        assert spec.level_offsets == (0, 64, 576, 4672, 8768)
+
+    def test_output_shape_and_grad(self):
+        spec = self.spec()
+        key = jax.random.PRNGKey(0)
+        table = init_hash_table(key, spec)
+        coords = jax.random.uniform(jax.random.PRNGKey(1), (32, 3))
+        out = hash_encode(table, coords, spec)
+        assert out.shape == (32, spec.n_output_dims)
+
+        # gradient w.r.t. table flows (scatter-add path)
+        g = jax.grad(lambda t: hash_encode(t, coords, spec).sum())(table)
+        assert g.shape == table.shape
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_dense_level_interpolation(self):
+        """On a dense level, encoding == trilinear interp of table entries."""
+        spec = self.spec(n_levels=1, base_resolution=4)
+        assert spec.level_is_dense == (True,)
+        table = jax.random.normal(jax.random.PRNGKey(2), (spec.n_entries, 2))
+        # lattice points satisfy p·scale + 0.5 = integer → p = (k−0.5)/scale
+        scale = spec.scales[0]  # 3.0
+        p = jnp.array([[0.5 / scale, 1.5 / scale, 0.5 / scale]], jnp.float32)
+        out = hash_encode(table, p, spec)
+        res = spec.resolutions[0]
+        idx = 1 + 2 * res + 1 * res * res
+        assert np.allclose(out[0], table[idx], atol=1e-5)
+
+    def test_corner_weights_sum_to_one(self):
+        spec = self.spec()
+        coords = jax.random.uniform(jax.random.PRNGKey(3), (16, 3))
+        idx, w = corner_indices_and_weights(spec, coords)
+        w = w.reshape(16, spec.n_levels, 8)
+        assert np.allclose(w.sum(-1), 1.0, atol=1e-5)
+        assert idx.min() >= 0 and idx.max() < spec.n_entries
+
+    def test_hash_matches_reference_formula(self):
+        """Hashed level indices follow the tcnn prime-XOR formula."""
+        spec = self.spec()
+        lvl = 3  # hashed level, res 32
+        coords = jnp.array([[0.37, 0.81, 0.12]], jnp.float32)
+        idx, _ = corner_indices_and_weights(spec, coords)
+        idx = np.asarray(idx).reshape(spec.n_levels, 8)[lvl]
+        scale = spec.scales[lvl]
+        cell = np.floor(np.array([0.37, 0.81, 0.12]) * scale + 0.5).astype(np.uint32)
+        expect = []
+        for c in range(8):
+            p = cell + np.array([(c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1], np.uint32)
+            h = (
+                p[0] * np.uint32(1)
+                ^ p[1] * np.uint32(2654435761)
+                ^ p[2] * np.uint32(805459861)
+            )
+            expect.append(int(h % np.uint32(spec.level_sizes[lvl])) + spec.level_offsets[lvl])
+        assert list(idx) == expect
+
+
+class TestMLP:
+    def test_shapes_and_no_bias(self):
+        cfg = NetworkConfig(n_neurons=64, n_hidden_layers=4)
+        params = init_mlp_params(jax.random.PRNGKey(0), 64, cfg, 1)
+        # n_hidden_layers+1 = 5 weight matrices, no biases
+        assert len(params) == 5
+        assert params[0].shape == (64, 64)
+        assert params[-1].shape == (64, 1)
+        x = jax.random.normal(jax.random.PRNGKey(1), (128, 64))
+        y = mlp_apply(params, x, cfg)
+        assert y.shape == (128, 1)
+        assert y.dtype == jnp.float32
+
+    def test_matches_manual_forward(self):
+        cfg = NetworkConfig(n_neurons=16, n_hidden_layers=2)
+        params = init_mlp_params(jax.random.PRNGKey(0), 8, cfg, 1)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 8))
+        y = mlp_apply(params, x, cfg, compute_dtype=jnp.float32)
+        h = np.asarray(x)
+        ws = [np.asarray(w) for w in params]
+        for w in ws[:-1]:
+            h = np.maximum(h @ w, 0)
+        ref = h @ ws[-1]
+        assert np.allclose(np.asarray(y), ref, atol=1e-4)
+
+    def test_relu_grad_flows(self):
+        cfg = NetworkConfig(n_neurons=16, n_hidden_layers=2)
+        params = init_mlp_params(jax.random.PRNGKey(0), 8, cfg, 1)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 8))
+        g = jax.grad(lambda p: mlp_apply(p, x, cfg).sum())(params)
+        assert all(float(jnp.abs(gi).sum()) > 0 for gi in g)
