@@ -1,0 +1,335 @@
+"""Ray-marching volume renderer — bulk-synchronous masked wavefront.
+
+This is the TPU redesign of the reference's three ray-marching strategies
+(`core/renderer/method_raymarching.cu`). The CUDA wavefront uses atomics-based
+ray compaction with a host sync every iteration (SURVEY.md §3.2); TPUs have
+neither device atomicked queues nor cheap host round trips, so the design is:
+
+  superstep loop (lax.while_loop over ALL rays, masked):
+    1. EMIT  — a K-slot scan per ray: macrocell DDA with empty-space skipping
+       and per-cell quantized adaptive steps emits ≤K sample positions
+       (K = n_iters, the reference's VNR_RM_N_ITERS=16).  Pure VPU work:
+       gathers + arithmetic, no MXU.
+    2. SAMPLE — ONE batched evaluation of sample_fn on all R·K positions.
+       For the neural path this is the fused hash-encode+MLP inference —
+       big batches that fill the MXU (the analog of the reference's batched
+       `NeuralVolume::inference` between wavefront kernels).
+    3. COMPOSE — scan over K slots: transfer-function classification,
+       opacity correction, front-to-back blending, early termination at
+       alpha ≥ 0.9999 (`nearly_one`, instantvnr_types.h:160).
+
+Marching semantics mirror the reference exactly (method_raymarching.cu:263-306):
+  - world units = voxels; base step = 1/sampling_rate
+  - per-cell step: ss = adaptiveSamplingRate(step, cell_max_opacity),
+    quantized so the cell interval divides evenly (sample_size_scaler)
+  - adaptiveSamplingRate(s, r) = max(s + 15·s·(|clamp(r,.1,1)−1|)², s)
+    (raytracing.h:188-194)
+  - empty cells (max opacity ≤ ε) are skipped whole via the DDA
+  - one jitter per ray: position = org + lerp(jitter, t.x, t.y)·dir
+  - opacity correction: α ← 1−(1−α)^(sampling_rate·Δt) (raytracing.h:166-170)
+
+Differentiability: `fixed_steps=True` swaps the while_loop for a lax.scan of
+`max_supersteps` iterations, making the whole image differentiable w.r.t.
+network parameters (for rendered-image gradient parity tests).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from instantvnr_tpu.accel.macrocell import MACROCELL_SIZE, MacroCell
+from instantvnr_tpu.config import NEARLY_ONE
+from instantvnr_tpu.utils.tfn import TransferFunction, classify
+
+_EPS = 1e-6
+# step past a cell boundary when probing the next cell, in t units
+_PROBE_EPS = 1e-3
+
+
+@dataclass(frozen=True)
+class RaymarchSettings:
+    sampling_rate: float = 1.0  # samples per voxel (api vnrRendererSetVolumeSamplingRate)
+    density_scale: float = 1.0
+    n_iters: int = 16  # sample slots per ray per superstep (VNR_RM_N_ITERS)
+    max_skips: int = 8  # empty-cell DDA skips per slot (VPU-only work)
+    max_supersteps: int = 192
+    shading: str = "none"  # "none" | "gradient"
+    shading_scale: float = 0.95  # scivis_shading_scale
+    gradient_step_frac: float = 1.0  # grad_step = frac/dims (object.cpp:305)
+    fixed_steps: bool = False  # True → differentiable scan loop
+
+    def __post_init__(self):
+        assert self.shading in ("none", "gradient"), self.shading
+
+
+class _RayState(NamedTuple):
+    t: jnp.ndarray  # [R] current position (t.x)
+    t_cell_end: jnp.ndarray  # [R] exit t of current cell
+    ss: jnp.ndarray  # [R] step size within current cell
+    alpha: jnp.ndarray  # [R]
+    color: jnp.ndarray  # [R,3]
+    active: jnp.ndarray  # [R] bool
+
+
+def _cell_exit_t(org, dirn, cell, w: float):
+    """t at which the ray leaves `cell` (cells of width w voxels).
+
+    org/dirn: [R,3] voxel-space; cell: [R,3] int32. Axis-parallel directions
+    produce +inf (IEEE 1/0) and drop out of the min.
+    """
+    step_pos = (dirn > 0).astype(jnp.float32)
+    boundary = (cell.astype(jnp.float32) + step_pos) * w
+    t_ax = (boundary - org) / dirn  # ±inf where dirn == 0
+    t_ax = jnp.where(jnp.isfinite(t_ax), t_ax, jnp.inf)
+    return jnp.min(t_ax, axis=-1)
+
+
+def _occupancy(mc: MacroCell, cell: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-cell max opacity; out-of-grid cells are clamped (the DDA
+    never leaves the grid in the reference; clamping is equivalent at the
+    boundary because t_far already bounds the march)."""
+    mx, my, mz = mc.dims
+    c = jnp.clip(cell, 0, jnp.array([mx - 1, my - 1, mz - 1], jnp.int32))
+    flat = (c[..., 2] * my + c[..., 1]) * mx + c[..., 0]
+    return mc.max_opacity.reshape(-1)[flat]
+
+
+def _adaptive_rate(step, max_opacity):
+    """adaptiveSamplingRate (raytracing.h:188-194)."""
+    scale = 15.0 * step
+    r = jnp.abs(jnp.clip(max_opacity, 0.1, 1.0) - 1.0)
+    return jnp.maximum(step + scale * r * r, step)
+
+
+def _quantized_step(ss, t0, t1):
+    """sample_size_scaler (method_raymarching.cu:263-267): shrink ss so the
+    interval divides into an integer number of steps."""
+    n = jnp.floor((t1 - t0) / ss).astype(jnp.int32) + 1
+    return (t1 - t0) / jnp.maximum(n.astype(jnp.float32), 1.0)
+
+
+def _emit_samples(org, dirn, t_far, state: _RayState, mc: MacroCell,
+                  base_step, n_iters: int, max_skips: int):
+    """Phase 1: per-ray K-slot emission scan.
+
+    Returns (new marching state pieces, t_x [R,K], t_y [R,K], valid [R,K]).
+    Each slot first advances through up to `max_skips` empty cells (occupancy
+    gather + boundary math only), then emits one sample interval [t_x, t_y).
+    """
+    w = float(MACROCELL_SIZE)
+
+    def slot(carry, _):
+        t, t_cell_end, ss = carry
+
+        def skip_body(_, c):
+            t, t_cell_end, ss = c
+            need_new = t >= t_cell_end - _EPS
+            # probe the cell just past the current position
+            p = org + (t + _PROBE_EPS)[:, None] * dirn
+            cell = jnp.floor(p / w).astype(jnp.int32)
+            occ = _occupancy(mc, cell)
+            t_exit = jnp.maximum(_cell_exit_t(org, dirn, cell, w), t + _PROBE_EPS)
+            empty = occ <= _EPS
+            in_range = t < t_far
+            # empty cell → jump to its exit; occupied → set up stepping
+            enter = need_new & in_range & ~empty
+            skip = need_new & in_range & empty
+            new_ss = _quantized_step(_adaptive_rate(base_step, occ), t, t_exit)
+            t = jnp.where(skip, t_exit, t)
+            ss = jnp.where(enter, new_ss, ss)
+            t_cell_end = jnp.where(enter, t_exit, t_cell_end)
+            return (t, t_cell_end, ss)
+
+        t, t_cell_end, ss = jax.lax.fori_loop(
+            0, max_skips, skip_body, (t, t_cell_end, ss)
+        )
+        # emit one sample interval within the current cell
+        t_y = jnp.minimum(t + ss, t_cell_end)
+        valid = (t_y > t + _EPS) & (t < t_far) & (t_cell_end > t)
+        t_x = t
+        t = jnp.where(valid, t_y, t)
+        return (t, t_cell_end, ss), (t_x, t_y, valid)
+
+    (t, t_cell_end, ss), (txs, tys, valids) = jax.lax.scan(
+        slot, (state.t, state.t_cell_end, state.ss), None, length=n_iters
+    )
+    # scan stacks along axis 0 → [K, R]; transpose to [R, K]
+    return (t, t_cell_end, ss), txs.T, tys.T, valids.T
+
+
+def _compose(values, t_x, t_y, valid, jitter_unused, state_alpha, state_color,
+             tf: TransferFunction, sampling_rate, density_scale,
+             rgb_override=None):
+    """Phase 3: front-to-back blend over the K slots (scan).
+
+    values: [R, K] sampled data values; rgb_override: optional [R, K, 3]
+    shaded colors to use instead of the TF color (gradient shading).
+    """
+    rgb, alpha_s = classify(tf, values)  # [R,K,3], [R,K]
+    if rgb_override is not None:
+        rgb = rgb_override
+    dt = t_y - t_x
+    # opacity correction (raytracing.h:166-170) + density scale
+    alpha_s = 1.0 - jnp.power(jnp.maximum(1.0 - alpha_s, 0.0),
+                              sampling_rate * dt * density_scale)
+    alpha_s = jnp.where(valid, alpha_s, 0.0)
+
+    def slot(carry, xs):
+        acc_a, acc_c = carry
+        a_k, rgb_k = xs
+        live = acc_a < NEARLY_ONE
+        tr = jnp.where(live, 1.0 - acc_a, 0.0)
+        acc_c = acc_c + tr[:, None] * rgb_k * a_k[:, None]
+        acc_a = acc_a + tr * a_k
+        return (acc_a, acc_c), None
+
+    (alpha, color), _ = jax.lax.scan(
+        slot,
+        (state_alpha, state_color),
+        (jnp.moveaxis(alpha_s, 1, 0), jnp.moveaxis(rgb, 1, 0)),
+    )
+    return alpha, color
+
+
+def raymarch(
+    sample_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    org: jnp.ndarray,  # [R,3] voxel-space ray origins
+    dirn: jnp.ndarray,  # [R,3] normalized directions
+    t_near: jnp.ndarray,  # [R]
+    t_far: jnp.ndarray,  # [R]
+    mc: MacroCell,
+    tf: TransferFunction,
+    jitter: jnp.ndarray,  # [R] in [0,1)
+    settings: RaymarchSettings,
+) -> jnp.ndarray:
+    """March rays through the volume; returns rgba [R,4].
+
+    sample_fn maps OBJECT-space positions [N,3] in [0,1]³ → values [N].
+    Positions handed to it follow the reference's neural-mode convention
+    (raw object coords; the GT path applies its own cell-centered remap
+    inside sample_fn via ops.trilinear.sample_volume).
+    """
+    r = org.shape[0]
+    dims = jnp.array(mc.volume_dims, jnp.float32)
+    base_step = 1.0 / settings.sampling_rate
+    grad_step = settings.gradient_step_frac / dims  # object units
+
+    state = _RayState(
+        t=t_near,
+        t_cell_end=t_near,  # forces cell entry on first slot
+        ss=jnp.full((r,), jnp.inf, jnp.float32),
+        alpha=jnp.zeros((r,), jnp.float32),
+        color=jnp.zeros((r, 3), jnp.float32),
+        active=t_near < t_far,
+    )
+
+    def superstep(state: _RayState) -> _RayState:
+        (t, t_cell_end, ss), t_x, t_y, valid = _emit_samples(
+            org, dirn, t_far, state, mc, base_step,
+            settings.n_iters, settings.max_skips,
+        )
+        valid = valid & state.active[:, None]
+        # sample position: lerp(jitter, t.x, t.y) (method_raymarching.cu:431)
+        t_s = t_x + jitter[:, None] * (t_y - t_x)
+        pos_v = org[:, None, :] + t_s[..., None] * dirn[:, None, :]  # [R,K,3]
+        pos_obj = pos_v / dims  # voxel → object space
+
+        k = settings.n_iters
+        if settings.shading == "gradient":
+            # forward-difference gradient needs 3 extra sample batches
+            # (raytracing.h:112-130, with the boundary flip)
+            stp = jnp.broadcast_to(grad_step, pos_obj.shape)
+            stp = jnp.where(pos_obj + stp > 1.0 - _EPS, -stp, stp)
+            offsets = jnp.stack(
+                [
+                    jnp.stack([stp[..., 0], jnp.zeros_like(stp[..., 0]),
+                               jnp.zeros_like(stp[..., 0])], -1),
+                    jnp.stack([jnp.zeros_like(stp[..., 1]), stp[..., 1],
+                               jnp.zeros_like(stp[..., 1])], -1),
+                    jnp.stack([jnp.zeros_like(stp[..., 2]),
+                               jnp.zeros_like(stp[..., 2]), stp[..., 2]], -1),
+                ],
+                axis=0,
+            )  # [3,R,K,3]
+            all_pos = jnp.concatenate(
+                [pos_obj[None], pos_obj[None] + offsets], axis=0
+            )  # [4,R,K,3]
+            all_vals = sample_fn(all_pos.reshape(-1, 3)).reshape(4, r, k)
+            values = all_vals[0]
+            grad = jnp.stack(
+                [(all_vals[1 + ax] - values) / stp[..., ax] for ax in range(3)],
+                axis=-1,
+            )  # [R,K,3] object-space gradient
+            normal = -grad
+            rgb_tf, _ = classify(tf, values)
+            shaded = _shade_scivis(dirn[:, None, :], normal, rgb_tf)
+            rgb_override = (
+                settings.shading_scale * shaded
+                + (1.0 - settings.shading_scale) * rgb_tf
+            )
+        else:
+            values = sample_fn(pos_obj.reshape(-1, 3)).reshape(r, k)
+            rgb_override = None
+
+        alpha, color = _compose(
+            values, t_x, t_y, valid, jitter, state.alpha, state.color, tf,
+            settings.sampling_rate, settings.density_scale, rgb_override,
+        )
+        active = state.active & (t < t_far) & (alpha < NEARLY_ONE)
+        return _RayState(t=t, t_cell_end=t_cell_end, ss=ss, alpha=alpha,
+                         color=color, active=active)
+
+    if settings.fixed_steps:
+        def scan_body(st, _):
+            return superstep(st), None
+
+        state, _ = jax.lax.scan(scan_body, state, None,
+                                length=settings.max_supersteps)
+    else:
+        def cond(carry):
+            st, i = carry
+            return jnp.any(st.active) & (i < settings.max_supersteps)
+
+        def body(carry):
+            st, i = carry
+            return superstep(st), i + 1
+
+        state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+
+    return jnp.concatenate([state.color, state.alpha[:, None]], axis=-1)
+
+
+def _shade_scivis(ray_dir, normal, albedo,
+                  light_dir=(-1.0, 0.0, 0.0),
+                  light_diffuse=(1.0, 1.0, 1.0),
+                  mat_ambient=0.6, mat_diffuse=0.9, mat_specular=0.4,
+                  mat_shininess=40.0):
+    """shade_scivis_light (raytracing.h:224-246) blended 50/50 with the
+    simple headlight (shade_simple_light, :215-222) as the reference does."""
+    nn = jnp.sum(normal * normal, axis=-1, keepdims=True)
+    has_n = nn > 1e-6
+    n = normal / jnp.sqrt(jnp.maximum(nn, 1e-20))
+    l = jnp.asarray(light_dir, jnp.float32)
+    l = l / jnp.linalg.norm(l)
+    v = -ray_dir
+    cos_nl = jnp.maximum(jnp.sum(n * l, axis=-1, keepdims=True), 0.0)
+    h = l + v
+    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
+    cos_nh = jnp.maximum(jnp.sum(n * h, axis=-1, keepdims=True), 0.0)
+    diffuse = jnp.asarray(light_diffuse, jnp.float32)
+    color = mat_ambient * albedo
+    color = color + jnp.where(
+        cos_nl > 0,
+        mat_diffuse * cos_nl * albedo * diffuse
+        + mat_specular * jnp.power(cos_nh, mat_shininess) * diffuse,
+        0.0,
+    )
+    color = jnp.where(has_n, color, 0.0)
+    # shade_simple_light
+    cos_vn = jnp.abs(jnp.sum(-ray_dir * n, axis=-1, keepdims=True))
+    simple = jnp.where(has_n, albedo * (0.2 + 0.8 * cos_vn), 0.0)
+    return 0.5 * simple + 0.5 * color

@@ -1,0 +1,184 @@
+"""Main renderer — the TPU counterpart of `MainRenderer` (renderer.h:55-237).
+
+Owns the scene (volume/network + macrocell + transfer function), the camera,
+and the progressive accumulation buffer. A frame is ONE jitted device program:
+ray generation → box intersection → masked-wavefront ray marching → blend into
+the accumulation buffer (writePixelColor semantics, raytracing.h:196-207).
+Frame readback (`mapframe`) is an explicit device→host transfer the caller
+pays for only when displaying, mirroring the reference's async double-buffered
+download (framebuffer.h:7-101) — under jit, dispatch is already async, so the
+next frame's compute overlaps the previous frame's host copy naturally.
+
+Render modes (api.h:36-60, reduced to the TPU-meaningful matrix):
+  the reference's {OptiX reference, DECODING, SAMPLE_STREAMING, IN_SHADER}
+  execution strategies collapse to WHAT the sample function is:
+    - REFERENCE: trilinear GT lookup (covers both the OptiX reference
+      renderer and the "decoding" modes — one jitted marcher over a texture)
+    - NEURAL: batched network inference inside the march (sample-streaming)
+  and the Pallas fused raymarch+network kernel (in-shader) slots in as a
+  third sample_fn implementation without changing this class.
+Shading {none, gradient} × method {raymarch, pathtrace} are settings.
+"""
+from __future__ import annotations
+
+import enum
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instantvnr_tpu.accel.macrocell import MacroCell
+from instantvnr_tpu.render.camera import Camera, camera_rays
+from instantvnr_tpu.render.raymarch import RaymarchSettings, raymarch
+from instantvnr_tpu.utils.math import ray_box_intersect
+from instantvnr_tpu.utils.tfn import TransferFunction
+
+
+class RenderMode(enum.Enum):
+    REFERENCE = "reference"  # march the ground-truth / decoded volume
+    NEURAL = "neural"  # march with batched network inference
+    PATHTRACE_REFERENCE = "pathtrace_reference"
+    PATHTRACE_NEURAL = "pathtrace_neural"
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3), donate_argnums=(9,))
+def _render_frame(
+    sample_fn,
+    width: int,
+    height: int,
+    settings: RaymarchSettings,
+    sample_ctx,  # pytree closed over by sample_fn (volume array / params)
+    cam_arrays,  # (eye, center, up, fovy) as arrays for retrace-free moves
+    mc: MacroCell,
+    tf: TransferFunction,
+    key: jax.Array,
+    accum: jnp.ndarray,
+    frame_index: jnp.ndarray,
+):
+    cam = Camera(
+        eye=cam_arrays[0], center=cam_arrays[1], up=cam_arrays[2],
+        fovy=cam_arrays[3],
+    )
+    org_w, dirn = camera_rays(cam, width, height)
+    dims = jnp.array(mc.volume_dims, jnp.float32)
+    # world box [-dims/2, dims/2] → voxel space [0, dims]
+    org = org_w + 0.5 * dims
+    t0, t1, hit = ray_box_intersect(org, dirn, jnp.zeros(3), dims)
+    t0 = jnp.where(hit, jnp.maximum(t0, 0.0), 1.0)
+    t1 = jnp.where(hit, t1, 0.0)
+
+    jitter = jax.random.uniform(key, (org.shape[0],), jnp.float32)
+    rgba = raymarch(partial(sample_fn, sample_ctx), org, dirn, t0, t1, mc, tf,
+                    jitter, settings)
+
+    # progressive accumulation (writePixelColor, raytracing.h:196-207)
+    accum = jnp.where(frame_index == 1, rgba, accum + rgba)
+    frame = accum / frame_index.astype(jnp.float32)
+    return accum, frame
+
+
+class Renderer:
+    """Stateful frame orchestrator (host-side state, device-side compute)."""
+
+    def __init__(self, width: int, height: int, mc: MacroCell,
+                 tf: TransferFunction,
+                 sample_fn: Callable[..., jnp.ndarray],
+                 sample_ctx=None,
+                 settings: RaymarchSettings | None = None,
+                 seed: int = 0):
+        self.width = width
+        self.height = height
+        self.mc = mc
+        self.tf = tf
+        self.sample_fn = sample_fn
+        self.sample_ctx = sample_ctx
+        self.settings = settings or RaymarchSettings()
+        self.camera = Camera.default_for_dims(mc.volume_dims)
+        self._key = jax.random.PRNGKey(seed)
+        self._accum = jnp.zeros((width * height, 4), jnp.float32)
+        self._frame = self._accum
+        self.frame_index = 0
+
+    # -- transactional updates (reference MainRenderer::set_*) --------------
+
+    def set_camera(self, cam: Camera):
+        self.camera = cam
+        self.reset_accumulation()
+
+    def set_transfer_function(self, tf: TransferFunction):
+        self.tf = tf
+        self.reset_accumulation()
+
+    def set_sample_fn(self, sample_fn, sample_ctx=None):
+        self.sample_fn = sample_fn
+        self.sample_ctx = sample_ctx
+        self.reset_accumulation()
+
+    def set_sample_ctx(self, sample_ctx):
+        """Swap the sample context (e.g. updated network params during
+        online training) WITHOUT retracing the frame program."""
+        self.sample_ctx = sample_ctx
+        self.reset_accumulation()
+
+    def set_settings(self, settings: RaymarchSettings):
+        self.settings = settings
+        self.reset_accumulation()
+
+    def resize(self, width: int, height: int):
+        self.width, self.height = width, height
+        self._accum = jnp.zeros((width * height, 4), jnp.float32)
+        self.frame_index = 0
+
+    def reset_accumulation(self):
+        self.frame_index = 0
+
+    # -- frame loop ---------------------------------------------------------
+
+    def render(self):
+        """Render one frame (async dispatch; returns the device frame array)."""
+        self.frame_index += 1
+        self._key, sub = jax.random.split(self._key)
+        cam = self.camera
+        cam_arrays = (
+            jnp.asarray(cam.eye, jnp.float32),
+            jnp.asarray(cam.center, jnp.float32),
+            jnp.asarray(cam.up, jnp.float32),
+            jnp.float32(cam.fovy),
+        )
+        if self.frame_index == 1:
+            # fresh accumulation buffer (donated each frame)
+            self._accum = jnp.zeros((self.width * self.height, 4), jnp.float32)
+        self._accum, self._frame = _render_frame(
+            self.sample_fn, self.width, self.height, self.settings,
+            self.sample_ctx, cam_arrays, self.mc, self.tf, sub, self._accum,
+            jnp.int32(self.frame_index),
+        )
+        return self._frame
+
+    def mapframe(self) -> np.ndarray:
+        """Blocking device→host readback as [H, W, 4] float32
+        (reference FrameBuffer::mapframe, framebuffer.h:84-94)."""
+        return np.asarray(self._frame).reshape(self.height, self.width, 4)
+
+
+def reference_sample_fn(volume: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """GT sample function: cell-centered trilinear texture lookup
+    (sampleVolume, raytracing.h:105-110). ctx = the volume array."""
+    from instantvnr_tpu.ops.trilinear import sample_volume
+
+    return sample_volume(volume, p)
+
+
+def make_neural_sample_fn(field):
+    """Neural sample function factory: batched network inference — the
+    reference's sample-streaming mode (`NeuralVolume::inference`,
+    network.cu:1043). ctx = the params pytree, so online-training updates
+    swap ctx without retracing."""
+    from instantvnr_tpu.models.network import network_apply
+
+    def fn(params, p):
+        return network_apply(params, p, field)[:, 0]
+
+    return fn
