@@ -1,0 +1,103 @@
+"""Benchmark: interactive neural volume rendering at 512².
+
+Mirrors the reference's headline benchmark (`apps/batch_renderer.cpp:196-238`:
+768² frames, 5 warmup, per-frame fps; README.md:24 claims 10–60 fps on an
+RTX 3090) on the driver's north-star config: vorts-like 128³ volume, default
+model schema, 512² frame, sample-streaming neural rendering with macrocell
+skipping. Baseline for vs_baseline is 10 fps (the reference's interactive
+floor; its tuned wavefront tops out at 7.2 fps on the in-code N_ITERS table,
+method_raymarching.cu:43-49).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extra context lines go to stderr.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import dataclasses
+
+    from instantvnr_tpu.accel import macrocell as mcmod
+    from instantvnr_tpu.config import ModelConfig, TransferFunctionConfig
+    from instantvnr_tpu.data import synthetic_volume
+    from instantvnr_tpu.models import NeuralField, create_train_state, train_steps
+    from instantvnr_tpu.models.metrics import psnr_vs
+    from instantvnr_tpu.render import (
+        RaymarchSettings,
+        Renderer,
+        make_neural_sample_fn,
+    )
+    from instantvnr_tpu.utils.tfn import bake_transfer_function
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev.device_kind}")
+
+    size = 512
+    dims = (128, 128, 128)
+    vol = synthetic_volume(dims, kind="vorts")
+    cfg = ModelConfig()  # the reference default schema (example-model.json)
+    field = NeuralField.from_config(cfg)
+
+    # short pretrain so the rendered content is real (vnr_cmd_train analog)
+    t0 = time.time()
+    state = create_train_state(jax.random.PRNGKey(0), field)
+    n_steps, batch = 500, 1 << 16
+    state = train_steps(field, vol.data, state, n_steps, batch)
+    state.loss.block_until_ready()
+    dt_train = time.time() - t0
+    log(f"train {n_steps}x{batch}: {dt_train:.1f}s "
+        f"({n_steps * batch / dt_train / 1e6:.1f} Msamples/s incl. compile)")
+
+    # timed training throughput (post-compile)
+    t0 = time.time()
+    state = train_steps(field, vol.data, state, 100, batch)
+    state.loss.block_until_ready()
+    dt = time.time() - t0
+    log(f"train throughput: {100 * batch / dt / 1e6:.1f} Msamples/s")
+
+    p = float(psnr_vs(field, state.params, vol.data))
+    log(f"PSNR: {p:.2f} dB")
+
+    tf = bake_transfer_function(TransferFunctionConfig())
+    mc = mcmod.build(vol.data, vol.dims, tf)
+    settings = RaymarchSettings(n_iters=16)
+    r = Renderer(size, size, mc, tf, make_neural_sample_fn(field),
+                 sample_ctx=state.params, settings=settings)
+
+    warmup = 5  # batch_renderer.cpp:199
+    frames = 20
+    for _ in range(warmup):
+        r.render()
+    r._frame.block_until_ready()
+    t0 = time.time()
+    for _ in range(frames):
+        r.render()
+    r._frame.block_until_ready()
+    dt = time.time() - t0
+    fps = frames / dt
+    rays_per_s = fps * size * size
+    log(f"render {size}x{size}: {fps:.2f} fps, {rays_per_s/1e6:.1f} Mrays/s")
+
+    print(json.dumps({
+        "metric": f"neural raymarch fps @ {size}x{size} (vorts 128^3, psnr "
+                  f"{p:.1f} dB)",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 10.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

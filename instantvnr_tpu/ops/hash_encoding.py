@@ -167,6 +167,64 @@ def corner_indices_and_weights(spec: HashGridSpec, coords: jnp.ndarray):
     return indices.reshape(b, -1), weights.reshape(b, -1)
 
 
+def level_param_arrays(spec: HashGridSpec):
+    """Per-level static parameters as ARRAYS, for SPMD paths where different
+    shards own different levels (tensor parallelism over levels): the same
+    traced program runs on every shard, so per-level constants must be data.
+
+    Returns dict of [L] arrays: scale f32, size u32, offset i32 (into the
+    flat table), res u32, dense bool.
+    """
+    return {
+        "scale": jnp.asarray(spec.scales, jnp.float32),
+        "size": jnp.asarray(spec.level_sizes, jnp.uint32),
+        "offset": jnp.asarray(spec.level_offsets[:-1], jnp.int32),
+        "res": jnp.asarray(spec.resolutions, jnp.uint32),
+        "dense": jnp.asarray(spec.level_is_dense, jnp.bool_),
+    }
+
+
+def hash_encode_traced(table: jnp.ndarray, coords: jnp.ndarray,
+                       level_params: dict, n_levels: int, n_features: int,
+                       compute_dtype=jnp.float32) -> jnp.ndarray:
+    """hash_encode with per-level parameters as traced scalars.
+
+    Semantically identical to `hash_encode` (validated by tests); the dense
+    stride index is computed in uint32 (wraps harmlessly when the level is
+    actually hashed) and selected per level at runtime. Used by the
+    tensor-parallel path where each model shard encodes its own level slice.
+    """
+    b = coords.shape[0]
+    corners = jnp.asarray(_CORNERS)
+    feats_out = []
+    for lvl in range(n_levels):
+        scale = level_params["scale"][lvl]
+        size = level_params["size"][lvl]
+        offset = level_params["offset"][lvl]
+        res = level_params["res"][lvl]
+        dense = level_params["dense"][lvl]
+
+        x = coords * scale + 0.5
+        cell = jnp.floor(x)
+        frac = x - cell
+        pos = cell.astype(jnp.int32)[:, None, :] + corners[None, :, :]
+        pu = pos.astype(jnp.uint32)
+        idx_dense = pu[..., 0] + pu[..., 1] * res + pu[..., 2] * res * res
+        idx_hash = (
+            pu[..., 0] * np.uint32(_PRIMES[0])
+            ^ pu[..., 1] * np.uint32(_PRIMES[1])
+            ^ pu[..., 2] * np.uint32(_PRIMES[2])
+        )
+        idx = jnp.where(dense, idx_dense, idx_hash)
+        idx = (idx % size).astype(jnp.int32) + offset
+        cw = jnp.where(corners[None, :, :] == 0, 1.0 - frac[:, None, :],
+                       frac[:, None, :])
+        w = (cw[..., 0] * cw[..., 1] * cw[..., 2]).astype(compute_dtype)
+        f = table[idx].astype(compute_dtype) * w[..., None]  # [B,8,F]
+        feats_out.append(f.sum(axis=1))
+    return jnp.concatenate(feats_out, axis=1).reshape(b, n_levels * n_features)
+
+
 def hash_encode(table: jnp.ndarray, coords: jnp.ndarray,
                 spec: HashGridSpec, compute_dtype=jnp.float32) -> jnp.ndarray:
     """Encode [B,3] coords → [B, L·F] features.

@@ -1,0 +1,144 @@
+"""Checkpoint (de)serialization in the reference's BSON container format.
+
+Writer/reader mirror `NeuralVolume::save_params_to_json` /
+`load_params_from_json` (core/network.cu:827-955):
+
+  root["volume"]["dims"]{x,y,z}
+  root["macrocell"]{groundtruth, dims{x,y,z}, spacings{x,y,z},
+                    data: binary vec2f per cell}     — ranges stored with the
+                    reference's −1/+1 offset trick (macrocell.cu:34-39), so
+                    files round-trip bit-compatibly with CUDA-written ones
+  root["model"]     — the tcnn-schema model JSON
+  root["parameters"]— trainer snapshot; params as one fp16 binary blob in
+                    tcnn order: MLP matrices first ([out×in] row-major, the
+                    output layer zero-padded to 16 rows like FullyFusedMLP),
+                    then the hash grid ([entry-major, F features]).
+
+Native checkpointing (orbax) is available separately for training resume;
+this module is the interchange format for parity with the reference.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from instantvnr_tpu.accel.macrocell import MacroCell
+from instantvnr_tpu.config import ModelConfig, load_model_config
+from instantvnr_tpu.models.network import NeuralField
+from instantvnr_tpu.utils import bson
+
+_PAD_OUT = 16  # tcnn pads the MLP output layer to 16 rows
+
+
+def _vec3(x, y, z, cast=float):
+    return {"x": cast(x), "y": cast(y), "z": cast(z)}
+
+
+def pack_params(field: NeuralField, params: dict) -> bytes:
+    """Pack {table, mlp} into one fp16 blob, tcnn layout (network → grid)."""
+    chunks = []
+    for i, w in enumerate(params["mlp"]):
+        m = np.asarray(w, np.float32).T  # [out, in] row-major like tcnn
+        if i == len(params["mlp"]) - 1 and m.shape[0] < _PAD_OUT:
+            m = np.concatenate(
+                [m, np.zeros((_PAD_OUT - m.shape[0], m.shape[1]), np.float32)]
+            )
+        chunks.append(m.astype(np.float16).ravel())
+    chunks.append(np.asarray(params["table"], np.float32).astype(np.float16).ravel())
+    return np.concatenate(chunks).tobytes()
+
+
+def unpack_params(field: NeuralField, blob: bytes) -> dict:
+    data = np.frombuffer(blob, np.float16).astype(np.float32)
+    cfg = field.cfg.network
+    widths = ([field.spec.n_output_dims] + [cfg.n_neurons] * cfg.n_hidden_layers
+              + [field.n_output_dims])
+    mlp = []
+    pos = 0
+    for i, (fan_in, fan_out) in enumerate(zip(widths[:-1], widths[1:])):
+        rows = fan_out
+        if i == len(widths) - 2 and rows < _PAD_OUT:
+            rows = _PAD_OUT
+        m = data[pos : pos + rows * fan_in].reshape(rows, fan_in)
+        pos += rows * fan_in
+        mlp.append(jnp.asarray(m[:fan_out].T))
+    n_table = field.spec.n_params
+    table = data[pos : pos + n_table].reshape(field.spec.n_entries,
+                                              field.spec.n_features)
+    pos += n_table
+    if pos != data.size:
+        raise ValueError(f"parameter blob size mismatch: {pos} != {data.size}")
+    return {"table": jnp.asarray(table), "mlp": mlp}
+
+
+def save_checkpoint(path: str, field: NeuralField, params: dict,
+                    mc: MacroCell, volume_dims, groundtruth_mc: bool = False,
+                    step: int = 0, loss: float = 0.0) -> None:
+    mx, my, mz = mc.dims
+    sx, sy, sz = mc.spacings
+    # apply the reference's storage offset: (lo−1, hi+1), interleaved vec2f
+    lo = np.asarray(mc.value_lo, np.float32) - 1.0
+    hi = np.asarray(mc.value_hi, np.float32) + 1.0
+    ranges = np.stack([lo.ravel(), hi.ravel()], axis=-1).astype("<f4")
+
+    dx, dy, dz = (int(d) for d in volume_dims)
+    root = {
+        "volume": {"dims": _vec3(dx, dy, dz, int)},
+        "macrocell": {
+            "groundtruth": bool(groundtruth_mc),
+            "dims": _vec3(mx, my, mz, int),
+            "spacings": _vec3(sx, sy, sz, float),
+            "data": bson.Binary(ranges.tobytes()),
+        },
+        "parameters": {
+            "step": int(step),
+            "loss": float(loss),
+            "network": {
+                "params_type": "__half",
+                "params_binary": bson.Binary(pack_params(field, params)),
+            },
+        },
+        "model": field.cfg.to_json(),
+    }
+    with open(path, "wb") as f:
+        f.write(bson.encode(root))
+
+
+def load_checkpoint(path: str):
+    """Returns (field, params, mc, volume_dims, meta).
+
+    Follows the reference loader's tolerance (network.cu:879-955): missing
+    sections are skipped; the 'old format' (parameters at root) is accepted.
+    """
+    with open(path, "rb") as f:
+        root = bson.decode(f.read())
+
+    model_cfg: ModelConfig = load_model_config(root["model"]) if "model" in root \
+        else ModelConfig()
+    field = NeuralField.from_config(model_cfg)
+
+    volume_dims = None
+    if "volume" in root:
+        d = root["volume"]["dims"]
+        volume_dims = (int(d["x"]), int(d["y"]), int(d["z"]))
+
+    mc = None
+    if "macrocell" in root and volume_dims is not None:
+        m = root["macrocell"]
+        mdims = (int(m["dims"]["x"]), int(m["dims"]["y"]), int(m["dims"]["z"]))
+        raw = np.frombuffer(bytes(m["data"]), "<f4").reshape(-1, 2)
+        lo = raw[:, 0].reshape(mdims[2], mdims[1], mdims[0]) + 1.0
+        hi = raw[:, 1].reshape(mdims[2], mdims[1], mdims[0]) - 1.0
+        mc = MacroCell(
+            value_lo=jnp.asarray(lo),
+            value_hi=jnp.asarray(hi),
+            max_opacity=jnp.zeros_like(jnp.asarray(lo)),
+            volume_dims=volume_dims,
+        )
+
+    psec = root.get("parameters", root)
+    blob = psec["network"]["params_binary"]
+    params = unpack_params(field, bytes(blob))
+    meta = {"step": psec.get("step", 0), "loss": psec.get("loss", 0.0)}
+    return field, params, mc, volume_dims, meta

@@ -4,11 +4,14 @@ Tests must run on any machine (no TPU required). Multi-chip sharding tests use
 the 8 virtual CPU devices (`--xla_force_host_platform_device_count=8`), which
 exercises the same `jax.sharding.Mesh` / `shard_map` code paths as a real pod
 slice.
+
+NOTE: this environment's sitecustomize imports jax at interpreter startup and
+pins JAX_PLATFORMS=axon (a tunneled TPU), so env vars set here are too late —
+the platform must be overridden through jax.config before the first backend
+initialization (jax.devices() etc.).
 """
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +20,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert len(jax.devices()) == 8, (
+    f"expected 8 virtual CPU devices, got {jax.devices()} — backend was "
+    "initialized before conftest could configure it"
+)
