@@ -53,7 +53,7 @@ def decode_volume(field: NeuralField, params, dims: tuple[int, int, int],
     return slabs.reshape(n_slabs * slab, dy, dx)[:dz]
 
 
-@partial(jax.jit, static_argnums=(0, 3))
+@partial(jax.jit, static_argnums=(0, 3, 4))
 def decode_slab(field: NeuralField, params, z0: jnp.ndarray,
                 dims: tuple[int, int, int], slab: int = 16) -> jnp.ndarray:
     """One blob for progressive decoding (`infer_progressively_decode_volume`,

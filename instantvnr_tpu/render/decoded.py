@@ -1,0 +1,118 @@
+"""Decoded-volume renderer with progressive neural decoding.
+
+The TPU flagship interactive pipeline, mirroring the reference's DECODING
+render modes + `vnrNeuralVolumeDecodeProgressive` loop (api.cpp:228 →
+infer_progressively_decode_volume, network.cu:290-326): the network is
+decoded into a persistent grid 16-z-slice blob at a time (round-robin), and
+every frame slab-composites the current grid (render/slabmarch.py) — so
+rendering cost is independent of the network and training progress becomes
+visible incrementally, exactly like the reference's GUI.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instantvnr_tpu.accel.macrocell import MacroCell
+from instantvnr_tpu.models.metrics import decode_slab
+from instantvnr_tpu.render.camera import Camera
+from instantvnr_tpu.render.slabmarch import (
+    SlabSettings,
+    eye_outside_slab_range,
+    principal_axis,
+    slab_occupancy_from_macrocell,
+    slab_render,
+)
+from instantvnr_tpu.utils.tfn import TransferFunction
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+def _write_blob(decoded, blob, z0, slab: int):
+    return jax.lax.dynamic_update_slice(decoded, blob, (z0, 0, 0))
+
+
+class DecodedRenderer:
+    """Renders a (possibly progressively decoded) grid via slab compositing."""
+
+    def __init__(self, width: int, height: int, mc: MacroCell,
+                 tf: TransferFunction, volume_dims,
+                 settings: SlabSettings | None = None,
+                 field=None, params=None, initial_volume=None,
+                 slab_blob: int = 16):
+        dx, dy, dz = (int(d) for d in volume_dims)
+        self.width, self.height = width, height
+        self.mc = mc
+        self.tf = tf
+        self.volume_dims = (dx, dy, dz)
+        self.settings = settings or SlabSettings()
+        self.camera = Camera.default_for_dims(self.volume_dims)
+        self.field = field
+        self.params = params
+        self.slab_blob = slab_blob
+        self._next_blob = 0
+        if initial_volume is not None:
+            self.decoded = jnp.asarray(initial_volume)
+        else:
+            self.decoded = jnp.zeros((dz, dy, dx), jnp.float32)
+        self._frame = None
+
+    # -- progressive decoding (reference decode-progressive loop) -----------
+
+    @property
+    def n_blobs(self) -> int:
+        """vnrNeuralVolumeGetNumberOfBlobs (network.cu:969-975)."""
+        dz = self.volume_dims[2]
+        return (dz + self.slab_blob - 1) // self.slab_blob
+
+    def decode_progressive(self, n_blobs: int = 1):
+        """Decode the next n blobs (round-robin) into the grid."""
+        assert self.field is not None and self.params is not None
+        dz = self.volume_dims[2]
+        for _ in range(n_blobs):
+            z0 = (self._next_blob % self.n_blobs) * self.slab_blob
+            blob = decode_slab(self.field, self.params,
+                               jnp.int32(z0), self.volume_dims,
+                               slab=self.slab_blob)
+            blob = blob[: max(0, min(self.slab_blob, dz - z0))]
+            self.decoded = _write_blob(self.decoded, blob, z0, self.slab_blob)
+            self._next_blob += 1
+
+    def decode_all(self):
+        self.decode_progressive(self.n_blobs)
+
+    def set_params(self, params):
+        self.params = params
+
+    def set_camera(self, cam: Camera):
+        self.camera = cam
+
+    # -- frame loop ---------------------------------------------------------
+
+    def render(self):
+        cam = self.camera
+        axis, flipped = principal_axis(cam)
+        if not eye_outside_slab_range(cam, self.volume_dims, axis):
+            raise ValueError(
+                "slab renderer v1 requires the eye outside the volume's "
+                "principal-axis range; use the ray-marching renderer"
+            )
+        cam_arrays = (
+            jnp.asarray(cam.eye, jnp.float32),
+            jnp.asarray(cam.center, jnp.float32),
+            jnp.asarray(cam.up, jnp.float32),
+            jnp.float32(cam.fovy),
+        )
+        d_slab = self.decoded.shape[0 if axis == 2 else (1 if axis == 1 else 2)]
+        occ = slab_occupancy_from_macrocell(self.mc, axis, flipped, d_slab) \
+            if self.settings.skip_empty_slabs else None
+        self._frame = slab_render(
+            self.decoded, self.tf, cam_arrays, self.width, self.height,
+            self.settings, axis, flipped, occ,
+        )
+        return self._frame
+
+    def mapframe(self) -> np.ndarray:
+        return np.asarray(self._frame).reshape(self.height, self.width, 4)

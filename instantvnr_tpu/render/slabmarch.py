@@ -1,0 +1,287 @@
+"""Slab-compositing volume renderer — gather-free, MXU-native.
+
+THE TPU-first interactive rendering path. Rationale (measured on TPU v5e):
+XLA's gather engine sustains only ~10⁸ random reads/s and Mosaic cannot
+express random VMEM gathers at all (tpu.dynamic_gather is a single-vreg
+shuffle), so any ray-marcher that fetches samples at arbitrary positions —
+the reference's SAMPLE_STREAMING and IN_SHADER modes — is bandwidth-starved
+on TPU. This renderer instead reformulates the reference's DECODING mode
+(render modes 1/4/7: march a decoded texture, api.h:36-60) as pure dense
+linear algebra, the thing the MXU is built for:
+
+  perspective shear-warp factorization (Lacroute-style):
+  - choose the principal volume axis (dominant view-direction component) and
+    composite axis-aligned slabs front-to-back;
+  - the projection of slab k onto the reference plane (the first slab's
+    plane, through the eye) is a UNIFORM SCALE about the epipole
+    (e_x, e_y): σ_k = (z_ref − e_z)/(z_k − e_z). A uniform scale+offset is
+    separable, so each slab resamples with TWO banded interpolation-matrix
+    matmuls: M_y [Hi,dy] @ slab [dy,dx] @ M_xᵀ [dx,Wi] — MXU work;
+  - transfer-function classification + opacity correction (per-pixel Δt is
+    constant across slabs for a pinhole camera — exact, see _pixel_dt) +
+    front-to-back blending on the VPU;
+  - ONE final 2D projective warp (reference plane → screen), the only
+    gather in the frame: H·W bilinear taps.
+
+Per frame at 512² × 128 slabs this is ~11 GFLOP of matmuls + ~70M VPU ops —
+hundreds of fps of headroom, independent of the network. The neural volume
+feeds this path through progressive blob decoding (models/metrics.decode_slab,
+the reference's infer_progressively_decode_volume analog, network.cu:290-326).
+
+Empty-slab skipping: per-slab occupancy from the macrocell (max opacity of
+the slab's cell layer) lets the scan body skip classification/blending work
+via lax.cond — the analog of macrocell empty-space skipping along z.
+
+Limitations (v1): the eye must lie outside the volume's principal-axis slab
+range (orbit cameras — always true); shading mode "none" (gradient shading
+needs 3 finite-difference volumes — planned). The masked-wavefront ray
+marcher (render/raymarch.py) remains the exact-reference path for arbitrary
+cameras and all shading modes.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instantvnr_tpu.config import NEARLY_ONE
+from instantvnr_tpu.render.camera import Camera
+from instantvnr_tpu.utils.math import normalize
+from instantvnr_tpu.utils.tfn import TransferFunction, classify_controls
+
+
+@dataclass(frozen=True)
+class SlabSettings:
+    sampling_rate: float = 1.0  # used for opacity correction exponent
+    density_scale: float = 1.0
+    supersample: float = 1.0  # intermediate image resolution multiplier
+    skip_empty_slabs: bool = True
+
+
+def principal_axis(cam: Camera) -> tuple[int, bool]:
+    """(axis ∈ {0,1,2} for x/y/z, flipped) — host-side, static per jit."""
+    eye = np.asarray(cam.eye, np.float32)
+    center = np.asarray(cam.center, np.float32)
+    d = center - eye
+    d = d / (np.linalg.norm(d) + 1e-20)
+    axis = int(np.argmax(np.abs(d)))
+    return axis, bool(d[axis] < 0)
+
+
+def _permute_volume(volume: jnp.ndarray, axis: int, flipped: bool):
+    """Reorder [dz,dy,dx] so the principal axis becomes the slab axis
+    (leading) with marching in +direction. Returns (vol [D, Ay, Ax],
+    perm) where perm maps (x,y,z) world components to (ax, ay, az)."""
+    # volume axes are [z, y, x] = indices [0, 1, 2]; world axis 0=x,1=y,2=z
+    if axis == 2:  # march along world z: slabs = axis 0 already
+        vol = volume
+        perm = (0, 1, 2)  # world (x, y, z) → (in-slab x, in-slab y, slab)
+    elif axis == 1:  # world y: [z,y,x] → [y, z, x]
+        vol = jnp.transpose(volume, (1, 0, 2))
+        perm = (0, 2, 1)
+    else:  # world x: [z,y,x] → [x, z, y]
+        vol = jnp.transpose(volume, (2, 0, 1))
+        perm = (1, 2, 0)
+    if flipped:
+        vol = vol[::-1]
+    return vol, perm
+
+
+def _interp_matrix(n_out: int, n_in: int, scale, offset):
+    """Banded bilinear interpolation matrix M [n_out, n_in]:
+    out[i] = Σ_j M[i,j]·in[j], sampling at src = offset + i·scale (texel
+    coords, voxel j's center at j+0.5). Out-of-range rows are all-zero
+    (transparent outside the volume)."""
+    i = jax.lax.broadcasted_iota(jnp.float32, (n_out, n_in), 0)
+    j = jax.lax.broadcasted_iota(jnp.float32, (n_out, n_in), 1)
+    src = offset + i * scale - 0.5  # continuous coordinate in voxel index space
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(src - j))
+    # clamp-at-edge: fold the out-of-edge weight back to the edge voxel
+    edge_lo = (src < 0.0) & (j == 0)
+    edge_hi = (src > n_in - 1.0) & (j == n_in - 1.0)
+    in_range = (src > -0.5) & (src < n_in - 0.5)
+    w = jnp.where(edge_lo | edge_hi, 1.0, w)
+    return jnp.where(in_range, w, 0.0)
+
+
+def _pixel_dt(xs, ys, e, z_ref):
+    """Per-intermediate-pixel step length: the ray through reference-plane
+    point (X, Y) advances (ΔX, ΔY, 1)·(…)/(z_ref−e_z) per unit slab; its 3-D
+    length is constant across slabs (Δz = 1 between slabs)."""
+    fx = (xs[None, :] - e[0]) / (z_ref - e[2])
+    fy = (ys[:, None] - e[1]) / (z_ref - e[2])
+    return jnp.sqrt(fx * fx + fy * fy + 1.0)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def slab_render(
+    volume: jnp.ndarray,  # [dz, dy, dx] decoded/GT grid
+    tf: TransferFunction,
+    cam_arrays,  # (eye, center, up, fovy) float32 arrays, WORLD space
+    width: int,
+    height: int,
+    settings: SlabSettings,
+    axis: int,
+    flipped: bool,
+    slab_occupancy: jnp.ndarray | None = None,  # [D] bool, per-slab occupied
+) -> jnp.ndarray:
+    """Render one frame → rgba [height·width, 4] (row-major, bottom-left
+    origin, same layout as render/renderer.py)."""
+    dz, dy, dx = volume.shape
+    dims_w = jnp.array([dx, dy, dz], jnp.float32)
+
+    vol, perm = _permute_volume(volume, axis, flipped)
+    d_slab, ay_n, ax_n = vol.shape
+
+    # eye in voxel space of the PERMUTED volume
+    eye_w = cam_arrays[0] + 0.5 * dims_w  # world → voxel space [0, dims]
+    sizes = jnp.array([dx, dy, dz], jnp.float32)
+    e = jnp.stack([eye_w[perm[0]], eye_w[perm[1]], eye_w[perm[2]]])
+    size_z = sizes[perm[2]]
+    if flipped:
+        e = e.at[2].set(size_z - e[2])
+
+    # slab planes at z_k = k + 0.5 (voxel centers); reference plane = slab 0
+    z_ref = 0.5
+
+    # intermediate image domain: union of slab projections onto the ref plane
+    # σ_k ∈ (0,1] pulls toward the epipole, so the union is slab 0's own
+    # extent expanded to include the epipole-pulled far-slab projection.
+    sigma_far = (z_ref - e[2]) / (d_slab - 0.5 - e[2])
+    x_lo = jnp.minimum(0.0, e[0] + sigma_far * (0.0 - e[0]))
+    x_hi = jnp.maximum(ax_n, e[0] + sigma_far * (ax_n - e[0]))
+    y_lo = jnp.minimum(0.0, e[1] + sigma_far * (0.0 - e[1]))
+    y_hi = jnp.maximum(ay_n, e[1] + sigma_far * (ay_n - e[1]))
+
+    wi = int(width * settings.supersample)
+    hi = int(height * settings.supersample)
+    xs = x_lo + (jnp.arange(wi, dtype=jnp.float32) + 0.5) * (x_hi - x_lo) / wi
+    ys = y_lo + (jnp.arange(hi, dtype=jnp.float32) + 0.5) * (y_hi - y_lo) / hi
+
+    dt = _pixel_dt(xs, ys, e, z_ref)  # [hi, wi]
+    corr_exp = settings.sampling_rate * settings.density_scale * dt
+
+    if slab_occupancy is None:
+        slab_occupancy = jnp.ones((d_slab,), bool)
+
+    def body(carry, k):
+        color, trans = carry  # [hi, wi, 3], [hi, wi]
+        z_k = k.astype(jnp.float32) + 0.5
+        sigma = (z_ref - e[2]) / (z_k - e[2])
+        # intermediate pixel (u,v) ← slab texel: x = e_x + (X_u − e_x)/σ
+        # expressed as src = offset + i·scale over the xs/ys grids:
+        inv_s = 1.0 / sigma
+        off_x = e[0] + (xs[0] - e[0]) * inv_s
+        scale_x = (xs[1] - xs[0]) * inv_s
+        off_y = e[1] + (ys[0] - e[1]) * inv_s
+        scale_y = (ys[1] - ys[0]) * inv_s
+
+        def do_slab(color, trans):
+            mx = _interp_matrix(wi, ax_n, scale_x, off_x)  # [wi, ax]
+            my = _interp_matrix(hi, ay_n, scale_y, off_y)  # [hi, ay]
+            slab = jax.lax.dynamic_index_in_dim(vol, k, 0, keepdims=False)
+            vals = my @ slab @ mx.T  # [hi, wi]  (MXU)
+            # coverage: zero-weight rows mean "outside the volume"
+            cov = (my.sum(1) > 0)[:, None] & (mx.sum(1) > 0)[None, :]
+            rgb, alpha = classify_controls(tf, vals)
+            alpha = 1.0 - jnp.power(jnp.maximum(1.0 - alpha, 0.0), corr_exp)
+            alpha = jnp.where(cov & (trans > 1.0 - NEARLY_ONE), alpha, 0.0)
+            color = color + (trans * alpha)[..., None] * rgb
+            trans = trans * (1.0 - alpha)
+            return color, trans
+
+        color, trans = jax.lax.cond(
+            slab_occupancy[k], do_slab, lambda c, t: (c, t), color, trans,
+        )
+        return (color, trans), None
+
+    init = (jnp.zeros((hi, wi, 3), jnp.float32), jnp.ones((hi, wi), jnp.float32))
+    (color, trans), _ = jax.lax.scan(body, init, jnp.arange(d_slab))
+    alpha_img = 1.0 - trans
+
+    # ---- final warp: reference plane → screen (the frame's only gather) ----
+    eye = cam_arrays[0]
+    direction = normalize(cam_arrays[1] - eye)
+    up = cam_arrays[2]
+    t2 = 2.0 * jnp.tan(jnp.asarray(cam_arrays[3], jnp.float32) * jnp.pi / 360.0)
+    aspect = width / float(height)
+    horizontal = t2 * aspect * normalize(jnp.cross(direction, up))
+    vertical = jnp.cross(horizontal, direction) / aspect
+
+    py, px = jnp.meshgrid(
+        (jnp.arange(height, dtype=jnp.float32) + 0.5) / height,
+        (jnp.arange(width, dtype=jnp.float32) + 0.5) / width,
+        indexing="ij",
+    )
+    d = (direction[None, None, :]
+         + (px - 0.5)[..., None] * horizontal[None, None, :]
+         + (py - 0.5)[..., None] * vertical[None, None, :])  # [H, W, 3]
+    # permuted-space components of eye/dir
+    d_p = jnp.stack([d[..., perm[0]], d[..., perm[1]], d[..., perm[2]]], -1)
+    if flipped:
+        d_p = d_p.at[..., 2].multiply(-1.0)
+    # intersect the reference plane z = z_ref (voxel space)
+    tt = (z_ref - e[2]) / d_p[..., 2]
+    hit = tt > 0
+    px_ref = e[0] + tt * d_p[..., 0]
+    py_ref = e[1] + tt * d_p[..., 1]
+    # map to intermediate pixel coordinates
+    u = (px_ref - x_lo) / (x_hi - x_lo) * wi - 0.5
+    v = (py_ref - y_lo) / (y_hi - y_lo) * hi - 0.5
+    rgba_i = jnp.concatenate([color, alpha_img[..., None]], -1)  # [hi, wi, 4]
+    out = _bilinear2d(rgba_i, v, u)  # [H, W, 4]
+    out = jnp.where(hit[..., None], out, 0.0)
+    return out.reshape(height * width, 4)
+
+
+def _bilinear2d(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray):
+    """img [H, W, C] sampled at continuous (y, x); zero outside."""
+    h, w = img.shape[:2]
+    inside = (x > -1.0) & (x < w) & (y > -1.0) & (y < h)
+    x0 = jnp.clip(jnp.floor(x), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(y), 0, h - 1)
+    fx = jnp.clip(x - x0, 0.0, 1.0)
+    fy = jnp.clip(y - y0, 0.0, 1.0)
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    c00 = img[y0, x0]
+    c10 = img[y0, x1]
+    c01 = img[y1, x0]
+    c11 = img[y1, x1]
+    c0 = c00 * (1 - fx)[..., None] + c10 * fx[..., None]
+    c1 = c01 * (1 - fx)[..., None] + c11 * fx[..., None]
+    out = c0 * (1 - fy)[..., None] + c1 * fy[..., None]
+    return jnp.where(inside[..., None], out, 0.0)
+
+
+def slab_occupancy_from_macrocell(mc, axis: int, flipped: bool,
+                                  d_slab: int) -> jnp.ndarray:
+    """Per-slab occupancy [D]: does any macrocell in the slab's cell layer
+    have nonzero max opacity? (macrocell empty-space skipping along z)"""
+    from instantvnr_tpu.accel.macrocell import MACROCELL_SIZE
+
+    occ = mc.max_opacity > 1e-6  # [mz, my, mx]
+    if axis == 2:
+        layer = occ.any(axis=(1, 2))  # over y, x → [mz]
+    elif axis == 1:
+        layer = occ.any(axis=(0, 2))  # [my]
+    else:
+        layer = occ.any(axis=(0, 1))  # [mx]
+    if flipped:
+        layer = layer[::-1]
+    # expand cell layers to voxel slabs
+    idx = jnp.minimum(
+        jnp.arange(d_slab) // MACROCELL_SIZE, layer.shape[0] - 1
+    )
+    return layer[idx]
+
+
+def eye_outside_slab_range(cam: Camera, dims, axis: int) -> bool:
+    """v1 validity guard (host-side)."""
+    eye = np.asarray(cam.eye, np.float32) + np.asarray(dims, np.float32) / 2
+    return not (0.0 <= eye[axis] <= float(dims[axis]))

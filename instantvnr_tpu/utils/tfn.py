@@ -24,13 +24,21 @@ from instantvnr_tpu.config import TransferFunctionConfig
 
 @dataclass(frozen=True)
 class TransferFunction:
-    """Device-side baked transfer function (pytree of arrays)."""
+    """Device-side baked transfer function (pytree of arrays).
+
+    Carries BOTH a dense LUT (for the range-max macrocell machinery) and the
+    padded original control points (ctrl_*): piecewise-linear evaluation from
+    control points is gather-free — essential on TPU, where a per-sample LUT
+    lookup is a slow random gather (see classify_controls).
+    """
 
     colors: jnp.ndarray  # [R, 3] float32
     alphas: jnp.ndarray  # [R] float32
     alpha_rmq: jnp.ndarray  # [K, R] sparse table: alpha_rmq[k, i] = max(alphas[i:i+2^k])
     range_lo: jnp.ndarray  # scalar, value-domain lower bound
     range_hi: jnp.ndarray  # scalar
+    ctrl_x: jnp.ndarray  # [Kc] control positions in [0,1] (sorted, padded)
+    ctrl_rgba: jnp.ndarray  # [Kc, 4] control colors+alpha
 
     @property
     def resolution(self) -> int:
@@ -38,7 +46,8 @@ class TransferFunction:
 
     def tree_flatten(self):  # pragma: no cover - pytree plumbing
         return (
-            (self.colors, self.alphas, self.alpha_rmq, self.range_lo, self.range_hi),
+            (self.colors, self.alphas, self.alpha_rmq, self.range_lo,
+             self.range_hi, self.ctrl_x, self.ctrl_rgba),
             None,
         )
 
@@ -92,12 +101,30 @@ def bake_transfer_function(
     xs = np.linspace(0.0, 1.0, resolution).astype(np.float32)
     colors = _interp_controls(np.asarray(cfg.colors, np.float32), xs)
     alphas = _interp_controls(np.asarray(cfg.alphas, np.float32), xs)[:, 0]
+
+    # merged control points: union of color and alpha knot positions, so one
+    # padded [Kc] set evaluates both (gather-free classification)
+    cpos = np.asarray([c[0] for c in cfg.colors], np.float32)
+    apos = np.asarray([a[0] for a in cfg.alphas], np.float32)
+    knots = np.unique(np.concatenate([cpos, apos, [0.0, 1.0]]))
+    rgb_k = _interp_controls(np.asarray(cfg.colors, np.float32), knots)
+    a_k = _interp_controls(np.asarray(cfg.alphas, np.float32), knots)[:, 0]
+    ctrl = np.concatenate([rgb_k, a_k[:, None]], axis=-1)
+    # pad to a fixed small power of two so jit signatures stay stable
+    kc = 1 << max(2, int(np.ceil(np.log2(len(knots)))))
+    pad = kc - len(knots)
+    if pad:
+        knots = np.concatenate([knots, np.full(pad, knots[-1])])
+        ctrl = np.concatenate([ctrl, np.repeat(ctrl[-1:], pad, 0)])
+
     return TransferFunction(
         colors=jnp.asarray(colors, jnp.float32),
         alphas=jnp.asarray(alphas, jnp.float32),
         alpha_rmq=jnp.asarray(build_alpha_rmq(alphas)),
         range_lo=jnp.float32(cfg.range[0]),
         range_hi=jnp.float32(cfg.range[1]),
+        ctrl_x=jnp.asarray(knots, jnp.float32),
+        ctrl_rgba=jnp.asarray(ctrl, jnp.float32),
     )
 
 
@@ -118,6 +145,32 @@ def classify(tf: TransferFunction, values: jnp.ndarray):
     rgb = c0 + (c1 - c0) * frac[..., None]
     alpha = a0 + (a1 - a0) * frac
     return rgb, alpha
+
+
+def classify_controls(tf: TransferFunction, values: jnp.ndarray):
+    """Gather-free classification: evaluate the piecewise-linear transfer
+    function directly from its control points via the telescoping form
+
+        f(v) = y₀ + Σᵢ (yᵢ₊₁ − yᵢ)·clip((v − xᵢ)/(xᵢ₊₁ − xᵢ), 0, 1)
+
+    — Kc−1 fused clip/mul/adds per sample, pure VPU (a LUT lookup would be a
+    random gather, ~10⁸/s on TPU; this sustains full vector rate). Exact for
+    values covered by the control points (the dense-LUT path additionally
+    quantizes to `resolution` bins). Returns (rgb [...,3], alpha [...]).
+    """
+    v = (jnp.clip(values, tf.range_lo, tf.range_hi) - tf.range_lo) / jnp.maximum(
+        tf.range_hi - tf.range_lo, 1e-20
+    )
+    x = tf.ctrl_x
+    y = tf.ctrl_rgba  # [Kc, 4]
+    out = jnp.broadcast_to(y[0], v.shape + (4,)).astype(jnp.float32)
+    kc = x.shape[0]
+    acc = out
+    for i in range(kc - 1):
+        denom = jnp.maximum(x[i + 1] - x[i], 1e-12)
+        t = jnp.clip((v - x[i]) / denom, 0.0, 1.0)
+        acc = acc + t[..., None] * (y[i + 1] - y[i])
+    return acc[..., :3], acc[..., 3]
 
 
 def max_alpha_in_range(tf: TransferFunction, lo: jnp.ndarray, hi: jnp.ndarray):

@@ -1,0 +1,119 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instantvnr_tpu.accel import macrocell as mcmod
+from instantvnr_tpu.config import TransferFunctionConfig
+from instantvnr_tpu.data import synthetic_volume
+from instantvnr_tpu.render import RaymarchSettings, Renderer, reference_sample_fn
+from instantvnr_tpu.render.camera import Camera
+from instantvnr_tpu.render.decoded import DecodedRenderer
+from instantvnr_tpu.render.slabmarch import SlabSettings, principal_axis
+from instantvnr_tpu.utils.tfn import bake_transfer_function
+
+
+@pytest.fixture(scope="module")
+def scene():
+    vol = synthetic_volume((32, 32, 32), kind="sphere")
+    tf = bake_transfer_function(TransferFunctionConfig())
+    mc = mcmod.build(vol.data, vol.dims, tf)
+    return vol, tf, mc
+
+
+class TestPrincipalAxis:
+    def test_axes(self):
+        c = Camera(eye=(0, 0, -100), center=(0, 0, 0), up=(0, 1, 0))
+        assert principal_axis(c) == (2, False)
+        c = Camera(eye=(0, 0, 100), center=(0, 0, 0), up=(0, 1, 0))
+        assert principal_axis(c) == (2, True)
+        c = Camera(eye=(100, 5, 5), center=(0, 0, 0), up=(0, 1, 0))
+        assert principal_axis(c) == (0, True)
+        c = Camera(eye=(1, -90, 3), center=(0, 0, 0), up=(0, 0, 1))
+        assert principal_axis(c) == (1, False)
+
+
+class TestSlabVsRaymarch:
+    @pytest.mark.parametrize("eye", [(0, 0, -70), (0, 0, 70), (70, 8, 4),
+                                     (-66, -10, 12), (5, 72, -9)])
+    def test_matches_raymarcher(self, scene, eye):
+        """Slab compositing ≈ ray marching on a smooth volume (different
+        sampling patterns → tolerance, not equality)."""
+        vol, tf, mc = scene
+        cam = Camera(eye=eye, center=(0, 0, 0), up=(0, 1, 0), fovy=40)
+
+        rm = Renderer(32, 32, mc, tf, reference_sample_fn, sample_ctx=vol.data,
+                      settings=RaymarchSettings(n_iters=8, max_supersteps=64),
+                      seed=5)
+        rm.camera = cam
+        img_rm = rm.mapframe() if False else None
+        rm.render()
+        img_rm = rm.mapframe()
+
+        dr = DecodedRenderer(32, 32, mc, tf, vol.dims,
+                             initial_volume=vol.data,
+                             settings=SlabSettings())
+        dr.set_camera(cam)
+        dr.render()
+        img_sl = dr.mapframe()
+
+        assert np.isfinite(img_sl).all()
+        # both hit the sphere: alpha masses comparable
+        a_rm = img_rm[..., 3].mean()
+        a_sl = img_sl[..., 3].mean()
+        assert a_sl > 0.5 * a_rm, (a_rm, a_sl)
+        assert abs(a_sl - a_rm) < 0.25 * max(a_rm, 1e-3), (a_rm, a_sl)
+        # pixelwise: mean abs difference small (resampling differences remain)
+        assert np.abs(img_sl - img_rm).mean() < 0.03
+
+    def test_empty_volume_transparent(self, scene):
+        _, tf, _ = scene
+        empty = jnp.zeros((32, 32, 32), jnp.float32)
+        mc = mcmod.build(empty, (32, 32, 32), tf)
+        dr = DecodedRenderer(16, 16, mc, tf, (32, 32, 32),
+                             initial_volume=empty)
+        dr.render()
+        img = dr.mapframe()
+        assert np.abs(img).max() < 1e-5
+
+    def test_eye_inside_raises(self, scene):
+        vol, tf, mc = scene
+        dr = DecodedRenderer(8, 8, mc, tf, vol.dims, initial_volume=vol.data)
+        dr.set_camera(Camera(eye=(1, 2, 3), center=(0, 0, 0), up=(0, 1, 0)))
+        with pytest.raises(ValueError):
+            dr.render()
+
+
+class TestProgressiveDecode:
+    def test_blob_decoding_converges_to_full_decode(self):
+        import jax
+
+        from instantvnr_tpu.config import (
+            EncodingConfig,
+            ModelConfig,
+            NetworkConfig,
+        )
+        from instantvnr_tpu.models import NeuralField, decode_volume
+        from instantvnr_tpu.models.trainer import create_train_state
+
+        cfg = ModelConfig(
+            encoding=EncodingConfig(n_levels=4, n_features_per_level=4,
+                                    log2_hashmap_size=12, base_resolution=4),
+            network=NetworkConfig(n_neurons=32, n_hidden_layers=2),
+        )
+        field = NeuralField.from_config(cfg)
+        state = create_train_state(jax.random.PRNGKey(0), field)
+        dims = (16, 16, 32)
+        tf = bake_transfer_function(TransferFunctionConfig())
+        vol = synthetic_volume(dims, kind="sphere")
+        mc = mcmod.build(vol.data, dims, tf)
+
+        dr = DecodedRenderer(8, 8, mc, tf, dims, field=field,
+                             params=state.params)
+        assert dr.n_blobs == 2
+        dr.decode_progressive(1)  # half decoded
+        half = np.asarray(dr.decoded)
+        assert np.abs(half[16:]).max() == 0.0  # second half untouched
+        dr.decode_progressive(1)
+        full_ref = np.asarray(decode_volume(field, state.params, dims))
+        np.testing.assert_allclose(np.asarray(dr.decoded), full_ref,
+                                   atol=1e-5)
