@@ -1,0 +1,76 @@
+"""Shared CLI helpers for the apps (reference `apps/cmdline.h`)."""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def add_volume_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("volume")
+    g.add_argument("--scene", help="scene JSON (diva or vidi dialect)")
+    g.add_argument("--synthetic", choices=["vorts", "sphere", "noise"],
+                   help="procedural volume instead of a scene file")
+    g.add_argument("--dims", type=int, nargs="+", default=[64],
+                   help="synthetic volume dims (1 or 3 ints)")
+
+
+def add_model_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("model")
+    g.add_argument("--model", default=None,
+                   help="model JSON (tcnn schema); default = reference schema")
+    g.add_argument("--max-num-steps", type=int, default=1000,
+                   help="training steps (batch_trainer.cpp:42 default)")
+    g.add_argument("--batch", type=int, default=1 << 16)
+    g.add_argument("--seed", type=int, default=0)
+
+
+def load_simple_volume(args):
+    from instantvnr_tpu.api import SimpleVolume
+
+    if args.scene:
+        return SimpleVolume(args.scene)
+    kind = args.synthetic or "vorts"
+    d = args.dims
+    dims = tuple(d * 3) if len(d) == 1 else tuple(d)
+    return SimpleVolume.synthetic(dims=dims, kind=kind)
+
+
+def load_model_config(args):
+    from instantvnr_tpu.config import ModelConfig, load_model_config as load
+
+    return load(args.model) if args.model else ModelConfig()
+
+
+def save_png(rgba, path: str):
+    """rgba [H, W, 4] float → PNG (flipped to image convention: the
+    framebuffer's row 0 is the bottom scanline)."""
+    import numpy as np
+
+    try:
+        from PIL import Image
+    except ImportError:
+        np.save(path + ".npy", rgba)
+        return
+    arr = (np.clip(rgba[::-1], 0, 1) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+class CsvLogger:
+    """vidi::CsvLogger analog (training curves / frame timings)."""
+
+    def __init__(self, path: str | None, header: list[str]):
+        self.f = open(path, "w") if path else None
+        if self.f:
+            self.f.write(",".join(header) + "\n")
+
+    def log(self, *values):
+        if self.f:
+            self.f.write(",".join(str(v) for v in values) + "\n")
+            self.f.flush()
+
+    def close(self):
+        if self.f:
+            self.f.close()

@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Checkpoint inspector — the `view_model` app (reference
+apps/view_model.cpp): print a checkpoint's structure; with a reference
+volume, evaluate PSNR/SSIM of the stored model (view_model.cpp:138-144).
+
+    python apps/view_model.py params.bson [--synthetic vorts --dims 64]
+"""
+from __future__ import annotations
+
+import argparse
+
+from common import add_volume_args, load_simple_volume
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("checkpoint")
+    add_volume_args(p)
+    p.add_argument("--evaluate", action="store_true",
+                   help="compute PSNR/SSIM against the volume")
+    args = p.parse_args()
+
+    from instantvnr_tpu.api import NeuralVolume
+    from instantvnr_tpu.serializer import load_checkpoint
+
+    field, params, mc, dims, meta = load_checkpoint(args.checkpoint)
+    spec = field.spec
+    print(f"[view] volume dims:    {dims}")
+    print(f"[view] trained steps:  {meta.get('step', '?')}  "
+          f"loss {meta.get('loss', '?')}")
+    print(f"[view] encoding:       {spec.n_levels} levels × "
+          f"{spec.n_features} features, 2^{spec.log2_hashmap_size} cap, "
+          f"base res {spec.base_resolution}")
+    print(f"[view] level sizes:    {spec.level_sizes}")
+    print(f"[view] mlp:            {field.cfg.network.n_neurons}×"
+          f"{field.cfg.network.n_hidden_layers} {field.cfg.network.activation}")
+    print(f"[view] total params:   {field.n_params}")
+    if mc is not None:
+        mx, my, mz = mc.dims
+        print(f"[view] macrocell:      {mx}×{my}×{mz} cells")
+    import os
+
+    raw_bytes = dims[0] * dims[1] * dims[2] * 4
+    ckpt_bytes = os.path.getsize(args.checkpoint)
+    print(f"[view] compression:    {raw_bytes / ckpt_bytes:.1f}× "
+          f"({ckpt_bytes} B vs {raw_bytes} B raw f32)")
+
+    if args.evaluate and (args.scene or args.synthetic):
+        simple = load_simple_volume(args)
+        nv = NeuralVolume.from_checkpoint(args.checkpoint, simple=simple)
+        print(f"[view] PSNR: {nv.get_psnr():.2f} dB")
+        print(f"[view] SSIM: {nv.get_mssim():.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Headless render benchmark — the `vnr_cmd_render` app (reference
+apps/batch_renderer.cpp): warmup frames, N timed frames, per-frame fps CSV,
+screenshot output.
+
+    python apps/vnr_cmd_render.py --load params.bson --size 512 \
+        --num-frames 20 --output frame.png --fps-log fps.csv
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+from common import CsvLogger, add_volume_args, load_simple_volume, save_png
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    add_volume_args(p)
+    p.add_argument("--load", help="checkpoint (renders without GT if no scene)")
+    p.add_argument("--mode", default="decoded",
+                   choices=["decoded", "neural", "reference", "gradient",
+                            "pathtrace", "pathtrace-reference"],
+                   help="render mode (reference api.h:36-60 matrix)")
+    p.add_argument("--size", type=int, default=768,
+                   help="frame size (batch_renderer.cpp:199 default 768²)")
+    p.add_argument("--num-frames", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--sampling-rate", type=float, default=1.0)
+    p.add_argument("--output", default="frame.png")
+    p.add_argument("--fps-log", help="per-frame fps CSV "
+                   "(batch_renderer.cpp:222-224)")
+    p.add_argument("--camera", type=float, nargs=3, default=None,
+                   help="eye position (default: auto-framed orbit)")
+    args = p.parse_args()
+
+    import numpy as np
+
+    import jax
+
+    from instantvnr_tpu.api import NeuralVolume, RenderMode, SimpleVolume, VNRenderer
+    from instantvnr_tpu.render.camera import Camera
+
+    simple = None
+    if args.scene or args.synthetic:
+        simple = load_simple_volume(args)
+
+    if args.load:
+        nv = NeuralVolume.from_checkpoint(args.load, simple=simple)
+        subject = nv
+        dims = nv.dims
+    else:
+        assert simple is not None, "--load or a volume source required"
+        subject = simple
+        dims = simple.dims
+
+    mode = {
+        "decoded": RenderMode.DECODED_SLAB,
+        "neural": RenderMode.NEURAL_WAVEFRONT,
+        "reference": RenderMode.REFERENCE_RAYMARCH,
+        "gradient": RenderMode.NEURAL_WAVEFRONT_GRADIENT
+        if args.load else RenderMode.REFERENCE_GRADIENT,
+        "pathtrace": RenderMode.PATHTRACE_DECODED
+        if args.load else RenderMode.PATHTRACE_REFERENCE,
+        "pathtrace-reference": RenderMode.PATHTRACE_REFERENCE,
+    }[args.mode]
+
+    r = VNRenderer(subject, width=args.size, height=args.size, mode=mode)
+    if args.camera:
+        r.set_camera(Camera(eye=tuple(args.camera), center=(0, 0, 0),
+                            up=(0, 1, 0), fovy=45))
+    elif simple is None or simple.camera_cfg is None:
+        d = max(dims)
+        r.set_camera(Camera(eye=(0.15 * d, 0.1 * d, -2.0 * d),
+                            center=(0, 0, 0), up=(0, 1, 0), fovy=45))
+
+    print(f"[vnr] mode {args.mode}, {args.size}x{args.size}, "
+          f"device {jax.devices()[0]}")
+    for _ in range(args.warmup):
+        r.render()
+    _ = np.asarray(r._impl._frame).ravel()[0]  # full sync
+
+    logger = CsvLogger(args.fps_log, ["frame", "fps"])
+    t_total = 0.0
+    for i in range(args.num_frames):
+        t0 = time.time()
+        r.render()
+        _ = np.asarray(r._impl._frame).ravel()[0]
+        dt = time.time() - t0
+        t_total += dt
+        logger.log(i, 1.0 / dt)
+    logger.close()
+
+    fps = args.num_frames / t_total
+    print(f"[vnr] {fps:.2f} fps average over {args.num_frames} frames")
+    if args.output:
+        save_png(r.mapframe(), args.output)
+        print(f"[vnr] saved {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Headless training — the `vnr_cmd_train` app (reference
+apps/batch_trainer.cpp): train N steps in chunks of 10 with loss logging,
+restart-on-bad-loss, final PSNR/SSIM, BSON checkpoint output.
+
+    python apps/vnr_cmd_train.py --synthetic vorts --dims 64 \
+        --max-num-steps 1000 --save params.bson --report-psnr
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import time
+
+from common import (
+    CsvLogger,
+    add_model_args,
+    add_volume_args,
+    load_model_config,
+    load_simple_volume,
+)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    add_volume_args(p)
+    add_model_args(p)
+    p.add_argument("--save", default="params.bson",
+                   help="output checkpoint (BSON, reference format)")
+    p.add_argument("--resume", help="checkpoint to resume from "
+                   "(batch_trainer.cpp:38-39 --resume)")
+    p.add_argument("--report-psnr", action="store_true",
+                   help="final PSNR/SSIM (batch_trainer.cpp:123-132)")
+    p.add_argument("--log", help="CSV training curve (step, loss)")
+    p.add_argument("--chunk", type=int, default=10,
+                   help="steps per chunk (batch_trainer.cpp:97)")
+    args = p.parse_args()
+
+    import jax
+
+    from instantvnr_tpu.api import NeuralVolume
+
+    simple = load_simple_volume(args)
+    cfg = load_model_config(args)
+    print(f"[vnr] volume {simple.dims}, device {jax.devices()[0]}")
+
+    if args.resume:
+        nv = NeuralVolume.from_checkpoint(args.resume, simple=simple)
+        print(f"[vnr] resumed from {args.resume} at step {nv.step}")
+    else:
+        nv = NeuralVolume(cfg, simple=simple, seed=args.seed,
+                          train_batch=args.batch)
+    print(f"[vnr] model: {nv.field.n_params} params "
+          f"({nv.field.spec.n_levels} levels × "
+          f"{nv.field.spec.n_features} features)")
+
+    logger = CsvLogger(args.log, ["step", "loss", "time_s"])
+    t_start = time.time()
+    prev_loss = float("inf")
+    step = nv.step
+    while step < args.max_num_steps:
+        n = min(args.chunk, args.max_num_steps - step)
+        t0 = time.time()
+        stats = nv.train(n, fast_mode=False)
+        dt = time.time() - t0
+        step = stats.step
+        # restart-on-bad-loss heuristic (batch_trainer.cpp:114-118)
+        if not math.isfinite(stats.loss) or (
+            step > 100 and stats.loss > 10.0 * max(prev_loss, 1e-6)
+        ):
+            print(f"[vnr] step {step}: bad loss {stats.loss:.5f} — "
+                  "restarting network")
+            nv = NeuralVolume(cfg, simple=simple, seed=args.seed + step,
+                              train_batch=args.batch)
+            step = 0
+            prev_loss = float("inf")
+            continue
+        prev_loss = stats.loss
+        print(f"[vnr] step {step:6d}  loss {stats.loss:.6f}  "
+              f"({n / dt:.1f} steps/s)")
+        logger.log(step, stats.loss, time.time() - t_start)
+    logger.close()
+
+    print(f"[vnr] total training time: {time.time() - t_start:.1f}s")
+    if args.report_psnr:
+        print(f"[vnr] PSNR: {nv.get_psnr():.2f} dB")
+        print(f"[vnr] SSIM: {nv.get_mssim():.4f}")
+    if args.save:
+        nv.save_params(args.save)
+        print(f"[vnr] saved checkpoint: {args.save}")
+
+
+if __name__ == "__main__":
+    main()

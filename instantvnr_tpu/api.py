@@ -1,0 +1,355 @@
+"""High-level API facade — the counterpart of the reference C API
+(`api.h:91-188`, `api.cpp`). Opaque-handle C style becomes plain Python
+objects; the surface (create volume / create neural volume from config or
+checkpoint / train / decode / metrics / renderer lifecycle) maps 1:1:
+
+  vnrCreateSimpleVolume          → SimpleVolume(scene | Volume)
+  vnrCreateNeuralVolume(cfg,vol) → NeuralVolume(model_cfg, simple=...)
+  vnrCreateNeuralVolume(params)  → NeuralVolume.from_checkpoint(path)
+  vnrNeuralVolumeTrain           → NeuralVolume.train(steps, fast=...)
+  vnrNeuralVolumeDecodeProgressive → NeuralVolume.decode_progressive()
+  vnrNeuralVolumeGet{PSNR,MSSIM,TestingLoss} → get_psnr()/get_mssim()/get_testing_loss()
+  vnrNeuralVolumeSerializeParams → NeuralVolume.save_params(path)
+  vnrNeuralVolumeGetNumberOfBlobs → NeuralVolume.n_blobs
+  vnrCreateRenderer/vnrRender/vnrRendererMapFrame → VNRenderer.render()/mapframe()
+  vnrMemoryQuery                 → memory_query()
+"""
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instantvnr_tpu.accel import macrocell as mcmod
+from instantvnr_tpu.config import (
+    DEFAULT_TRAIN_BATCH,
+    ModelConfig,
+    SceneConfig,
+    TransferFunctionConfig,
+    load_model_config,
+)
+from instantvnr_tpu.data.volume import Volume, load_volume, synthetic_volume
+from instantvnr_tpu.models.metrics import mssim, psnr_vs
+from instantvnr_tpu.models.network import NeuralField
+from instantvnr_tpu.models.trainer import (
+    TrainState,
+    create_train_state,
+    test_loss,
+    train_steps,
+)
+from instantvnr_tpu.render.camera import Camera
+from instantvnr_tpu.utils.tfn import TransferFunction, bake_transfer_function
+
+
+class RenderMode(enum.IntEnum):
+    """Condensed mode matrix (reference api.h:36-60 has 16 modes: the
+    {OptiX-reference, decoding, sample-streaming, in-shader} execution
+    strategies × shading; on TPU the strategies collapse to decoded-grid
+    (slab, fast) vs network-sampling (wavefront, exact), see render/)."""
+
+    DECODED_SLAB = 0  # reference modes 1/4/7 (DECODING) — interactive path
+    NEURAL_WAVEFRONT = 1  # modes 5/8/11 (SAMPLE_STREAMING)
+    REFERENCE_RAYMARCH = 2  # modes 0-3 (OptiX ground truth) on the GT grid
+    NEURAL_WAVEFRONT_GRADIENT = 3  # gradient-shaded sample streaming
+    REFERENCE_GRADIENT = 4
+    PATHTRACE_DECODED = 5  # delta-tracking path tracer on the decoded grid
+    PATHTRACE_REFERENCE = 6
+
+
+class SimpleVolume:
+    """Ground-truth volume + macrocell (reference SimpleVolumeContext,
+    api_internal.h:17-24; SimpleVolume, core/sampler.h:66-94)."""
+
+    def __init__(self, source: Volume | SceneConfig | str, tfn_cfg=None):
+        if isinstance(source, str):
+            from instantvnr_tpu.config import load_scene_config
+
+            source = load_scene_config(source)
+        if isinstance(source, SceneConfig):
+            self.scene = source
+            self.volume = load_volume(source.volume)
+            tfn_cfg = tfn_cfg or source.tfn
+            self.camera_cfg = source.camera
+        else:
+            self.scene = None
+            self.volume = source
+            self.camera_cfg = None
+        self.tfn_cfg = tfn_cfg or TransferFunctionConfig()
+        self.tf: TransferFunction = bake_transfer_function(self.tfn_cfg)
+        self.macrocell = mcmod.build(self.volume.data, self.volume.dims, self.tf)
+
+    @classmethod
+    def synthetic(cls, dims=(64, 64, 64), kind="vorts", **kw):
+        return cls(synthetic_volume(dims, kind=kind), **kw)
+
+    @property
+    def dims(self):
+        return self.volume.dims
+
+    def set_transfer_function(self, tfn_cfg: TransferFunctionConfig):
+        self.tfn_cfg = tfn_cfg
+        self.tf = bake_transfer_function(tfn_cfg)
+        self.macrocell = mcmod.update_max_opacity(self.macrocell, self.tf)
+
+
+@dataclass
+class TrainingStatistics:
+    """NeuralVolume::statistics (network.cu:762-767)."""
+
+    step: int
+    loss: float
+
+
+class NeuralVolume:
+    """The neural representation + trainer (reference NeuralVolumeContext /
+    NeuralVolume, core/network.h:29-107)."""
+
+    def __init__(self, model_config, simple: SimpleVolume | None = None,
+                 dims=None, seed: int = 0, train_batch=DEFAULT_TRAIN_BATCH):
+        if not isinstance(model_config, ModelConfig):
+            model_config = load_model_config(model_config)
+        self.cfg = model_config
+        self.field = NeuralField.from_config(model_config)
+        self.simple = simple
+        self.dims = tuple(simple.dims) if simple is not None else tuple(dims)
+        self.train_batch = train_batch
+        self.state: TrainState = create_train_state(
+            jax.random.PRNGKey(seed), self.field
+        )
+        self.step = 0
+        # the inference macrocell, updated online from training batches
+        # (reference m_macrocell; fresh unless aliasing the GT one)
+        self.macrocell = mcmod.allocate(self.dims)
+        self._decoder = None
+
+    # -- training -----------------------------------------------------------
+
+    def train(self, steps: int, fast_mode: bool = False,
+              chunk: int = 10) -> TrainingStatistics:
+        """Run `steps` training steps (vnrNeuralVolumeTrain, api.cpp:222 →
+        Impl::train, network.cu:231-259). fast_mode skips the online
+        macrocell update (the reference's `fast` flag skips statistics and
+        macrocell refresh)."""
+        assert self.simple is not None, "training requires a reference volume"
+        vol = self.simple.volume.data
+        done = 0
+        while done < steps:
+            n = min(chunk, steps - done)
+            self.state = train_steps(self.field, vol, self.state, n,
+                                     self.train_batch)
+            done += n
+        self.step += steps
+        if not fast_mode:
+            self._update_macrocell_online()
+        return self.statistics()
+
+    def _update_macrocell_online(self):
+        """Online macrocell refresh from a fresh sample batch + TF opacity
+        (reference updates from the training batch, network.cu:770-779).
+        Uses one extra sampled batch so training batches stay fused."""
+        key = jax.random.fold_in(self.state.key, 0x6d63)
+        from instantvnr_tpu.ops.trilinear import sample_volume_tex
+
+        coords = jax.random.uniform(key, (self.train_batch, 3), jnp.float32)
+        values = sample_volume_tex(self.simple.volume.data, coords)
+        self.macrocell = mcmod.update_explicit(self.macrocell, coords, values)
+        if self.simple is not None:
+            self.macrocell = mcmod.update_max_opacity(
+                self.macrocell, self.simple.tf
+            )
+
+    def statistics(self) -> TrainingStatistics:
+        return TrainingStatistics(step=self.step, loss=float(self.state.loss))
+
+    # -- inference / decoding ----------------------------------------------
+
+    def get_decoder(self, width=512, height=512, tf=None, settings=None):
+        """The progressive decode + slab render pipeline bound to this
+        network (lazily created; reuse across frames)."""
+        from instantvnr_tpu.render.decoded import DecodedRenderer
+
+        if self._decoder is None:
+            mc = self.simple.macrocell if self.simple is not None else self.macrocell
+            tf = tf or (self.simple.tf if self.simple else
+                        bake_transfer_function(TransferFunctionConfig()))
+            self._decoder = DecodedRenderer(
+                width, height, mc, tf, self.dims, settings=settings,
+                field=self.field, params=self.state.params,
+            )
+        else:
+            self._decoder.set_params(self.state.params)
+        return self._decoder
+
+    def decode_progressive(self, n_blobs: int = 1):
+        """vnrNeuralVolumeDecodeProgressive (api.cpp:228)."""
+        dec = self.get_decoder()
+        dec.set_params(self.state.params)
+        dec.decode_progressive(n_blobs)
+
+    @property
+    def n_blobs(self) -> int:
+        return self.get_decoder().n_blobs
+
+    def decode_volume(self) -> jnp.ndarray:
+        from instantvnr_tpu.models.metrics import decode_volume
+
+        return decode_volume(self.field, self.state.params, self.dims)
+
+    # -- metrics (the de-facto integration tests, SURVEY.md §4) -------------
+
+    def get_psnr(self) -> float:
+        return float(psnr_vs(self.field, self.state.params,
+                             self.simple.volume.data))
+
+    def get_mssim(self) -> float:
+        return mssim(self.field, self.state.params, self.simple.volume.data)
+
+    def get_testing_loss(self) -> float:
+        return float(test_loss(self.field, self.simple.volume.data,
+                               self.state, self.train_batch))
+
+    # -- serialization ------------------------------------------------------
+
+    def save_params(self, path: str):
+        from instantvnr_tpu.serializer import save_checkpoint
+
+        mc = self.simple.macrocell if self.simple is not None else self.macrocell
+        save_checkpoint(path, self.field, self.state.params, mc, self.dims,
+                        groundtruth_mc=self.simple is not None,
+                        step=self.step, loss=float(self.state.loss))
+
+    @classmethod
+    def from_checkpoint(cls, path: str, simple: SimpleVolume | None = None):
+        """vnrCreateNeuralVolume(params) (api.cpp:206-220): a loaded model
+        renders without any ground truth."""
+        from instantvnr_tpu.serializer import load_checkpoint
+        from instantvnr_tpu.models.optimizer import adam_init
+
+        field, params, mc, dims, meta = load_checkpoint(path)
+        nv = cls(field.cfg, simple=simple, dims=dims)
+        nv.state = nv.state._replace(params=params, opt=adam_init(params))
+        nv.step = int(meta.get("step", 0))
+        if mc is not None:
+            tf = simple.tf if simple is not None else bake_transfer_function(
+                TransferFunctionConfig())
+            nv.macrocell = mcmod.update_max_opacity(mc, tf)
+        return nv
+
+
+class VNRenderer:
+    """Renderer handle (reference RendererContext, api_internal.h:37-45).
+
+    Dispatches between the slab (decoded) and wavefront (network/GT) paths
+    by RenderMode; owns camera + frame size like MainRenderer."""
+
+    def __init__(self, volume, width=512, height=512,
+                 mode: RenderMode = RenderMode.DECODED_SLAB):
+        self.width, self.height = width, height
+        self.mode = mode
+        self._impl = None
+        self._camera = None
+        if isinstance(volume, NeuralVolume):
+            self.neural = volume
+            self.simple = volume.simple
+        else:
+            self.neural = None
+            self.simple = volume
+        if self.simple is not None and self.simple.camera_cfg is not None:
+            self._camera = Camera.from_config(self.simple.camera_cfg)
+        self.set_mode(mode)
+
+    def set_mode(self, mode: RenderMode):
+        from instantvnr_tpu.render import (
+            RaymarchSettings,
+            Renderer,
+            make_neural_sample_fn,
+            reference_sample_fn,
+        )
+        from instantvnr_tpu.render.decoded import DecodedRenderer
+        from instantvnr_tpu.render.pathtrace import PathTraceRenderer
+
+        self.mode = mode
+        mc, tf, dims = self._scene_parts()
+
+        if mode == RenderMode.DECODED_SLAB:
+            assert self.neural is not None
+            impl = self.neural.get_decoder(self.width, self.height, tf=tf)
+            impl.decode_all()
+        elif mode in (RenderMode.NEURAL_WAVEFRONT,
+                      RenderMode.NEURAL_WAVEFRONT_GRADIENT):
+            assert self.neural is not None
+            shading = ("gradient"
+                       if mode == RenderMode.NEURAL_WAVEFRONT_GRADIENT
+                       else "none")
+            impl = Renderer(
+                self.width, self.height, mc, tf,
+                make_neural_sample_fn(self.neural.field),
+                sample_ctx=self.neural.state.params,
+                settings=RaymarchSettings(shading=shading),
+            )
+        elif mode in (RenderMode.REFERENCE_RAYMARCH,
+                      RenderMode.REFERENCE_GRADIENT):
+            assert self.simple is not None
+            shading = ("gradient" if mode == RenderMode.REFERENCE_GRADIENT
+                       else "none")
+            impl = Renderer(
+                self.width, self.height, mc, tf, reference_sample_fn,
+                sample_ctx=self.simple.volume.data,
+                settings=RaymarchSettings(shading=shading),
+            )
+        elif mode == RenderMode.PATHTRACE_REFERENCE:
+            impl = PathTraceRenderer(self.width, self.height, mc, tf,
+                                     self.simple.volume.data)
+        elif mode == RenderMode.PATHTRACE_DECODED:
+            assert self.neural is not None
+            impl = PathTraceRenderer(self.width, self.height, mc, tf,
+                                     self.neural.decode_volume())
+        else:
+            raise ValueError(mode)
+        if self._camera is not None:
+            impl.set_camera(self._camera)
+        self._impl = impl
+
+    def _scene_parts(self):
+        if self.simple is not None:
+            return self.simple.macrocell, self.simple.tf, self.simple.dims
+        nv = self.neural
+        tf = bake_transfer_function(TransferFunctionConfig())
+        return nv.macrocell, tf, nv.dims
+
+    def set_camera(self, cam: Camera):
+        self._camera = cam
+        self._impl.set_camera(cam)
+
+    @property
+    def camera(self) -> Camera:
+        return self._camera or self._impl.camera
+
+    def render(self):
+        """vnrRender (api.cpp:522)."""
+        if (self.mode == RenderMode.DECODED_SLAB and self.neural is not None):
+            self._impl.set_params(self.neural.state.params)
+        return self._impl.render()
+
+    def mapframe(self) -> np.ndarray:
+        """vnrRendererMapFrame: [H, W, 4] float32 on host."""
+        return self._impl.mapframe()
+
+
+def memory_query() -> dict:
+    """vnrMemoryQuery (api.cpp:532-552): device memory statistics."""
+    stats = {}
+    for d in jax.devices():
+        try:
+            m = d.memory_stats()
+            stats[str(d)] = {
+                "bytes_in_use": m.get("bytes_in_use", 0),
+                "peak_bytes_in_use": m.get("peak_bytes_in_use", 0),
+                "bytes_limit": m.get("bytes_limit", 0),
+            }
+        except Exception:
+            stats[str(d)] = {}
+    return stats

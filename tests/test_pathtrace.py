@@ -1,0 +1,75 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instantvnr_tpu.accel import macrocell as mcmod
+from instantvnr_tpu.config import TransferFunctionConfig
+from instantvnr_tpu.data import synthetic_volume
+from instantvnr_tpu.render.camera import Camera
+from instantvnr_tpu.render.pathtrace import PathTraceRenderer, PathTraceSettings
+from instantvnr_tpu.utils.tfn import bake_transfer_function
+
+
+@pytest.fixture(scope="module")
+def scene():
+    vol = synthetic_volume((32, 32, 32), kind="sphere")
+    tf = bake_transfer_function(TransferFunctionConfig())
+    mc = mcmod.build(vol.data, vol.dims, tf)
+    return vol, tf, mc
+
+
+class TestPathTracer:
+    def test_renders_finite_nonnegative(self, scene):
+        vol, tf, mc = scene
+        r = PathTraceRenderer(24, 24, mc, tf, vol.data,
+                              settings=PathTraceSettings(max_events=256))
+        r.render()
+        img = r.mapframe()
+        assert np.isfinite(img).all()
+        assert (img >= 0).all()
+        # center rays scatter at least once → some radiance/alpha
+        assert img[..., 3].max() > 0
+
+    def test_empty_volume_is_black(self, scene):
+        _, tf, _ = scene
+        empty = jnp.zeros((32, 32, 32), jnp.float32)
+        mc = mcmod.build(empty, (32, 32, 32), tf)
+        r = PathTraceRenderer(12, 12, mc, tf, empty)
+        r.render()
+        img = r.mapframe()
+        assert np.abs(img).max() < 1e-6
+
+    def test_progressive_accumulation_converges(self, scene):
+        """Variance of the running mean decreases with accumulated frames."""
+        vol, tf, mc = scene
+        r = PathTraceRenderer(16, 16, mc, tf, vol.data, seed=1)
+        r.render()
+        f1 = np.asarray(r._frame).copy()
+        for _ in range(15):
+            r.render()
+        f16 = np.asarray(r._frame)
+        assert r.frame_index == 16
+        # frames differ (stochastic) and stay finite
+        assert not np.allclose(f1, f16)
+        assert np.isfinite(f16).all()
+        # accumulate 16 more; the running mean should move less than the
+        # first 15 frames moved it (convergence)
+        d_early = np.abs(f16 - f1).mean()
+        for _ in range(16):
+            r.render()
+        f32 = np.asarray(r._frame)
+        d_late = np.abs(f32 - f16).mean()
+        assert d_late < d_early
+
+    def test_dense_opaque_volume_bright_center(self, scene):
+        """A dense volume scatters a lot: radiance present, mostly from
+        direct light + ambient escapes."""
+        _, tf, _ = scene
+        dense = jnp.full((32, 32, 32), 0.9, jnp.float32)
+        mc = mcmod.build(dense, (32, 32, 32), tf)
+        r = PathTraceRenderer(12, 12, mc, tf, dense, seed=3)
+        for _ in range(4):
+            r.render()
+        img = r.mapframe()
+        assert img[..., 3][4:8, 4:8].mean() > 0.9  # all center rays scatter
+        assert img[..., :3].max() > 0.01
