@@ -34,25 +34,63 @@ def main():
     p.add_argument("--log", help="CSV training curve (step, loss)")
     p.add_argument("--chunk", type=int, default=10,
                    help="steps per chunk (batch_trainer.cpp:97)")
+    p.add_argument("--sampling-mode", default="gpu",
+                   choices=["gpu", "out-of-core"],
+                   help="GPU = in-core device sampling; out-of-core = "
+                        "streamed blocks (reference Sampler::load modes)")
     args = p.parse_args()
 
     import jax
 
     from instantvnr_tpu.api import NeuralVolume
 
-    simple = load_simple_volume(args)
     cfg = load_model_config(args)
-    print(f"[vnr] volume {simple.dims}, device {jax.devices()[0]}")
+    simple = None
+    oc_desc = None
+    if args.sampling_mode == "out-of-core":
+        # terascale path: never load the volume in-core; the streamed
+        # sampler is the only reader (reference OUT_OF_CORE mode,
+        # neural_sampler.cpp:1206-1271)
+        from instantvnr_tpu.config import load_scene_config
+
+        assert args.scene, "out-of-core needs a scene file (raw volume)"
+        scene = load_scene_config(args.scene)
+        oc_desc = scene.volume
+        dims = oc_desc.dims
+        print(f"[vnr] volume {dims} (out-of-core, "
+              f"{oc_desc.n_bytes/1e9:.1f} GB), device {jax.devices()[0]}")
+    else:
+        simple = load_simple_volume(args)
+        dims = simple.dims
+        print(f"[vnr] volume {dims}, device {jax.devices()[0]}")
 
     if args.resume:
         nv = NeuralVolume.from_checkpoint(args.resume, simple=simple)
         print(f"[vnr] resumed from {args.resume} at step {nv.step}")
     else:
-        nv = NeuralVolume(cfg, simple=simple, seed=args.seed,
+        nv = NeuralVolume(cfg, simple=simple, dims=dims, seed=args.seed,
                           train_batch=args.batch)
     print(f"[vnr] model: {nv.field.n_params} params "
           f"({nv.field.spec.n_levels} levels × "
           f"{nv.field.spec.n_features} features)")
+
+    oc_sampler = None
+    if oc_desc is not None:
+        import numpy as np
+
+        from instantvnr_tpu.data.outofcore import OutOfCoreSampler
+
+        # value range for normalization: the dtype's natural range (the
+        # reference reads it from the scene or scans the file; scanning a
+        # terascale file is the loader's warm-up job — use dtype range)
+        rng_map = {"UNSIGNED_BYTE": (0.0, 255.0), "BYTE": (-128.0, 127.0),
+                   "UNSIGNED_SHORT": (0.0, 65535.0),
+                   "SHORT": (-32768.0, 32767.0), "FLOAT": (0.0, 1.0),
+                   "DOUBLE": (0.0, 1.0)}
+        vrange = rng_map.get(oc_desc.dtype, (0.0, 1.0))
+        oc_sampler = OutOfCoreSampler(oc_desc, vrange)
+        print(f"[vnr] out-of-core streaming "
+              f"({'native' if oc_sampler.is_native else 'numpy'} loader)")
 
     logger = CsvLogger(args.log, ["step", "loss", "time_s"])
     t_start = time.time()
@@ -61,7 +99,15 @@ def main():
     while step < args.max_num_steps:
         n = min(args.chunk, args.max_num_steps - step)
         t0 = time.time()
-        stats = nv.train(n, fast_mode=False)
+        if oc_sampler is not None:
+            from instantvnr_tpu.models.trainer import train_out_of_core
+
+            nv.state = train_out_of_core(nv.field, oc_sampler, nv.state, n,
+                                         args.batch)
+            nv.step += n
+            stats = nv.statistics()
+        else:
+            stats = nv.train(n, fast_mode=False)
         dt = time.time() - t0
         step = stats.step
         # restart-on-bad-loss heuristic (batch_trainer.cpp:114-118)
@@ -82,7 +128,7 @@ def main():
     logger.close()
 
     print(f"[vnr] total training time: {time.time() - t_start:.1f}s")
-    if args.report_psnr:
+    if args.report_psnr and simple is not None:
         print(f"[vnr] PSNR: {nv.get_psnr():.2f} dB")
         print(f"[vnr] SSIM: {nv.get_mssim():.4f}")
     if args.save:

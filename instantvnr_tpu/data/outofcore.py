@@ -1,0 +1,201 @@
+"""Out-of-core training sampler for terascale volumes.
+
+Python driver for the native block loader (native/vnr_loader.cpp — the
+reference's StreamLoader/RandomBuffer redesign: resident random blocks
+asynchronously refreshed by reader threads, host-side trilinear batch
+sampling). Falls back to a pure-NumPy implementation with the same geometry
+when the shared library isn't built.
+
+Training integration: `OutOfCoreSampler.sample()` yields host (coords,
+values) arrays; `train_steps_hostbatch` (models/trainer_oc.py) consumes them
+with async jax.device_put so the host pipeline overlaps device compute —
+the reference's cudaMemcpyAsync H2D overlap (neural_sampler.cpp:1118-1119).
+
+Multi-host: each host creates its own loader over its file (or the shared
+file) with a host-unique seed; batches are host-local, gradients meet in
+the psum (parallel/train.py) — the per-host brick streaming of SURVEY §2.9.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from instantvnr_tpu.config import VALUE_TYPES, VolumeDesc
+
+_DTYPE_CODE = {
+    "UNSIGNED_BYTE": 0, "BYTE": 1, "UNSIGNED_SHORT": 2, "SHORT": 3,
+    "UNSIGNED_INT": 4, "INT": 5, "FLOAT": 6, "DOUBLE": 7,
+}
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+
+
+def _load_native():
+    so = os.path.join(_NATIVE_DIR, "libvnr_loader.so")
+    if not os.path.exists(so):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.vnr_loader_create.restype = ctypes.c_void_p
+    lib.vnr_loader_create.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int64, ctypes.c_float, ctypes.c_float,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.vnr_loader_sample.restype = ctypes.c_int
+    lib.vnr_loader_sample.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.vnr_loader_ready_blocks.restype = ctypes.c_int
+    lib.vnr_loader_ready_blocks.argtypes = [ctypes.c_void_p]
+    lib.vnr_loader_loads.restype = ctypes.c_int64
+    lib.vnr_loader_loads.argtypes = [ctypes.c_void_p]
+    lib.vnr_loader_destroy.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+_LIB = None
+
+
+def native_lib():
+    global _LIB
+    if _LIB is None:
+        _LIB = _load_native() or False
+    return _LIB or None
+
+
+class OutOfCoreSampler:
+    """Streamed random-block sampler over a raw volume file."""
+
+    def __init__(self, desc: VolumeDesc, value_range: tuple[float, float],
+                 block_y: int = 32, block_z: int = 32, n_resident: int = 64,
+                 n_threads: int = 4, use_native: bool | None = None,
+                 seed: int = 1337):
+        self.desc = desc
+        self.value_range = value_range
+        self.block_y, self.block_z = block_y, block_z
+        self.n_resident = n_resident
+        self._seed = seed
+        self._counter = 0
+        self._native = None
+        lib = native_lib() if use_native in (None, True) else None
+        if lib is not None:
+            dx, dy, dz = desc.dims
+            h = lib.vnr_loader_create(
+                desc.filename.encode(), dx, dy, dz,
+                _DTYPE_CODE[desc.dtype], desc.offset,
+                float(value_range[0]), float(value_range[1]),
+                block_y, block_z, n_resident, n_threads,
+            )
+            if h:
+                self._native = (lib, ctypes.c_void_p(h))
+        if self._native is None:
+            if use_native is True:
+                raise RuntimeError("native loader unavailable")
+            self._mmap = np.memmap(desc.filename, dtype=desc.np_dtype,
+                                   mode="r", offset=desc.offset,
+                                   shape=(desc.dims[2], desc.dims[1],
+                                          desc.dims[0]))
+            self._rng = np.random.default_rng(seed)
+
+    @property
+    def is_native(self) -> bool:
+        return self._native is not None
+
+    def ready_blocks(self) -> int:
+        if self._native:
+            lib, h = self._native
+            return lib.vnr_loader_ready_blocks(h)
+        return self.n_resident
+
+    def wait_ready(self, min_blocks: int = 1, timeout: float = 60.0):
+        import time
+
+        t0 = time.time()
+        while self.ready_blocks() < min_blocks:
+            if time.time() - t0 > timeout:
+                raise TimeoutError("loader produced no blocks")
+            time.sleep(0.01)
+
+    def sample(self, batch: int) -> tuple[np.ndarray, np.ndarray]:
+        """→ (coords [B,3] float32 in [0,1]³, values [B,1] float32)."""
+        self._counter += 1
+        if self._native:
+            lib, h = self._native
+            coords = np.empty((batch, 3), np.float32)
+            values = np.empty((batch,), np.float32)
+            n = lib.vnr_loader_sample(
+                h, batch, self._seed * 2654435761 + self._counter,
+                coords.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+            if n == 0:
+                self.wait_ready(1)
+                return self.sample(batch)
+            return coords, values[:, None]
+        return self._sample_numpy(batch)
+
+    def _sample_numpy(self, batch: int):
+        """Fallback: same block geometry, synchronous memmap reads."""
+        dx, dy, dz = self.desc.dims
+        rng = self._rng
+        by0 = rng.integers(0, max((dy + self.block_y - 1) // self.block_y, 1)) \
+            * self.block_y
+        bz0 = rng.integers(0, max((dz + self.block_z - 1) // self.block_z, 1)) \
+            * self.block_z
+        ny = min(self.block_y + 1, dy - by0)
+        nz = min(self.block_z + 1, dz - bz0)
+        block = np.asarray(self._mmap[bz0 : bz0 + nz, by0 : by0 + ny, :],
+                           np.float32)
+        lo, hi = self.value_range
+        if hi > lo:
+            block = (block - lo) / (hi - lo)
+        fx = rng.random(batch, np.float32) * dx
+        fy = rng.random(batch, np.float32) * max(ny - 1, 1)
+        fz = rng.random(batch, np.float32) * max(nz - 1, 1)
+        cx = np.clip(fx - 0.5, 0, dx - 1)
+        x0 = cx.astype(np.int32)
+        x1 = np.minimum(x0 + 1, dx - 1)
+        wx = cx - x0
+        y0 = np.minimum(fy.astype(np.int32), max(ny - 2, 0))
+        wy = fy - y0
+        z0 = np.minimum(fz.astype(np.int32), max(nz - 2, 0))
+        wz = fz - z0
+        y1 = np.minimum(y0 + 1, ny - 1)
+        z1 = np.minimum(z0 + 1, nz - 1)
+        c00 = block[z0, y0, x0] * (1 - wx) + block[z0, y0, x1] * wx
+        c10 = block[z0, y1, x0] * (1 - wx) + block[z0, y1, x1] * wx
+        c01 = block[z1, y0, x0] * (1 - wx) + block[z1, y0, x1] * wx
+        c11 = block[z1, y1, x0] * (1 - wx) + block[z1, y1, x1] * wx
+        c0 = c00 * (1 - wy) + c10 * wy
+        c1 = c01 * (1 - wy) + c11 * wy
+        values = c0 * (1 - wz) + c1 * wz
+        coords = np.stack([
+            (cx + 0.5) / dx,
+            (by0 + fy + 0.5) / dy,
+            (bz0 + fz + 0.5) / dz,
+        ], axis=-1).astype(np.float32)
+        return coords, values[:, None].astype(np.float32)
+
+    def close(self):
+        if self._native:
+            lib, h = self._native
+            lib.vnr_loader_destroy(h)
+            self._native = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -104,6 +104,43 @@ def train_steps(field: NeuralField, volume: jnp.ndarray, state: TrainState,
     return state._replace(loss=losses[-1])
 
 
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def train_step_hostbatch(field: NeuralField, state: TrainState,
+                         coords: jnp.ndarray, targets: jnp.ndarray
+                         ) -> TrainState:
+    """One step on a HOST-provided batch — the out-of-core path (reference
+    OutOfCoreSampler::sample → cudaMemcpyAsync → training_step,
+    neural_sampler.cpp:1066-1120). RNG key still advances so online
+    macrocell refreshes stay deterministic."""
+    key, _ = jax.random.split(state.key)
+    loss_fn = make_loss_fn(field)
+    loss, grads = jax.value_and_grad(loss_fn)(state.params, coords, targets)
+    params, opt = adam_update(
+        field.cfg.optimizer, state.params, grads, state.opt,
+        l2_mask=mlp_l2_mask(state.params),
+    )
+    return TrainState(params=params, opt=opt, key=key, loss=loss)
+
+
+def train_out_of_core(field: NeuralField, sampler, state: TrainState,
+                      n_steps: int, batch: int) -> TrainState:
+    """Pipelined out-of-core training: the sampler (a host-side
+    OutOfCoreSampler) produces batch k+1 while the device runs step k —
+    jax's async dispatch gives the overlap for free (the analog of the
+    reference's async H2D in the hot loop, SURVEY §3.1)."""
+    import numpy as np
+
+    next_batch = sampler.sample(batch)
+    for _ in range(n_steps):
+        coords, targets = next_batch
+        # dispatch the device step (async), then do host I/O for the next
+        state = train_step_hostbatch(
+            field, state, jnp.asarray(coords), jnp.asarray(targets)
+        )
+        next_batch = sampler.sample(batch)
+    return state
+
+
 @partial(jax.jit, static_argnums=(0, 3))
 def test_loss(field: NeuralField, volume: jnp.ndarray, state: TrainState,
               batch: int = DEFAULT_TRAIN_BATCH) -> jnp.ndarray:

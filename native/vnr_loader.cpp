@@ -1,0 +1,250 @@
+// Out-of-core volume block loader — native runtime component.
+//
+// TPU-native counterpart of the reference's StreamLoader/RandomBuffer
+// (core/samplers/neural_sampler.cpp:377-668): keeps N random blocks of a
+// terascale raw volume resident in host memory, continuously replaced by
+// background reader threads, and serves random training batches with
+// host-side trilinear interpolation (the reference interpolates on the host
+// too, :1087-1114, ghost cells included). libaio becomes std::thread +
+// pread; the reference's 32 KiB stream granularity (:490-493) is preserved
+// by making blocks span the full x extent, so every read is a contiguous
+// row span.
+//
+// Block geometry: (dx, BY, BZ) voxels + 1 ghost layer in +y/+z (for
+// trilinear support), so a block load is (BY+1)·(BZ+1) contiguous reads of
+// dx voxels each. Boundary blocks clamp.
+//
+// Exposed as a C ABI for Python ctypes (no pybind11 in this image).
+//
+// Build: make -C native   (g++ -O3 -shared -fPIC -pthread)
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <fcntl.h>
+#include <random>
+#include <thread>
+#include <unistd.h>
+#include <vector>
+
+namespace {
+
+struct Block {
+  std::atomic<int> state{0}; // 0 = empty, 1 = loading, 2 = ready, 3 = in-use
+  int64_t by0 = 0, bz0 = 0;  // block origin (voxels)
+  int ny = 0, nz = 0;        // valid extent incl. ghost
+  std::vector<float> data;   // [nz, ny, dx] normalized float
+};
+
+struct Loader {
+  int fd = -1;
+  int64_t dx = 0, dy = 0, dz = 0;
+  int dtype = 0; // 0=u8 1=i8 2=u16 3=i16 4=u32 5=i32 6=f32 7=f64
+  int64_t offset = 0;
+  int by = 32, bz = 32;
+  float vmin = 0.f, vmax = 1.f; // normalization range (data units)
+  std::vector<Block> blocks;
+  std::vector<std::thread> workers;
+  std::atomic<bool> stop{false};
+  std::atomic<int64_t> loads{0};
+  std::atomic<uint64_t> rng_seed{1337}; // reference seed (neural_sampler.cu:36)
+};
+
+size_t dtype_size(int t) {
+  switch (t) {
+  case 0: case 1: return 1;
+  case 2: case 3: return 2;
+  case 4: case 5: return 4;
+  case 6: return 4;
+  case 7: return 8;
+  }
+  return 4;
+}
+
+float convert(const uint8_t* p, int t) {
+  switch (t) {
+  case 0: return (float)*p;
+  case 1: return (float)*(const int8_t*)p;
+  case 2: return (float)*(const uint16_t*)p;
+  case 3: return (float)*(const int16_t*)p;
+  case 4: return (float)*(const uint32_t*)p;
+  case 5: return (float)*(const int32_t*)p;
+  case 6: return *(const float*)p;
+  case 7: return (float)*(const double*)p;
+  }
+  return 0.f;
+}
+
+// load one block: (BY+1)x(BZ+1) contiguous row reads + dtype conversion +
+// [vmin,vmax] -> [0,1] normalization (neural_sampler.cpp:244-288 semantics)
+bool load_block(Loader* L, Block& b, int64_t by0, int64_t bz0) {
+  const int ny = (int)std::min<int64_t>(L->by + 1, L->dy - by0);
+  const int nz = (int)std::min<int64_t>(L->bz + 1, L->dz - bz0);
+  const size_t es = dtype_size(L->dtype);
+  const size_t row_bytes = (size_t)L->dx * es;
+  b.by0 = by0;
+  b.bz0 = bz0;
+  b.ny = ny;
+  b.nz = nz;
+  b.data.resize((size_t)nz * ny * L->dx);
+  std::vector<uint8_t> raw(row_bytes);
+  const float scale =
+      (L->vmax > L->vmin) ? 1.f / (L->vmax - L->vmin) : 0.f;
+  for (int z = 0; z < nz; ++z) {
+    for (int y = 0; y < ny; ++y) {
+      const int64_t gy = by0 + y, gz = bz0 + z;
+      const int64_t voxel = (gz * L->dy + gy) * L->dx;
+      const int64_t off = L->offset + voxel * (int64_t)es;
+      ssize_t got = pread(L->fd, raw.data(), row_bytes, off);
+      if (got != (ssize_t)row_bytes) return false;
+      float* dst = b.data.data() + ((size_t)z * ny + y) * L->dx;
+      for (int64_t x = 0; x < L->dx; ++x)
+        dst[x] = (convert(raw.data() + x * es, L->dtype) - L->vmin) * scale;
+    }
+  }
+  return true;
+}
+
+void worker_main(Loader* L, uint64_t seed) {
+  std::mt19937_64 rng(seed);
+  const int64_t nby = (L->dy + L->by - 1) / L->by;
+  const int64_t nbz = (L->dz + L->bz - 1) / L->bz;
+  while (!L->stop.load(std::memory_order_relaxed)) {
+    // pick a random slot; replace it if not being sampled right now
+    size_t slot = rng() % L->blocks.size();
+    Block& b = L->blocks[slot];
+    int expect0 = 0, expect2 = 2;
+    if (!(b.state.compare_exchange_strong(expect0, 1) ||
+          b.state.compare_exchange_strong(expect2, 1))) {
+      std::this_thread::yield();
+      continue;
+    }
+    const int64_t by0 = (int64_t)(rng() % nby) * L->by;
+    const int64_t bz0 = (int64_t)(rng() % nbz) * L->bz;
+    if (load_block(L, b, by0, bz0)) {
+      b.state.store(2, std::memory_order_release);
+      L->loads.fetch_add(1, std::memory_order_relaxed);
+    } else {
+      b.state.store(0, std::memory_order_release);
+    }
+  }
+}
+
+} // namespace
+
+extern "C" {
+
+void* vnr_loader_create(const char* filename, int64_t dx, int64_t dy,
+                        int64_t dz, int dtype, int64_t offset, float vmin,
+                        float vmax, int block_y, int block_z,
+                        int n_resident, int n_threads) {
+  auto* L = new Loader();
+  L->fd = open(filename, O_RDONLY);
+  if (L->fd < 0) {
+    delete L;
+    return nullptr;
+  }
+  L->dx = dx; L->dy = dy; L->dz = dz;
+  L->dtype = dtype;
+  L->offset = offset;
+  L->vmin = vmin; L->vmax = vmax;
+  L->by = block_y; L->bz = block_z;
+  L->blocks = std::vector<Block>(n_resident);
+  for (int i = 0; i < n_threads; ++i)
+    L->workers.emplace_back(worker_main, L, 0x1337ULL + i);
+  return L;
+}
+
+// number of block loads completed so far (progress / warm-up gauge)
+int64_t vnr_loader_loads(void* h) {
+  return ((Loader*)h)->loads.load(std::memory_order_relaxed);
+}
+
+int vnr_loader_ready_blocks(void* h) {
+  auto* L = (Loader*)h;
+  int n = 0;
+  for (auto& b : L->blocks)
+    if (b.state.load(std::memory_order_acquire) == 2) ++n;
+  return n;
+}
+
+// Sample `count` random (coords, values) pairs from resident blocks:
+// uniform over ready blocks, uniform-jittered within each block's trilinear
+// support, interpolated on the host with ghost rows
+// (OutOfCoreSampler::sample, neural_sampler.cpp:1066-1120).
+// coords_out: [count,3] normalized [0,1]^3 (x,y,z); values_out: [count].
+int vnr_loader_sample(void* h, int64_t count, uint64_t seed,
+                      float* coords_out, float* values_out) {
+  auto* L = (Loader*)h;
+  std::vector<int> ready;
+  for (size_t i = 0; i < L->blocks.size(); ++i) {
+    int expect = 2;
+    if (L->blocks[i].state.compare_exchange_strong(expect, 3))
+      ready.push_back((int)i);
+  }
+  if (ready.empty()) return 0;
+
+  const int nthreads =
+      (int)std::min<int64_t>(std::max(1u, std::thread::hardware_concurrency()),
+                             std::max<int64_t>(count / 4096, 1));
+  std::vector<std::thread> ts;
+  auto work = [&](int tid) {
+    std::mt19937_64 rng(seed * 0x9E3779B97F4A7C15ULL + tid);
+    std::uniform_real_distribution<float> uni(0.f, 1.f);
+    const int64_t lo = count * tid / nthreads;
+    const int64_t hi = count * (tid + 1) / nthreads;
+    for (int64_t i = lo; i < hi; ++i) {
+      const Block& b = L->blocks[ready[rng() % ready.size()]];
+      // continuous position within the block's trilinear support
+      const float fx = uni(rng) * (float)L->dx;
+      const float fy = uni(rng) * (float)(b.ny - 1);
+      const float fz = uni(rng) * (float)(b.nz - 1);
+      // trilinear interpolation (voxel centers at integer+0.5)
+      const float cx = std::min(std::max(fx - 0.5f, 0.f), (float)(L->dx - 1));
+      const int x0 = (int)cx;
+      const int x1 = std::min<int>(x0 + 1, (int)L->dx - 1);
+      const float wx = cx - (float)x0;
+      const int y0 = std::min((int)fy, b.ny - 2 >= 0 ? b.ny - 2 : 0);
+      const float wy = fy - (float)y0;
+      const int z0 = std::min((int)fz, b.nz - 2 >= 0 ? b.nz - 2 : 0);
+      const float wz = fz - (float)z0;
+      const int y1 = std::min(y0 + 1, b.ny - 1);
+      const int z1 = std::min(z0 + 1, b.nz - 1);
+      auto at = [&](int z, int y, int x) {
+        return b.data[((size_t)z * b.ny + y) * L->dx + x];
+      };
+      const float c00 = at(z0, y0, x0) * (1 - wx) + at(z0, y0, x1) * wx;
+      const float c10 = at(z0, y1, x0) * (1 - wx) + at(z0, y1, x1) * wx;
+      const float c01 = at(z1, y0, x0) * (1 - wx) + at(z1, y0, x1) * wx;
+      const float c11 = at(z1, y1, x0) * (1 - wx) + at(z1, y1, x1) * wx;
+      const float c0 = c00 * (1 - wy) + c10 * wy;
+      const float c1 = c01 * (1 - wy) + c11 * wy;
+      values_out[i] = c0 * (1 - wz) + c1 * wz;
+      // global normalized coordinates (direct-tex convention: value =
+      // tex3D(p) at p = (voxel+0.5)/dims)
+      coords_out[i * 3 + 0] = (cx + 0.5f) / (float)L->dx;
+      coords_out[i * 3 + 1] =
+          ((float)b.by0 + fy /*continuous y within support*/ + 0.5f) /
+          (float)L->dy;
+      coords_out[i * 3 + 2] = ((float)b.bz0 + fz + 0.5f) / (float)L->dz;
+    }
+  };
+  for (int t = 0; t < nthreads; ++t) ts.emplace_back(work, t);
+  for (auto& t : ts) t.join();
+
+  for (int i : ready)
+    L->blocks[i].state.store(2, std::memory_order_release);
+  return (int)count;
+}
+
+void vnr_loader_destroy(void* h) {
+  auto* L = (Loader*)h;
+  L->stop.store(true);
+  for (auto& t : L->workers) t.join();
+  close(L->fd);
+  delete L;
+}
+
+} // extern "C"

@@ -1,0 +1,118 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from instantvnr_tpu.config import (
+    EncodingConfig,
+    ModelConfig,
+    NetworkConfig,
+    OptimizerConfig,
+    VolumeDesc,
+)
+from instantvnr_tpu.data.outofcore import OutOfCoreSampler, native_lib
+from instantvnr_tpu.ops.trilinear import sample_volume_tex
+
+
+@pytest.fixture(scope="module")
+def raw_volume(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    data = rng.random((48, 40, 32)).astype(np.float32)  # [dz, dy, dx]
+    path = tmp_path_factory.mktemp("oc") / "vol.raw"
+    data.tofile(path)
+    desc = VolumeDesc(filename=str(path), dims=(32, 40, 48), dtype="FLOAT")
+    return desc, data
+
+
+def check_sampler(sampler, data):
+    coords, values = sampler.sample(4096)
+    assert coords.shape == (4096, 3) and values.shape == (4096, 1)
+    assert (coords >= 0).all() and (coords <= 1).all()
+    # cross-validate against direct trilinear sampling of the full array
+    # (the reference's inline cross-validation, neural_sampler.cpp:892-918)
+    ref = np.asarray(sample_volume_tex(jnp.asarray(data), jnp.asarray(coords)))
+    np.testing.assert_allclose(values[:, 0], ref, atol=2e-3)
+
+
+class TestNumpyFallback:
+    def test_values_match_direct_sampling(self, raw_volume):
+        desc, data = raw_volume
+        s = OutOfCoreSampler(desc, (0.0, 1.0), block_y=16, block_z=16,
+                             use_native=False)
+        check_sampler(s, data)
+
+    def test_uint8_dtype_normalization(self, tmp_path):
+        rng = np.random.default_rng(1)
+        raw = rng.integers(0, 256, (16, 16, 16), np.uint8)
+        p = tmp_path / "u8.raw"
+        raw.astype(np.uint8).tofile(p)
+        desc = VolumeDesc(filename=str(p), dims=(16, 16, 16),
+                          dtype="UNSIGNED_BYTE")
+        s = OutOfCoreSampler(desc, (0.0, 255.0), block_y=8, block_z=8,
+                             use_native=False)
+        coords, values = s.sample(512)
+        assert values.min() >= 0.0 and values.max() <= 1.0
+        norm = raw.astype(np.float32) / 255.0
+        ref = np.asarray(sample_volume_tex(jnp.asarray(norm),
+                                           jnp.asarray(coords)))
+        np.testing.assert_allclose(values[:, 0], ref, atol=2e-2)
+
+
+class TestNativeLoader:
+    def test_native_builds_and_samples(self, raw_volume):
+        if native_lib() is None:
+            pytest.skip("native loader not buildable")
+        desc, data = raw_volume
+        s = OutOfCoreSampler(desc, (0.0, 1.0), block_y=16, block_z=16,
+                             n_resident=8, n_threads=2, use_native=True)
+        s.wait_ready(4)
+        check_sampler(s, data)
+        assert s.is_native
+        s.close()
+
+    def test_native_coverage(self, raw_volume):
+        """Samples eventually cover the whole volume (random block refresh)."""
+        if native_lib() is None:
+            pytest.skip("native loader not buildable")
+        desc, _ = raw_volume
+        s = OutOfCoreSampler(desc, (0.0, 1.0), block_y=8, block_z=8,
+                             n_resident=16, n_threads=4, use_native=True)
+        s.wait_ready(8)
+        zs = []
+        for _ in range(30):
+            coords, _v = s.sample(2048)
+            zs.append(coords[:, 2])
+        z = np.concatenate(zs)
+        hist, _ = np.histogram(z, bins=6, range=(0, 1))
+        assert (hist > 0).all(), hist  # every z region visited
+        s.close()
+
+
+class TestOutOfCoreTraining:
+    def test_training_converges_from_stream(self, tmp_path):
+        from instantvnr_tpu.data.volume import synthetic_volume
+        from instantvnr_tpu.models import NeuralField, create_train_state
+        from instantvnr_tpu.models.trainer import train_out_of_core
+
+        vol = synthetic_volume((32, 32, 32), kind="sphere")
+        path = tmp_path / "sphere.raw"
+        np.asarray(vol.data).tofile(path)
+        desc = VolumeDesc(filename=str(path), dims=(32, 32, 32), dtype="FLOAT")
+        sampler = OutOfCoreSampler(desc, (0.0, 1.0), block_y=16, block_z=16,
+                                   use_native=False)
+
+        cfg = ModelConfig(
+            encoding=EncodingConfig(n_levels=4, n_features_per_level=4,
+                                    log2_hashmap_size=12, base_resolution=4),
+            network=NetworkConfig(n_neurons=32, n_hidden_layers=2),
+            optimizer=OptimizerConfig(learning_rate=1e-2, decay_start=10_000),
+        )
+        field = NeuralField.from_config(cfg)
+        state = create_train_state(jax.random.PRNGKey(0), field)
+        state = train_out_of_core(field, sampler, state, 260, 4096)
+        assert float(state.loss) < 0.01  # converged on streamed batches
+        # decoded volume approximates the original
+        from instantvnr_tpu.models.metrics import psnr_vs
+
+        assert float(psnr_vs(field, state.params, vol.data)) > 22.0
