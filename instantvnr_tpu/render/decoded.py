@@ -58,6 +58,8 @@ class DecodedRenderer:
         else:
             self.decoded = jnp.zeros((dz, dy, dx), jnp.float32)
         self._frame = None
+        self._gradients = None  # [3,dz,dy,dx], lazily built for shading
+        self.shadow_volume = None  # optional [dz,dy,dx] transmittance
 
     # -- progressive decoding (reference decode-progressive loop) -----------
 
@@ -79,6 +81,7 @@ class DecodedRenderer:
             blob = blob[: max(0, min(self.slab_blob, dz - z0))]
             self.decoded = _write_blob(self.decoded, blob, z0, self.slab_blob)
             self._next_blob += 1
+        self._gradients = None  # decoded content changed
 
     def decode_all(self):
         self.decode_progressive(self.n_blobs)
@@ -88,6 +91,16 @@ class DecodedRenderer:
 
     def set_camera(self, cam: Camera):
         self.camera = cam
+
+    def enable_shadows(self, light_dir=None, sampling_rate: float = 1.0):
+        """Precompute the shadow volume from the current decoded grid
+        (reference generate_shadow_map / MethodShadowMap, 2-pass)."""
+        from instantvnr_tpu.render.shadow import shadow_volume_for
+
+        light = light_dir or self.settings.light_dir
+        self.shadow_volume = shadow_volume_for(
+            self.decoded, self.tf, light, sampling_rate
+        )
 
     # -- frame loop ---------------------------------------------------------
 
@@ -108,9 +121,18 @@ class DecodedRenderer:
         d_slab = self.decoded.shape[0 if axis == 2 else (1 if axis == 1 else 2)]
         occ = slab_occupancy_from_macrocell(self.mc, axis, flipped, d_slab) \
             if self.settings.skip_empty_slabs else None
+        grad = None
+        if self.settings.shading == "gradient":
+            if self._gradients is None:
+                from instantvnr_tpu.render.slabmarch import (
+                    compute_gradient_volumes,
+                )
+
+                self._gradients = compute_gradient_volumes(self.decoded)
+            grad = self._gradients
         self._frame = slab_render(
             self.decoded, self.tf, cam_arrays, self.width, self.height,
-            self.settings, axis, flipped, occ,
+            self.settings, axis, flipped, occ, grad, self.shadow_volume,
         )
         return self._frame
 

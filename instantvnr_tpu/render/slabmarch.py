@@ -32,11 +32,14 @@ Empty-slab skipping: per-slab occupancy from the macrocell (max opacity of
 the slab's cell layer) lets the scan body skip classification/blending work
 via lax.cond — the analog of macrocell empty-space skipping along z.
 
-Limitations (v1): the eye must lie outside the volume's principal-axis slab
-range (orbit cameras — always true); shading mode "none" (gradient shading
-needs 3 finite-difference volumes — planned). The masked-wavefront ray
-marcher (render/raymarch.py) remains the exact-reference path for arbitrary
-cameras and all shading modes.
+Gradient shading: precomputed central-difference gradient volumes (pure
+shifts, no gathers) resampled per slab with the same interpolation matmuls,
+shaded with the reference scivis model.
+
+Limitation: the eye must lie outside the volume's principal-axis slab range
+(orbit cameras — always true); the masked-wavefront ray marcher
+(render/raymarch.py) remains the exact-reference path for cameras inside
+the volume and for sample-exact comparisons.
 """
 from __future__ import annotations
 
@@ -59,6 +62,34 @@ class SlabSettings:
     density_scale: float = 1.0
     supersample: float = 1.0  # intermediate image resolution multiplier
     skip_empty_slabs: bool = True
+    shading: str = "none"  # "none" | "gradient" (scivis, raytracing.h:224-246)
+    shading_scale: float = 0.95  # scivis_shading_scale lerp
+    light_dir: tuple = (0.7, 0.9, 0.4)  # instantvnr_types.h:148
+    shadow_ambient: float = 0.35  # floor when a shadow volume is attached
+
+
+def compute_gradient_volumes(volume: jnp.ndarray) -> jnp.ndarray:
+    """Central-difference gradient of the decoded grid, world components:
+    [3, dz, dy, dx] = (∂/∂x, ∂/∂y, ∂/∂z). Pure shifted subtracts (VPU) —
+    the gather-free analog of the per-sample finite differences the
+    reference takes during marching (sampleGradient, raytracing.h:112-130).
+    Computed once per decode; ~3× the volume's memory."""
+
+    def central(axis):
+        a = jnp.concatenate(
+            [volume.take(jnp.array([0]), axis=axis),
+             volume.take(jnp.arange(volume.shape[axis] - 1), axis=axis)],
+            axis=axis,
+        )
+        b = jnp.concatenate(
+            [volume.take(jnp.arange(1, volume.shape[axis]), axis=axis),
+             volume.take(jnp.array([volume.shape[axis] - 1]), axis=axis)],
+            axis=axis,
+        )
+        return (b - a) * 0.5
+
+    # volume axes [z, y, x] → world components (x, y, z)
+    return jnp.stack([central(2), central(1), central(0)])
 
 
 def principal_axis(cam: Camera) -> tuple[int, bool]:
@@ -127,6 +158,8 @@ def slab_render(
     axis: int,
     flipped: bool,
     slab_occupancy: jnp.ndarray | None = None,  # [D] bool, per-slab occupied
+    grad_volumes: jnp.ndarray | None = None,  # [3, dz, dy, dx] for shading
+    shadow_volume: jnp.ndarray | None = None,  # [dz, dy, dx] transmittance
 ) -> jnp.ndarray:
     """Render one frame → rgba [height·width, 4] (row-major, bottom-left
     origin, same layout as render/renderer.py)."""
@@ -135,6 +168,13 @@ def slab_render(
 
     vol, perm = _permute_volume(volume, axis, flipped)
     d_slab, ay_n, ax_n = vol.shape
+    use_shading = settings.shading == "gradient" and grad_volumes is not None
+    if use_shading:
+        gvols = [_permute_volume(grad_volumes[i], axis, flipped)[0]
+                 for i in range(3)]
+    use_shadow = shadow_volume is not None
+    if use_shadow:
+        svol = _permute_volume(shadow_volume, axis, flipped)[0]
 
     # eye in voxel space of the PERMUTED volume
     eye_w = cam_arrays[0] + 0.5 * dims_w  # world → voxel space [0, dims]
@@ -187,6 +227,45 @@ def slab_render(
             # coverage: zero-weight rows mean "outside the volume"
             cov = (my.sum(1) > 0)[:, None] & (mx.sum(1) > 0)[None, :]
             rgb, alpha = classify_controls(tf, vals)
+            if use_shading:
+                # resample the 3 world-component gradients with the same
+                # matrices; shade with the scivis model per slab
+                from instantvnr_tpu.render.raymarch import _shade_scivis
+
+                g = jnp.stack([
+                    my @ jax.lax.dynamic_index_in_dim(gv, k, 0, False) @ mx.T
+                    for gv in gvols
+                ], axis=-1)  # [hi, wi, 3] world components
+                normal = -g
+                # per-pixel world position on this slab → view direction
+                x_src = off_x + jnp.arange(wi, dtype=jnp.float32) * scale_x
+                y_src = off_y + jnp.arange(hi, dtype=jnp.float32) * scale_y
+                p_perm = [
+                    jnp.broadcast_to(x_src[None, :], (hi, wi)),
+                    jnp.broadcast_to(y_src[:, None], (hi, wi)),
+                    jnp.full((hi, wi), z_k),
+                ]
+                if flipped:
+                    p_perm[2] = size_z - p_perm[2]
+                p_world = [None, None, None]
+                for i_ax in range(3):
+                    p_world[perm[i_ax]] = p_perm[i_ax]
+                p_world = jnp.stack(p_world, axis=-1)  # [hi, wi, 3]
+                view = p_world - eye_w[None, None, :]
+                view = view / jnp.maximum(
+                    jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-9)
+                light = jnp.asarray(settings.light_dir, jnp.float32)
+                cam_fwd = cam_arrays[1] - cam_arrays[0]
+                light = jnp.where(jnp.dot(cam_fwd, light) > 0, -light, light)
+                shaded = _shade_scivis(view, normal, rgb,
+                                       light_dir=tuple(settings.light_dir))
+                s_ = settings.shading_scale
+                rgb = s_ * shaded + (1.0 - s_) * rgb
+            if use_shadow:
+                sh = my @ jax.lax.dynamic_index_in_dim(svol, k, 0, False) \
+                    @ mx.T
+                amb = settings.shadow_ambient
+                rgb = rgb * (amb + (1.0 - amb) * jnp.clip(sh, 0.0, 1.0))[..., None]
             alpha = 1.0 - jnp.power(jnp.maximum(1.0 - alpha, 0.0), corr_exp)
             alpha = jnp.where(cov & (trans > 1.0 - NEARLY_ONE), alpha, 0.0)
             color = color + (trans * alpha)[..., None] * rgb

@@ -1,0 +1,63 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instantvnr_tpu.config import TransferFunctionConfig
+from instantvnr_tpu.render.shadow import shadow_volume_for
+from instantvnr_tpu.utils.tfn import bake_transfer_function
+
+
+class TestShadowVolume:
+    def test_axis_aligned_occluder(self):
+        """A dense slab at z∈[8,12) shadows everything behind it for a −z
+        light (light at +z, propagating toward −z)."""
+        tf = bake_transfer_function(TransferFunctionConfig())
+        vol = jnp.zeros((32, 16, 16)).at[20:24].set(0.95)
+        s = np.asarray(shadow_volume_for(vol, tf, (0.0, 0.0, 1.0)))
+        assert s.shape == (32, 16, 16)
+        # in front of the occluder (z > 24, closer to the light): lit
+        assert s[26:].min() > 0.95
+        # behind it (z < 19): strongly shadowed
+        assert s[:19].max() < 0.1
+        # inside the slab: attenuating monotonically toward −z
+        col = s[18:26, 8, 8]
+        assert (np.diff(col) >= -1e-6).all()
+
+    def test_empty_volume_fully_lit(self):
+        tf = bake_transfer_function(TransferFunctionConfig())
+        vol = jnp.zeros((16, 16, 16))
+        s = np.asarray(shadow_volume_for(vol, tf, (0.3, 0.9, 0.2)))
+        assert s.min() > 0.999
+
+    def test_oblique_light_shifts_shadow(self):
+        """An oblique light displaces the shadow laterally."""
+        tf = bake_transfer_function(TransferFunctionConfig())
+        vol = jnp.zeros((32, 32, 32)).at[20:23, 14:18, 14:18].set(0.95)
+        s = np.asarray(shadow_volume_for(vol, tf, (0.5, 0.0, 1.0)))
+        layer = s[8]  # well behind the occluder
+        ys, xs = np.where(layer < 0.5)
+        assert len(xs) > 0
+        # light from +x,+z → shadow shifts toward −x as z decreases
+        assert xs.mean() < 14.5, xs.mean()
+
+    def test_shadowed_render_darker(self):
+        from instantvnr_tpu.accel import macrocell as mcmod
+        from instantvnr_tpu.data import synthetic_volume
+        from instantvnr_tpu.render.camera import Camera
+        from instantvnr_tpu.render.decoded import DecodedRenderer
+
+        vol = synthetic_volume((32, 32, 32), kind="sphere")
+        tf = bake_transfer_function(TransferFunctionConfig())
+        mc = mcmod.build(vol.data, vol.dims, tf)
+        cam = Camera(eye=(5, 4, -70), center=(0, 0, 0), up=(0, 1, 0))
+        r = DecodedRenderer(16, 16, mc, tf, vol.dims, initial_volume=vol.data)
+        r.set_camera(cam)
+        r.render()
+        base = r.mapframe()
+        r.enable_shadows(light_dir=(0.2, 0.9, 0.3))
+        r.render()
+        shadowed = r.mapframe()
+        assert np.isfinite(shadowed).all()
+        np.testing.assert_allclose(shadowed[..., 3], base[..., 3], atol=1e-5)
+        hit = base[..., 3] > 0.2
+        assert shadowed[..., :3][hit].mean() < base[..., :3][hit].mean()

@@ -117,3 +117,40 @@ class TestProgressiveDecode:
         full_ref = np.asarray(decode_volume(field, state.params, dims))
         np.testing.assert_allclose(np.asarray(dr.decoded), full_ref,
                                    atol=1e-5)
+
+
+class TestGradientShading:
+    def test_shaded_render_differs_and_is_finite(self, scene):
+        vol, tf, mc = scene
+        from instantvnr_tpu.render.slabmarch import SlabSettings
+
+        cam = Camera(eye=(10, 8, -70), center=(0, 0, 0), up=(0, 1, 0), fovy=40)
+        flat = DecodedRenderer(24, 24, mc, tf, vol.dims,
+                               initial_volume=vol.data)
+        flat.set_camera(cam)
+        img_flat = (flat.render(), flat.mapframe())[1]
+
+        sh = DecodedRenderer(24, 24, mc, tf, vol.dims,
+                             initial_volume=vol.data,
+                             settings=SlabSettings(shading="gradient"))
+        sh.set_camera(cam)
+        sh.render()
+        img_sh = sh.mapframe()
+        assert np.isfinite(img_sh).all()
+        # alpha identical (shading changes color only)
+        np.testing.assert_allclose(img_sh[..., 3], img_flat[..., 3], atol=1e-5)
+        # colors differ where the volume is hit
+        hit = img_flat[..., 3] > 0.1
+        assert np.abs(img_sh[..., :3][hit] - img_flat[..., :3][hit]).mean() > 0.01
+
+    def test_gradient_volumes_of_linear_ramp(self):
+        from instantvnr_tpu.render.slabmarch import compute_gradient_volumes
+
+        z, y, x = np.meshgrid(*(np.arange(8, dtype=np.float32),) * 3,
+                              indexing="ij")
+        g = compute_gradient_volumes(jnp.asarray(2.0 * x + 3.0 * y + 5.0 * z))
+        g = np.asarray(g)
+        # interior central differences recover the slopes exactly
+        assert np.allclose(g[0][2:-2, 2:-2, 2:-2], 2.0, atol=1e-5)
+        assert np.allclose(g[1][2:-2, 2:-2, 2:-2], 3.0, atol=1e-5)
+        assert np.allclose(g[2][2:-2, 2:-2, 2:-2], 5.0, atol=1e-5)
