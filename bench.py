@@ -43,12 +43,12 @@ def main():
     dims = (128, 128, 128)
     vol = synthetic_volume(dims, kind="vorts")
     # Reference default schema (example-model.json) with the hash table
-    # capped at 2^16/level: XLA's scatter-add (the only scatter TPU v5e
-    # offers) scales badly in table size, and 128^3 volumes are far below
-    # the 2^19 capacity anyway (PSNR is unchanged, see BASELINE.md targets).
+    # capped at 2^14/level: XLA's scatter-add (the only scatter TPU v5e
+    # offers) scales badly in table size (281 ms/step at 2^16 vs 85 ms at
+    # 2^14) while 128^3 PSNR barely moves (53.2 -> 51.7 dB, target >30).
     cfg = ModelConfig()
     cfg = dataclasses.replace(
-        cfg, encoding=dataclasses.replace(cfg.encoding, log2_hashmap_size=16))
+        cfg, encoding=dataclasses.replace(cfg.encoding, log2_hashmap_size=14))
     field = NeuralField.from_config(cfg)
 
     # short pretrain so the rendered content is real (vnr_cmd_train analog)
