@@ -19,7 +19,7 @@ def main():
     add_volume_args(p)
     p.add_argument("--load", help="checkpoint (renders without GT if no scene)")
     p.add_argument("--mode", default="decoded",
-                   choices=["decoded", "neural", "reference", "gradient",
+                   choices=["decoded", "neural", "reference", "gradient", "ssh",
                             "pathtrace", "pathtrace-reference"],
                    help="render mode (reference api.h:36-60 matrix)")
     p.add_argument("--size", type=int, default=768,
@@ -60,6 +60,8 @@ def main():
         "reference": RenderMode.REFERENCE_RAYMARCH,
         "gradient": RenderMode.NEURAL_WAVEFRONT_GRADIENT
         if args.load else RenderMode.REFERENCE_GRADIENT,
+        "ssh": RenderMode.NEURAL_WAVEFRONT_SSH
+        if args.load else RenderMode.REFERENCE_SSH,
         "pathtrace": RenderMode.PATHTRACE_DECODED
         if args.load else RenderMode.PATHTRACE_REFERENCE,
         "pathtrace-reference": RenderMode.PATHTRACE_REFERENCE,

@@ -57,6 +57,8 @@ class RenderMode(enum.IntEnum):
     REFERENCE_GRADIENT = 4
     PATHTRACE_DECODED = 5  # delta-tracking path tracer on the decoded grid
     PATHTRACE_REFERENCE = 6
+    NEURAL_WAVEFRONT_SSH = 7  # single-shade heuristic (deferred shadow ray)
+    REFERENCE_SSH = 8
 
 
 class SimpleVolume:
@@ -279,11 +281,12 @@ class VNRenderer:
             impl = self.neural.get_decoder(self.width, self.height, tf=tf)
             impl.decode_all()
         elif mode in (RenderMode.NEURAL_WAVEFRONT,
-                      RenderMode.NEURAL_WAVEFRONT_GRADIENT):
+                      RenderMode.NEURAL_WAVEFRONT_GRADIENT,
+                      RenderMode.NEURAL_WAVEFRONT_SSH):
             assert self.neural is not None
-            shading = ("gradient"
-                       if mode == RenderMode.NEURAL_WAVEFRONT_GRADIENT
-                       else "none")
+            shading = {RenderMode.NEURAL_WAVEFRONT: "none",
+                       RenderMode.NEURAL_WAVEFRONT_GRADIENT: "gradient",
+                       RenderMode.NEURAL_WAVEFRONT_SSH: "ssh"}[mode]
             impl = Renderer(
                 self.width, self.height, mc, tf,
                 make_neural_sample_fn(self.neural.field),
@@ -291,10 +294,12 @@ class VNRenderer:
                 settings=RaymarchSettings(shading=shading),
             )
         elif mode in (RenderMode.REFERENCE_RAYMARCH,
-                      RenderMode.REFERENCE_GRADIENT):
+                      RenderMode.REFERENCE_GRADIENT,
+                      RenderMode.REFERENCE_SSH):
             assert self.simple is not None
-            shading = ("gradient" if mode == RenderMode.REFERENCE_GRADIENT
-                       else "none")
+            shading = {RenderMode.REFERENCE_RAYMARCH: "none",
+                       RenderMode.REFERENCE_GRADIENT: "gradient",
+                       RenderMode.REFERENCE_SSH: "ssh"}[mode]
             impl = Renderer(
                 self.width, self.height, mc, tf, reference_sample_fn,
                 sample_ctx=self.simple.volume.data,

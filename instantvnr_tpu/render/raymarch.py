@@ -57,13 +57,15 @@ class RaymarchSettings:
     n_iters: int = 16  # sample slots per ray per superstep (VNR_RM_N_ITERS)
     max_skips: int = 8  # empty-cell DDA skips per slot (VPU-only work)
     max_supersteps: int = 192
-    shading: str = "none"  # "none" | "gradient"
+    shading: str = "none"  # "none" | "gradient" | "ssh"
     shading_scale: float = 0.95  # scivis_shading_scale
     gradient_step_frac: float = 1.0  # grad_step = frac/dims (object.cpp:305)
+    light_dir: tuple = (0.7, 0.9, 0.4)  # instantvnr_types.h:148
+    ssh_shadow_sampling_scale: float = 2.0  # shadow-pass rate scale
     fixed_steps: bool = False  # True → differentiable scan loop
 
     def __post_init__(self):
-        assert self.shading in ("none", "gradient"), self.shading
+        assert self.shading in ("none", "gradient", "ssh"), self.shading
 
 
 class _RayState(NamedTuple):
@@ -73,6 +75,11 @@ class _RayState(NamedTuple):
     alpha: jnp.ndarray  # [R]
     color: jnp.ndarray  # [R,3]
     active: jnp.ndarray  # [R] bool
+    # SINGLE_SHADE_HEURISTIC bookkeeping (method_raymarching.cu:455-467):
+    # the highest-contribution sample along the ray, for deferred shading
+    best_w: jnp.ndarray  # [R] contribution (1−α)·α_s at the best sample
+    best_pos: jnp.ndarray  # [R,3] object-space position of that sample
+    best_rgb: jnp.ndarray  # [R,3] its TF color
 
 
 def _cell_exit_t(org, dirn, cell, w: float):
@@ -163,15 +170,16 @@ def _emit_samples(org, dirn, t_far, state: _RayState, mc: MacroCell,
 
 def _compose(values, t_x, t_y, valid, jitter_unused, state_alpha, state_color,
              tf: TransferFunction, sampling_rate, density_scale,
-             rgb_override=None):
+             rgb_override=None, track_best=None, pos_obj=None):
     """Phase 3: front-to-back blend over the K slots (scan).
 
     values: [R, K] sampled data values; rgb_override: optional [R, K, 3]
     shaded colors to use instead of the TF color (gradient shading).
+    track_best: optional (best_w, best_pos, best_rgb) carried argmax state
+    for SSH (requires pos_obj [R, K, 3]); returns it updated.
     """
-    rgb, alpha_s = classify(tf, values)  # [R,K,3], [R,K]
-    if rgb_override is not None:
-        rgb = rgb_override
+    rgb_tf, alpha_s = classify(tf, values)  # [R,K,3], [R,K]
+    rgb = rgb_tf if rgb_override is None else rgb_override
     dt = t_y - t_x
     # opacity correction (raytracing.h:166-170) + density scale
     alpha_s = 1.0 - jnp.power(jnp.maximum(1.0 - alpha_s, 0.0),
@@ -179,20 +187,32 @@ def _compose(values, t_x, t_y, valid, jitter_unused, state_alpha, state_color,
     alpha_s = jnp.where(valid, alpha_s, 0.0)
 
     def slot(carry, xs):
-        acc_a, acc_c = carry
-        a_k, rgb_k = xs
+        acc_a, acc_c, bw, bp, bc = carry
+        a_k, rgb_k, rgbtf_k, pos_k = xs
         live = acc_a < NEARLY_ONE
         tr = jnp.where(live, 1.0 - acc_a, 0.0)
+        if track_best is not None:
+            w = tr * a_k  # contribution (method_raymarching.cu:462)
+            better = w > bw
+            bw = jnp.where(better, w, bw)
+            bp = jnp.where(better[:, None], pos_k, bp)
+            bc = jnp.where(better[:, None], rgbtf_k, bc)
         acc_c = acc_c + tr[:, None] * rgb_k * a_k[:, None]
         acc_a = acc_a + tr * a_k
-        return (acc_a, acc_c), None
+        return (acc_a, acc_c, bw, bp, bc), None
 
-    (alpha, color), _ = jax.lax.scan(
+    if track_best is None:
+        r = values.shape[0]
+        track_best = (jnp.zeros((r,)), jnp.zeros((r, 3)), jnp.zeros((r, 3)))
+    if pos_obj is None:
+        pos_obj = jnp.zeros(values.shape + (3,))
+    (alpha, color, bw, bp, bc), _ = jax.lax.scan(
         slot,
-        (state_alpha, state_color),
-        (jnp.moveaxis(alpha_s, 1, 0), jnp.moveaxis(rgb, 1, 0)),
+        (state_alpha, state_color) + tuple(track_best),
+        (jnp.moveaxis(alpha_s, 1, 0), jnp.moveaxis(rgb, 1, 0),
+         jnp.moveaxis(rgb_tf, 1, 0), jnp.moveaxis(pos_obj, 1, 0)),
     )
-    return alpha, color
+    return alpha, color, (bw, bp, bc)
 
 
 def raymarch(
@@ -225,6 +245,9 @@ def raymarch(
         alpha=jnp.zeros((r,), jnp.float32),
         color=jnp.zeros((r, 3), jnp.float32),
         active=t_near < t_far,
+        best_w=jnp.zeros((r,), jnp.float32),
+        best_pos=jnp.zeros((r, 3), jnp.float32),
+        best_rgb=jnp.zeros((r, 3), jnp.float32),
     )
 
     def superstep(state: _RayState) -> _RayState:
@@ -275,13 +298,19 @@ def raymarch(
             values = sample_fn(pos_obj.reshape(-1, 3)).reshape(r, k)
             rgb_override = None
 
-        alpha, color = _compose(
+        track = ((state.best_w, state.best_pos, state.best_rgb)
+                 if settings.shading == "ssh" else None)
+        alpha, color, best = _compose(
             values, t_x, t_y, valid, jitter, state.alpha, state.color, tf,
             settings.sampling_rate, settings.density_scale, rgb_override,
+            track_best=track, pos_obj=pos_obj,
         )
+        if settings.shading != "ssh":
+            best = (state.best_w, state.best_pos, state.best_rgb)
         active = state.active & (t < t_far) & (alpha < NEARLY_ONE)
         return _RayState(t=t, t_cell_end=t_cell_end, ss=ss, alpha=alpha,
-                         color=color, active=active)
+                         color=color, active=active,
+                         best_w=best[0], best_pos=best[1], best_rgb=best[2])
 
     if settings.fixed_steps:
         def scan_body(st, _):
@@ -299,6 +328,41 @@ def raymarch(
             return superstep(st), i + 1
 
         state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+
+    if settings.shading == "ssh":
+        # Deferred single-shade pass (method_raymarching.cu:469-484): march
+        # a shadow ray from the highest-contribution sample toward the
+        # light and blend the shaded color by its transmittance.
+        from instantvnr_tpu.utils.math import normalize, ray_box_intersect
+
+        light = normalize(jnp.asarray(settings.light_dir, jnp.float32))
+        org2 = state.best_pos * dims  # object → voxel space
+        dir2 = jnp.broadcast_to(light[None, :], org2.shape)
+        _, t1b, hitb = ray_box_intersect(org2, dir2, jnp.zeros(3), dims)
+        has_best = state.best_w > 0.0
+        t1b = jnp.where(hitb & has_best, jnp.maximum(t1b, 0.0), 0.0)
+        shadow_settings = RaymarchSettings(
+            sampling_rate=(settings.sampling_rate
+                           / settings.ssh_shadow_sampling_scale),
+            density_scale=settings.density_scale,
+            n_iters=settings.n_iters,
+            max_skips=settings.max_skips,
+            max_supersteps=settings.max_supersteps,
+            shading="none",
+            fixed_steps=settings.fixed_steps,
+        )
+        rgba_sh = raymarch(sample_fn, org2, dir2, jnp.zeros_like(t1b), t1b,
+                           mc, tf, jitter, shadow_settings)
+        transmittance = 1.0 - rgba_sh[:, 3]
+        shaded = state.best_rgb * state.alpha[:, None] \
+            * transmittance[:, None]
+        s_ = settings.shading_scale
+        color = jnp.where(
+            has_best[:, None],
+            (1.0 - s_) * state.color + s_ * shaded,
+            state.color,
+        )
+        state = state._replace(color=color)
 
     return jnp.concatenate([state.color, state.alpha[:, None]], axis=-1)
 

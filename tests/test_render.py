@@ -171,3 +171,30 @@ class TestRenderer:
         g = jax.grad(loss)(vol.data)
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0
+
+
+class TestSSHShading:
+    def test_ssh_runs_and_shadows_darken(self, scene):
+        """SSH mode: finite output; adding a dense occluder between the
+        best sample and the light darkens the shaded color."""
+        vol, tf, mc = scene
+        settings = RaymarchSettings(n_iters=8, max_supersteps=48,
+                                    shading="ssh", light_dir=(0.0, 1.0, 0.0))
+        r = Renderer(16, 16, mc, tf, reference_sample_fn, sample_ctx=vol.data,
+                     settings=settings, seed=2)
+        img = np.asarray(r.render())
+        assert np.isfinite(img).all()
+        assert img[:, 3].max() > 0.3
+
+        # occluder above the sphere (light from +y): a dense slab
+        vol2 = vol.data.at[:, 28:31, :].set(1.0)
+        import instantvnr_tpu.accel.macrocell as mcmod2
+
+        mc2 = mcmod2.build(vol2, (32, 32, 32), tf)
+        r2 = Renderer(16, 16, mc2, tf, reference_sample_fn, sample_ctx=vol2,
+                      settings=settings, seed=2)
+        img2 = np.asarray(r2.render())
+        # pixels that hit the original sphere should be darker now (their
+        # shadow rays hit the slab). Compare mean rgb on common hit mask.
+        hit = (img[:, 3] > 0.3) & (img2[:, 3] > 0.3)
+        assert img2[hit][:, :3].mean() < img[hit][:, :3].mean()
