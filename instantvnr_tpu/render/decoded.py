@@ -108,10 +108,9 @@ class DecodedRenderer:
         cam = self.camera
         axis, flipped = principal_axis(cam)
         if not eye_outside_slab_range(cam, self.volume_dims, axis):
-            raise ValueError(
-                "slab renderer v1 requires the eye outside the volume's "
-                "principal-axis range; use the ray-marching renderer"
-            )
+            # inside the volume: slab factorization is invalid — fall back
+            # to the masked-wavefront marcher over the decoded grid
+            return self._render_fallback(cam)
         cam_arrays = (
             jnp.asarray(cam.eye, jnp.float32),
             jnp.asarray(cam.center, jnp.float32),
@@ -133,6 +132,36 @@ class DecodedRenderer:
         self._frame = slab_render(
             self.decoded, self.tf, cam_arrays, self.width, self.height,
             self.settings, axis, flipped, occ, grad, self.shadow_volume,
+        )
+        return self._frame
+
+    def _render_fallback(self, cam):
+        from functools import partial as _partial
+
+        from instantvnr_tpu.render.raymarch import RaymarchSettings
+        from instantvnr_tpu.render.renderer import (
+            _render_frame,
+            reference_sample_fn,
+        )
+
+        if not hasattr(self, "_fb_accum") or self._fb_accum.shape[0] != \
+                self.width * self.height:
+            self._fb_accum = jnp.zeros((self.width * self.height, 4),
+                                       jnp.float32)
+        cam_arrays = (
+            jnp.asarray(cam.eye, jnp.float32),
+            jnp.asarray(cam.center, jnp.float32),
+            jnp.asarray(cam.up, jnp.float32),
+            jnp.float32(cam.fovy),
+        )
+        settings = RaymarchSettings(
+            sampling_rate=self.settings.sampling_rate,
+            density_scale=self.settings.density_scale,
+        )
+        self._fb_accum, self._frame = _render_frame(
+            reference_sample_fn, self.width, self.height, settings,
+            self.decoded, cam_arrays, self.mc, self.tf,
+            jax.random.PRNGKey(0), self._fb_accum, jnp.int32(1),
         )
         return self._frame
 

@@ -75,12 +75,16 @@ class TestSlabVsRaymarch:
         img = dr.mapframe()
         assert np.abs(img).max() < 1e-5
 
-    def test_eye_inside_raises(self, scene):
+    def test_eye_inside_falls_back_to_raymarch(self, scene):
+        """Inside the volume the slab factorization is invalid; the decoded
+        renderer transparently switches to the wavefront marcher."""
         vol, tf, mc = scene
         dr = DecodedRenderer(8, 8, mc, tf, vol.dims, initial_volume=vol.data)
-        dr.set_camera(Camera(eye=(1, 2, 3), center=(0, 0, 0), up=(0, 1, 0)))
-        with pytest.raises(ValueError):
-            dr.render()
+        dr.set_camera(Camera(eye=(1, 2, 3), center=(14, 2, 3), up=(0, 1, 0)))
+        dr.render()
+        img = dr.mapframe()
+        assert np.isfinite(img).all()
+        assert img[..., 3].max() > 0.5  # looking through the dense center
 
 
 class TestProgressiveDecode:
