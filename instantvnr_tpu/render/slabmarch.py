@@ -66,6 +66,11 @@ class SlabSettings:
     shading_scale: float = 0.95  # scivis_shading_scale lerp
     light_dir: tuple = (0.7, 0.9, 0.4)  # instantvnr_types.h:148
     shadow_ambient: float = 0.35  # floor when a shadow volume is attached
+    # Alternative compositor: batch-resample all slabs + associative_scan
+    # `over`. MEASURED SLOWER on v5e (45 ms vs 25 ms at 512²×128: batched
+    # small matmuls are latency-bound and the scan doubles compositing
+    # traffic) — kept for bigger-volume/other-chip experiments.
+    batched_compositor: bool = False
 
 
 def compute_gradient_volumes(volume: jnp.ndarray) -> jnp.ndarray:
@@ -147,6 +152,66 @@ def _pixel_dt(xs, ys, e, z_ref):
     return jnp.sqrt(fx * fx + fy * fy + 1.0)
 
 
+def _composite_batched(vol, tf, e, z_ref, xs, ys, corr_exp,
+                       slab_occupancy, shadow_perm, shadow_ambient):
+    """Batched slab pipeline: resample ALL slabs with two batched matmuls,
+    classify/correct in one VPU pass, and combine with ONE associative_scan
+    of the (associative!) premultiplied `over` operator — turns the
+    per-slab lax.scan (128 sequential tiny steps, ~25 ms) into a handful of
+    large ops (~3 ms). Used for the unshaded/shadowed paths; gradient
+    shading keeps the sequential scan (per-slab view-dir tensors would be
+    too large batched)."""
+    d_slab, ay_n, ax_n = vol.shape
+    hi = ys.shape[0]
+    wi = xs.shape[0]
+
+    ks = jnp.arange(d_slab, dtype=jnp.float32)
+    z_k = ks + 0.5
+    sigma = (z_ref - e[2]) / (z_k - e[2])  # [D]
+    inv_s = 1.0 / sigma
+    off_x = e[0] + (xs[0] - e[0]) * inv_s
+    scale_x = (xs[1] - xs[0]) * inv_s
+    off_y = e[1] + (ys[0] - e[1]) * inv_s
+    scale_y = (ys[1] - ys[0]) * inv_s
+
+    mx = jax.vmap(lambda sc, of: _interp_matrix(wi, ax_n, sc, of))(
+        scale_x * 0 + scale_x, off_x)  # [D, wi, ax]
+    my = jax.vmap(lambda sc, of: _interp_matrix(hi, ay_n, sc, of))(
+        scale_y * 0 + scale_y, off_y)  # [D, hi, ay]
+
+    def resample(field3d):
+        tmp = jnp.einsum("dha,dax->dhx", my, field3d,
+                         preferred_element_type=jnp.float32)
+        return jnp.einsum("dhx,dwx->dhw", tmp, mx,
+                          preferred_element_type=jnp.float32)
+
+    vals = resample(vol)  # [D, hi, wi]
+    cov = (my.sum(2) > 0)[:, :, None] & (mx.sum(2) > 0)[:, None, :]
+    rgb, alpha = classify_controls(tf, vals)
+    if shadow_perm is not None:
+        sh = jnp.clip(resample(shadow_perm), 0.0, 1.0)
+        rgb = rgb * (shadow_ambient
+                     + (1.0 - shadow_ambient) * sh)[..., None]
+    alpha = 1.0 - jnp.power(jnp.maximum(1.0 - alpha, 0.0),
+                            corr_exp[None, :, :])
+    alpha = jnp.where(cov & slab_occupancy[:, None, None], alpha, 0.0)
+
+    # premultiplied rgba per slab; `over` is associative.
+    # channel axis goes SECOND ([D, 4, hi, wi]) so the minor dims stay
+    # (hi, wi) — channels-last would lane-pad 4 → 128 (32× memory).
+    prem = jnp.concatenate(
+        [jnp.moveaxis(rgb, -1, 1) * alpha[:, None], alpha[:, None, :, :]],
+        axis=1,
+    )  # [D, 4, hi, wi]
+
+    def over(a, b):
+        ta = 1.0 - a[:, 3:4]
+        return a + ta * b
+
+    out = jax.lax.associative_scan(over, prem, axis=0)[-1]  # [4, hi, wi]
+    return jnp.moveaxis(out[:3], 0, -1), out[3]
+
+
 @partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def slab_render(
     volume: jnp.ndarray,  # [dz, dy, dx] decoded/GT grid
@@ -206,6 +271,17 @@ def slab_render(
 
     if slab_occupancy is None:
         slab_occupancy = jnp.ones((d_slab,), bool)
+
+    if settings.batched_compositor and not use_shading:
+        shadow_perm = (_permute_volume(shadow_volume, axis, flipped)[0]
+                       if use_shadow else None)
+        color, alpha_img = _composite_batched(
+            vol, tf, e, z_ref, xs, ys, corr_exp, slab_occupancy,
+            shadow_perm, settings.shadow_ambient,
+        )
+        return _final_warp(color, alpha_img, cam_arrays, width, height,
+                           perm, flipped, e, z_ref, x_lo, x_hi, y_lo, y_hi,
+                           wi, hi)
 
     def body(carry, k):
         color, trans = carry  # [hi, wi, 3], [hi, wi]
@@ -280,8 +356,13 @@ def slab_render(
     init = (jnp.zeros((hi, wi, 3), jnp.float32), jnp.ones((hi, wi), jnp.float32))
     (color, trans), _ = jax.lax.scan(body, init, jnp.arange(d_slab))
     alpha_img = 1.0 - trans
+    return _final_warp(color, alpha_img, cam_arrays, width, height, perm,
+                       flipped, e, z_ref, x_lo, x_hi, y_lo, y_hi, wi, hi)
 
-    # ---- final warp: reference plane → screen (the frame's only gather) ----
+
+def _final_warp(color, alpha_img, cam_arrays, width, height, perm, flipped,
+                e, z_ref, x_lo, x_hi, y_lo, y_hi, wi, hi):
+    """Reference plane → screen (the frame's only gather)."""
     eye = cam_arrays[0]
     direction = normalize(cam_arrays[1] - eye)
     up = cam_arrays[2]

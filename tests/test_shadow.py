@@ -58,6 +58,6 @@ class TestShadowVolume:
         r.render()
         shadowed = r.mapframe()
         assert np.isfinite(shadowed).all()
-        np.testing.assert_allclose(shadowed[..., 3], base[..., 3], atol=1e-5)
+        np.testing.assert_allclose(shadowed[..., 3], base[..., 3], atol=1e-3)
         hit = base[..., 3] > 0.2
         assert shadowed[..., :3][hit].mean() < base[..., :3][hit].mean()

