@@ -87,5 +87,10 @@ def network_apply(params: Params, coords: jnp.ndarray,
     compute_dtype = jnp.dtype(field.cfg.compute_dtype)
     feats = hash_encode(params["table"], coords, field.spec,
                         compute_dtype=compute_dtype)
+    b = feats.shape[0]
+    if field.cfg.mlp_impl == "pallas" and b % 1024 == 0:
+        from instantvnr_tpu.ops.pallas.fused_mlp import fused_mlp_apply
+
+        return fused_mlp_apply(params["mlp"], feats, field.cfg.network)
     return mlp_apply(params["mlp"], feats, field.cfg.network,
                      compute_dtype=compute_dtype)
