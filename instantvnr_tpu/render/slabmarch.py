@@ -348,13 +348,17 @@ def slab_render(
             trans = trans * (1.0 - alpha)
             return color, trans
 
-        color, trans = jax.lax.cond(
-            slab_occupancy[k], do_slab, lambda c, t: (c, t), color, trans,
-        )
+        if True:  # occupancy folds into the alpha mask; cond would
+            # serialize the scan body on TPU for negligible savings
+            color2, trans2 = do_slab(color, trans)
+            keep = slab_occupancy[k]
+            color = jnp.where(keep, color2, color)
+            trans = jnp.where(keep, trans2, trans)
         return (color, trans), None
 
     init = (jnp.zeros((hi, wi, 3), jnp.float32), jnp.ones((hi, wi), jnp.float32))
-    (color, trans), _ = jax.lax.scan(body, init, jnp.arange(d_slab))
+    (color, trans), _ = jax.lax.scan(body, init, jnp.arange(d_slab),
+                                     unroll=4)
     alpha_img = 1.0 - trans
     return _final_warp(color, alpha_img, cam_arrays, width, height, perm,
                        flipped, e, z_ref, x_lo, x_hi, y_lo, y_hi, wi, hi)
