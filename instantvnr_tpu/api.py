@@ -173,10 +173,27 @@ class NeuralVolume:
         network (lazily created; reuse across frames)."""
         from instantvnr_tpu.render.decoded import DecodedRenderer
 
+        if self._decoder is not None and (
+            self._decoder.width != width or self._decoder.height != height
+        ):
+            # size change: rebuild, but keep the decoded grid (decode state)
+            old = self._decoder
+            self._decoder = None
+            decoded, next_blob = old.decoded, old._next_blob
+        else:
+            decoded = next_blob = None
         if self._decoder is None:
             mc = self.simple.macrocell if self.simple is not None else self.macrocell
             tf = tf or (self.simple.tf if self.simple else
                         bake_transfer_function(TransferFunctionConfig()))
+            if decoded is not None:
+                self._decoder = DecodedRenderer(
+                    width, height, mc, tf, self.dims, settings=settings,
+                    field=self.field, params=self.state.params,
+                    initial_volume=decoded,
+                )
+                self._decoder._next_blob = next_blob
+                return self._decoder
             self._decoder = DecodedRenderer(
                 width, height, mc, tf, self.dims, settings=settings,
                 field=self.field, params=self.state.params,
