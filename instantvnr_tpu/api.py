@@ -217,6 +217,22 @@ class NeuralVolume:
 
         return decode_volume(self.field, self.state.params, self.dims)
 
+    def save_inference_volume(self, path: str):
+        """Decode the network over the full grid and dump raw float32
+        (vnrNeuralVolumeSerializeVolume → save_inference_volume,
+        network.cu:328-408 / api.cpp:234-244)."""
+        from instantvnr_tpu.data.volume import save_raw
+
+        save_raw(self.decode_volume(), path)
+
+    def save_reference_volume(self, path: str):
+        """Dump the normalized ground-truth volume raw float32
+        (save_reference_volume)."""
+        from instantvnr_tpu.data.volume import save_raw
+
+        assert self.simple is not None
+        save_raw(self.simple.volume.data, path)
+
     # -- metrics (the de-facto integration tests, SURVEY.md §4) -------------
 
     def get_psnr(self) -> float:

@@ -77,3 +77,57 @@ class TestNeuralVolumeApi:
     def test_memory_query(self):
         stats = memory_query()
         assert len(stats) >= 1
+
+
+class TestVolumeDumps:
+    def test_save_inference_and_reference(self, trained, tmp_path):
+        import numpy as np
+
+        simple, nv = trained
+        pi = tmp_path / "inf.raw"
+        pr = tmp_path / "ref.raw"
+        nv.save_inference_volume(str(pi))
+        nv.save_reference_volume(str(pr))
+        inf = np.fromfile(pi, np.float32).reshape(32, 32, 32)
+        ref = np.fromfile(pr, np.float32).reshape(32, 32, 32)
+        # decode-and-diff (SURVEY §4.2): trained net approximates GT
+        assert np.abs(inf - ref).mean() < 0.05
+
+
+class TestParamGradients:
+    def test_rendered_image_grads_flow_to_network(self, trained):
+        """North-star check: pixel gradients w.r.t. hash table and MLP
+        params exist and are finite through the differentiable renderer."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from instantvnr_tpu.render.camera import Camera
+        from instantvnr_tpu.render.raymarch import RaymarchSettings, raymarch
+        from instantvnr_tpu.render import camera_rays, make_neural_sample_fn
+        from instantvnr_tpu.utils.math import ray_box_intersect
+        from functools import partial
+
+        simple, nv = trained
+        sample_fn = make_neural_sample_fn(nv.field)
+        cam = Camera.default_for_dims(simple.dims)
+        org_w, dirn = camera_rays(cam, 8, 8)
+        dims = jnp.array(simple.dims, jnp.float32)
+        org = org_w + 0.5 * dims
+        t0, t1, hit = ray_box_intersect(org, dirn, jnp.zeros(3), dims)
+        t0 = jnp.where(hit, jnp.maximum(t0, 0.0), 1.0)
+        t1 = jnp.where(hit, t1, 0.0)
+        jit = jnp.full((64,), 0.5)
+        settings = RaymarchSettings(n_iters=4, max_supersteps=16,
+                                    fixed_steps=True)
+
+        def loss(params):
+            rgba = raymarch(partial(sample_fn, params), org, dirn, t0, t1,
+                            simple.macrocell, simple.tf, jit, settings)
+            return jnp.sum(rgba**2)
+
+        g = jax.grad(loss)(nv.state.params)
+        gt = np.asarray(jnp.abs(g["table"]).sum())
+        gm = sum(float(jnp.abs(w).sum()) for w in g["mlp"])
+        assert np.isfinite(gt) and gt > 0
+        assert np.isfinite(gm) and gm > 0
