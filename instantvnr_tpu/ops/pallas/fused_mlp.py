@@ -41,7 +41,7 @@ def _kernel(x_ref, *refs, n_layers: int, act: str):
     o_ref[...] = h.astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def fused_mlp_apply(params: list, x: jnp.ndarray, cfg: NetworkConfig,
                     tile: int = 1024, interpret: bool = False) -> jnp.ndarray:
     """Apply the MLP as one Pallas kernel. x [B, n_in] → [B, n_out_padded→
@@ -50,6 +50,10 @@ def fused_mlp_apply(params: list, x: jnp.ndarray, cfg: NetworkConfig,
     The output layer is computed at lane width 128 (n_out zero-padded like
     tcnn pads to 16) and sliced back — sub-128 lane writes waste the store
     either way, and padding keeps the layout tiled.
+
+    Differentiable: the forward runs the Pallas kernel; the backward is the
+    plain XLA matmul chain (custom_vjp below), so training with
+    mlp_impl="pallas" works — only inference takes the fused path's win.
     """
     b, n_in = x.shape
     n_out = params[-1].shape[1]
@@ -85,3 +89,18 @@ def fused_mlp_apply(params: list, x: jnp.ndarray, cfg: NetworkConfig,
         interpret=interpret,
     )(x, *w_pad)
     return out[:, :n_out]
+
+
+def _fwd(params, x, cfg, tile, interpret):
+    return fused_mlp_apply(params, x, cfg, tile, interpret), (params, x)
+
+
+def _bwd(cfg, tile, interpret, res, g):
+    from instantvnr_tpu.ops.mlp import mlp_apply
+
+    params, x = res
+    _, vjp = jax.vjp(lambda p, xx: mlp_apply(p, xx, cfg), params, x)
+    return vjp(g)
+
+
+fused_mlp_apply.defvjp(_fwd, _bwd)

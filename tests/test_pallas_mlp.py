@@ -30,3 +30,18 @@ class TestFusedMLP:
         got = fused_mlp_apply(params, x, cfg, tile=512, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=3e-2, rtol=3e-2)
+
+    def test_differentiable(self):
+        cfg = NetworkConfig(n_neurons=64, n_hidden_layers=2)
+        params = init_mlp_params(jax.random.PRNGKey(4), 64, cfg, 1)
+        x = jax.random.normal(jax.random.PRNGKey(5), (1024, 64))
+
+        def loss(p):
+            return jnp.sum(fused_mlp_apply(p, x, cfg, 512, True) ** 2)
+
+        g = jax.grad(loss)(params)
+        ref_g = jax.grad(
+            lambda p: jnp.sum(mlp_apply(p, x, cfg) ** 2))(params)
+        for a, b in zip(g, ref_g):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=0.5, rtol=0.1)
