@@ -26,8 +26,6 @@ TPU redesign of the three update paths:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -23,7 +23,7 @@ import subprocess
 
 import numpy as np
 
-from instantvnr_tpu.config import VALUE_TYPES, VolumeDesc
+from instantvnr_tpu.config import VolumeDesc
 
 _DTYPE_CODE = {
     "UNSIGNED_BYTE": 0, "BYTE": 1, "UNSIGNED_SHORT": 2, "SHORT": 3,

@@ -19,7 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from instantvnr_tpu.config import DEFAULT_TRAIN_BATCH, ModelConfig
+from instantvnr_tpu.config import DEFAULT_TRAIN_BATCH
 from instantvnr_tpu.models.network import NeuralField, network_apply
 from instantvnr_tpu.models.optimizer import (
     AdamState,
@@ -128,8 +128,6 @@ def train_out_of_core(field: NeuralField, sampler, state: TrainState,
     OutOfCoreSampler) produces batch k+1 while the device runs step k —
     jax's async dispatch gives the overlap for free (the analog of the
     reference's async H2D in the hot loop, SURVEY §3.1)."""
-    import numpy as np
-
     next_batch = sampler.sample(batch)
     for _ in range(n_steps):
         coords, targets = next_batch

@@ -29,11 +29,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from instantvnr_tpu.models.network import NeuralField, network_apply
-from instantvnr_tpu.models.optimizer import (
-    AdamState,
-    adam_update,
-    mlp_l2_mask,
-)
+from instantvnr_tpu.models.optimizer import adam_update, mlp_l2_mask
 from instantvnr_tpu.models.trainer import TrainState, make_loss_fn
 from instantvnr_tpu.ops.trilinear import sample_volume_tex
 

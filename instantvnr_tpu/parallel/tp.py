@@ -33,7 +33,7 @@ from jax import shard_map
 
 from instantvnr_tpu.models.network import NeuralField
 from instantvnr_tpu.models.optimizer import AdamState, adam_update
-from instantvnr_tpu.models.trainer import TrainState, make_loss_fn
+from instantvnr_tpu.models.trainer import TrainState
 from instantvnr_tpu.ops.hash_encoding import (
     hash_encode_traced,
     level_param_arrays,

@@ -136,8 +136,6 @@ class DecodedRenderer:
         return self._frame
 
     def _render_fallback(self, cam):
-        from functools import partial as _partial
-
         from instantvnr_tpu.render.raymarch import RaymarchSettings
         from instantvnr_tpu.render.renderer import (
             _render_frame,

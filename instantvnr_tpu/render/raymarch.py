@@ -35,7 +35,6 @@ network parameters (for rendered-image gradient parity tests).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
