@@ -80,14 +80,14 @@ def main():
           f"device {jax.devices()[0]}")
     for _ in range(args.warmup):
         r.render()
-    _ = np.asarray(r._impl._frame).ravel()[0]  # full sync
+    _ = float(r._impl._frame.ravel()[0])  # device fence (scalar xfer)
 
     logger = CsvLogger(args.fps_log, ["frame", "fps"])
     t_total = 0.0
     for i in range(args.num_frames):
         t0 = time.time()
         r.render()
-        _ = np.asarray(r._impl._frame).ravel()[0]
+        _ = float(r._impl._frame.ravel()[0])
         dt = time.time() - t0
         t_total += dt
         logger.log(i, 1.0 / dt)

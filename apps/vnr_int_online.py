@@ -75,7 +75,7 @@ def main():
         t0 = time.time()
         dec.set_params(nv.state.params)
         dec.render()
-        _ = np.asarray(dec._frame).ravel()[0]
+        _ = float(dec._frame.ravel()[0])
         t_render = time.time() - t0
 
         fps = 1.0 / max(t_train + t_render, 1e-9)

@@ -92,7 +92,7 @@ def main():
                         center=(0, 0, 0), up=(0, 1, 0), fovy=45))
     t0 = time.time()
     r.decode_all()
-    _ = np.asarray(r.decoded).ravel()[0]
+    _ = float(r.decoded.ravel()[0])
     log(f"full decode {dims}: {time.time()-t0:.2f}s "
         f"({r.n_blobs} blobs; progressive per-frame decoding available)")
 
@@ -100,11 +100,11 @@ def main():
     frames = 20
     for _ in range(warmup):
         r.render()
-    _ = np.asarray(r._frame).ravel()[0]
+    _ = float(r._frame.ravel()[0])
     t0 = time.time()
     for _ in range(frames):
         r.render()
-    _ = np.asarray(r._frame).ravel()[0]
+    _ = float(r._frame.ravel()[0])
     dt = time.time() - t0
     fps = frames / dt
     rays_per_s = fps * size * size

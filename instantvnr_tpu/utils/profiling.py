@@ -22,9 +22,13 @@ import numpy as np
 
 
 def sync(*arrays):
-    """Reliable device fence: host-readback one scalar per array."""
+    """Reliable device fence: host-readback ONE SCALAR per array.
+
+    The slice executes on device, so only 4 bytes cross the (slow) tunnel —
+    np.asarray on the full array would ship the whole buffer."""
     for a in arrays:
-        np.asarray(jax.tree.leaves(a)[0]).ravel()[:1]
+        leaf = jax.tree.leaves(a)[0]
+        np.asarray(leaf.ravel()[0] if hasattr(leaf, "ravel") else leaf)
 
 
 class StackTimer:
