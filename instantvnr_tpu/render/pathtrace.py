@@ -302,5 +302,12 @@ class PathTraceRenderer:
         )
         return self._frame
 
-    def mapframe(self) -> np.ndarray:
-        return np.asarray(self._frame).reshape(self.height, self.width, 4)
+    def mapframe(self, denoise: bool = False) -> np.ndarray:
+        """Frame readback; denoise=True applies the à-trous filter (the
+        reference's optional denoiser hook, renderer.cpp:117-121)."""
+        frame = self._frame.reshape(self.height, self.width, 4)
+        if denoise:
+            from instantvnr_tpu.render.denoise import atrous_denoise
+
+            frame = atrous_denoise(frame)
+        return np.asarray(frame)

@@ -73,3 +73,34 @@ class TestPathTracer:
         img = r.mapframe()
         assert img[..., 3][4:8, 4:8].mean() > 0.9  # all center rays scatter
         assert img[..., :3].max() > 0.01
+
+
+class TestDenoiser:
+    def test_reduces_noise_preserves_alpha(self, scene):
+        """The à-trous filter lowers pixel-to-pixel variance of the MC
+        estimate inside the volume while leaving alpha untouched."""
+        vol, tf, mc = scene
+        r = PathTraceRenderer(32, 32, mc, tf, vol.data, seed=7)
+        for _ in range(6):
+            r.render()
+        raw = r.mapframe()
+        den = r.mapframe(denoise=True)
+        # alpha filtered edge-aware: interior stays saturated
+        hit = raw[..., 3] > 0.5
+        assert hit.sum() > 20
+        # local variance proxy: variance of horizontal differences
+        def rough(img):
+            d = np.diff(img[..., :3], axis=1)
+            return float((d[hit[:, 1:]] ** 2).mean())
+        assert rough(den) < 0.6 * rough(raw), (rough(den), rough(raw))
+
+    def test_smooth_region_unchanged_mean(self, scene):
+        vol, tf, mc = scene
+        r = PathTraceRenderer(24, 24, mc, tf, vol.data, seed=9)
+        for _ in range(8):
+            r.render()
+        raw = r.mapframe()
+        den = r.mapframe(denoise=True)
+        hit = raw[..., 3] > 0.5
+        # energy approximately preserved (edge-aware blur, not darkening)
+        assert abs(den[hit][:, :3].mean() - raw[hit][:, :3].mean()) < 0.02
