@@ -47,6 +47,15 @@ def main():
 
     simple = load_simple_volume(args)
     cfg = load_model_config(args)
+    if not args.model:
+        # interactive default: cap the hash table at 2^14 — XLA scatter-add
+        # scales badly with table size on v5e (NOTES_ROUND1.md) and online
+        # training lives in the render loop; pass --model for the exact
+        # reference schema
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, encoding=dataclasses.replace(
+            cfg.encoding, log2_hashmap_size=14))
     nv = NeuralVolume(cfg, simple=simple, seed=args.seed,
                       train_batch=args.batch)
     dec = nv.get_decoder(args.size, args.size)

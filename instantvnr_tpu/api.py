@@ -246,6 +246,23 @@ class NeuralVolume:
         return float(test_loss(self.field, self.simple.volume.data,
                                self.state, self.train_batch))
 
+    def get_macrocell_psnr(self) -> float:
+        """PSNR of the ONLINE-built macrocell value ranges vs the ground
+        truth macrocell (reference macrocell min/max PSNR,
+        network.cu:628-698) — a convergence oracle for the online update."""
+        assert self.simple is not None
+        gt = self.simple.macrocell
+        got = self.macrocell
+        touched = np.asarray(got.value_hi >= got.value_lo)
+        if not touched.any():
+            return 0.0
+        err = np.concatenate([
+            (np.asarray(got.value_lo) - np.asarray(gt.value_lo))[touched],
+            (np.asarray(got.value_hi) - np.asarray(gt.value_hi))[touched],
+        ])
+        mse = float((err**2).mean())
+        return float(10.0 * np.log10(1.0 / max(mse, 1e-20)))
+
     # -- serialization ------------------------------------------------------
 
     def save_params(self, path: str):

@@ -96,6 +96,18 @@ class DecodedRenderer:
     def set_camera(self, cam: Camera):
         self.camera = cam
 
+    def set_transfer_function(self, tf: TransferFunction):
+        """Interactive TF edit (the reference GUI's per-change pipeline:
+        re-derive macrocell max opacity + refresh shadows; the decoded grid
+        itself is TF-independent so no re-decode is needed)."""
+        from instantvnr_tpu.accel import macrocell as mcmod
+
+        self.tf = tf
+        self.mc = mcmod.update_max_opacity(self.mc, tf)
+        if self._shadow_light is not None:
+            self.enable_shadows(*self._shadow_light[:1],
+                                sampling_rate=self._shadow_light[1])
+
     def enable_shadows(self, light_dir=None, sampling_rate: float = 1.0):
         """Compute the shadow volume from the current decoded grid
         (reference generate_shadow_map / MethodShadowMap, 2-pass). Sticky:

@@ -423,6 +423,7 @@ def _bilinear2d(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray):
     return jnp.where(inside[..., None], out, 0.0)
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3))
 def slab_occupancy_from_macrocell(mc, axis: int, flipped: bool,
                                   d_slab: int) -> jnp.ndarray:
     """Per-slab occupancy [D]: does any macrocell in the slab's cell layer

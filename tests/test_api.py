@@ -131,3 +131,12 @@ class TestParamGradients:
         gm = sum(float(jnp.abs(w).sum()) for w in g["mlp"])
         assert np.isfinite(gt) and gt > 0
         assert np.isfinite(gm) and gm > 0
+
+
+class TestMacrocellPsnr:
+    def test_online_macrocell_converges_to_gt(self, trained):
+        simple, nv = trained
+        p = nv.get_macrocell_psnr()
+        # after 120 steps of online updates the sampled ranges approximate
+        # the offline sweep (ranges differ by the sampling density only)
+        assert p > 10, p
