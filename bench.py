@@ -26,7 +26,9 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def main(state=None):
+    if state is None:
+        state = {}
     import dataclasses
 
     from instantvnr_tpu.accel import macrocell as mcmod
@@ -69,7 +71,8 @@ def main():
         state = train_steps(field, vol.data, state, 10, batch)
     _ = float(state.loss)
     dt = time.time() - t0
-    log(f"train throughput: {100 * batch / dt / 1e6:.1f} Msamples/s")
+    state["train_msps"] = 100 * batch / dt / 1e6
+    log(f"train throughput: {state['train_msps']:.1f} Msamples/s")
 
     log("computing PSNR...")
     p = float(psnr_vs(field, state.params, vol.data))
@@ -107,6 +110,9 @@ def main():
     _ = float(r._frame.ravel()[0])
     dt = time.time() - t0
     fps = frames / dt
+    state["fps"] = fps
+    state["metric"] = (f"neural decode+slab-render fps @ {size}x{size} "
+                       f"(vorts 128^3)")
     rays_per_s = fps * size * size
     log(f"render {size}x{size}: {fps:.2f} fps, {rays_per_s/1e6:.1f} Mrays/s")
 
@@ -119,5 +125,34 @@ def main():
     }))
 
 
+def main_safe():
+    """Best-effort wrapper: if a later stage dies (the tunneled TPU can
+    drop mid-run), still emit ONE JSON line with the last good metric."""
+    import traceback
+
+    state = {}
+
+    try:
+        main(state)
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+        if "fps" in state:
+            print(json.dumps({
+                "metric": state.get("metric", "neural decode+slab-render fps"),
+                "value": round(state["fps"], 3),
+                "unit": "fps",
+                "vs_baseline": round(state["fps"] / 10.0, 3),
+            }))
+        elif "train_msps" in state:
+            print(json.dumps({
+                "metric": "training samples/s (render stage failed)",
+                "value": round(state["train_msps"] * 1e6, 0),
+                "unit": "samples/s",
+                "vs_baseline": 0.0,
+            }))
+        else:
+            raise
+
+
 if __name__ == "__main__":
-    main()
+    main_safe()
