@@ -34,14 +34,14 @@ network parameters (for rendered-image gradient parity tests).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from instantvnr_tpu.accel.macrocell import MACROCELL_SIZE, MacroCell
-from instantvnr_tpu.config import NEARLY_ONE
+from instantvnr_tpu.config import NEARLY_ONE, env_int
 from instantvnr_tpu.utils.tfn import TransferFunction, classify
 
 _EPS = 1e-6
@@ -53,7 +53,11 @@ _PROBE_EPS = 1e-3
 class RaymarchSettings:
     sampling_rate: float = 1.0  # samples per voxel (api vnrRendererSetVolumeSamplingRate)
     density_scale: float = 1.0
-    n_iters: int = 16  # sample slots per ray per superstep (VNR_RM_N_ITERS)
+    # sample slots per ray per superstep; the VNR_RM_N_ITERS env override
+    # matches the reference knob (method_raymarching.cu:30-40), read at
+    # instantiation time
+    n_iters: int = field(
+        default_factory=lambda: env_int("VNR_RM_N_ITERS", 16))
     max_skips: int = 8  # empty-cell DDA skips per slot (VPU-only work)
     max_supersteps: int = 192
     shading: str = "none"  # "none" | "gradient" | "ssh"
