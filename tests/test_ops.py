@@ -171,3 +171,47 @@ class TestMLP:
         x = jax.random.normal(jax.random.PRNGKey(1), (4, 8))
         g = jax.grad(lambda p: mlp_apply(p, x, cfg).sum())(params)
         assert all(float(jnp.abs(gi).sum()) > 0 for gi in g)
+
+
+class TestEncodingNumpyOracle:
+    def test_matches_independent_numpy_implementation(self):
+        """Full encoding vs a from-scratch NumPy reimplementation of the
+        tcnn semantics (scale/fract/dense-vs-hash/trilinear blend) — an
+        independent oracle, not a refactor of the JAX code."""
+        spec = HashGridSpec.from_config(EncodingConfig(
+            n_levels=5, n_features_per_level=2, log2_hashmap_size=10,
+            base_resolution=3, per_level_scale=1.7))
+        table = np.asarray(init_hash_table(jax.random.PRNGKey(5), spec))
+        pts = np.random.default_rng(6).random((40, 3)).astype(np.float32)
+
+        out = np.asarray(hash_encode(jnp.asarray(table), jnp.asarray(pts),
+                                     spec, compute_dtype=jnp.float32))
+
+        import math
+        expect = np.zeros((40, spec.n_levels * spec.n_features), np.float32)
+        for lvl in range(spec.n_levels):
+            scale = 2.0 ** (lvl * math.log2(spec.per_level_scale)) \
+                * spec.base_resolution - 1.0
+            res = int(math.ceil(scale)) + 1
+            size = spec.level_sizes[lvl]
+            off = spec.level_offsets[lvl]
+            dense = res ** 3 <= size
+            for i, p in enumerate(pts):
+                x = p * scale + 0.5
+                cell = np.floor(x).astype(np.int64)
+                frac = x - cell
+                acc = np.zeros(spec.n_features, np.float32)
+                for c in range(8):
+                    ofs = np.array([(c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1])
+                    corner = cell + ofs
+                    if dense:
+                        idx = corner[0] + corner[1] * res + corner[2] * res * res
+                    else:
+                        idx = (np.uint32(corner[0]) * np.uint32(1)
+                               ^ np.uint32(corner[1]) * np.uint32(2654435761)
+                               ^ np.uint32(corner[2]) * np.uint32(805459861))
+                    idx = int(np.uint32(idx) % np.uint32(size)) + off
+                    w = np.prod(np.where(ofs == 0, 1.0 - frac, frac))
+                    acc += np.float32(w) * table[idx]
+                expect[i, lvl * spec.n_features:(lvl + 1) * spec.n_features] = acc
+        np.testing.assert_allclose(out, expect, atol=1e-5)

@@ -225,3 +225,28 @@ class TestExpertParallel:
         assert tables.shape[0] == 8
         # different slabs → different learned tables
         assert not np.allclose(tables[0], tables[4], atol=1e-4)
+
+
+class TestTpMerge:
+    def test_tp_trained_params_merge_to_working_model(self):
+        """Params trained under TP, merged back to single-device form,
+        reproduce the TP forward — checkpoint interop for sharded training."""
+        from instantvnr_tpu.models.network import network_apply
+
+        vol = synthetic_volume((16, 16, 16), kind="sphere")
+        field = small_field(n_levels=4)
+        mesh = make_mesh(tp=2)
+        state = tpmod.create_tp_train_state(jax.random.PRNGKey(5), field, mesh)
+        step = tpmod.make_tp_train_step(field, mesh, batch=1024, n_steps=20)
+        state = step(state, vol.data)
+
+        merged = tpmod.merge_params_tp(field, jax.device_get(state.params), 2)
+        coords = jax.random.uniform(jax.random.PRNGKey(6), (128, 3))
+        y = network_apply(merged, coords, field)
+        assert np.isfinite(np.asarray(y)).all()
+        # merged model fits the volume about as well as the TP loss says
+        from instantvnr_tpu.ops.trilinear import sample_volume_tex
+
+        t = sample_volume_tex(vol.data, coords)[:, None]
+        l1 = float(jnp.mean(jnp.abs(y - t)))
+        assert l1 < max(2.5 * float(state.loss), 0.05), (l1, float(state.loss))
