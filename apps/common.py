@@ -7,6 +7,15 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# INSTANTVNR_CPU=1 forces the CPU backend. This must happen through
+# jax.config BEFORE the first backend use — on hosts where sitecustomize
+# registers a TPU plugin at interpreter start, setting JAX_PLATFORMS in the
+# environment is not honored (see CLAUDE.md).
+if os.environ.get("INSTANTVNR_CPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def add_volume_args(p: argparse.ArgumentParser):
     g = p.add_argument_group("volume")

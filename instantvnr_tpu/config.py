@@ -124,7 +124,9 @@ class ModelConfig:
     # TPU-native knobs (no reference counterpart)
     param_dtype: str = "float32"  # master params; compute casts to bf16
     compute_dtype: str = "bfloat16"
-    mlp_impl: str = "xla"  # "xla" | "pallas" (ops/pallas/fused_mlp.py)
+    # "auto" → Pallas fused kernel on TPU, XLA path elsewhere;
+    # "xla" | "pallas" force one (ops/pallas/fused_mlp.py)
+    mlp_impl: str = "auto"
 
     def to_json(self) -> dict:
         """Serialize back to the tcnn-compatible schema (for checkpoints)."""

@@ -87,10 +87,19 @@ def network_apply(params: Params, coords: jnp.ndarray,
     compute_dtype = jnp.dtype(field.cfg.compute_dtype)
     feats = hash_encode(params["table"], coords, field.spec,
                         compute_dtype=compute_dtype)
-    b = feats.shape[0]
-    if field.cfg.mlp_impl == "pallas" and b % 1024 == 0:
+    if _use_pallas_mlp(field.cfg.mlp_impl):
         from instantvnr_tpu.ops.pallas.fused_mlp import fused_mlp_apply
 
         return fused_mlp_apply(params["mlp"], feats, field.cfg.network)
     return mlp_apply(params["mlp"], feats, field.cfg.network,
                      compute_dtype=compute_dtype)
+
+
+def _use_pallas_mlp(impl: str) -> bool:
+    """mlp_impl resolution: "pallas" forces the kernel, "xla" forces the
+    reference path, "auto" (the default) uses the kernel on TPU backends
+    and XLA elsewhere (Mosaic kernels don't lower on CPU; interpret mode
+    is test-only)."""
+    if impl == "auto":
+        return jax.default_backend() == "tpu"
+    return impl == "pallas"

@@ -1,17 +1,28 @@
 """Pallas fused MLP — the whole decoder as ONE kernel.
 
 The tcnn "fully fused MLP" insight transposed to TPU (SURVEY.md §7 hard
-parts): the 64-wide weight matrices are tiny (~40 KB total in bf16), so the
-entire n_hidden+1 matmul chain runs with ALL weights resident in VMEM while
-the batch streams through in tiles — activations never touch HBM between
+parts; reference `core/networks/tcnn_network.h:223-271` is the parity bar):
+the 64-wide weight matrices are tiny (~40 KB total in bf16), so the entire
+n_hidden+1 matmul chain runs with ALL weights resident in VMEM while the
+batch streams through in tiles — activations never touch HBM between
 layers. Per grid step: load one [TB, 64] feature tile, run the unrolled
-matmul+ReLU chain on the MXU with fp32 accumulation, store [TB, n_out].
+matmul+activation chain on the MXU with fp32 accumulation, store the
+[TB, n_out] result (and, under differentiation, the per-layer
+pre-activations for a recompute-free backward).
 
 This is the hash-free half of the reference's fused pipeline (the encode
 half is gather-bound and not expressible on v5e — NOTES_ROUND1.md); it
 slots in behind the same interface as ops.mlp.mlp_apply and is verified
-allclose against it. The encode→MLP seam still fuses at the XLA level
-(the gather output feeds the kernel without a round trip to host).
+allclose against it (tests/test_pallas_mlp.py).
+
+Training path: `custom_vjp` whose forward runs the kernel once with
+residual outputs (the pre-activations z_k per layer), and whose backward
+is a pure matmul chain over those residuals — NO forward recompute
+(tcnn's Trainer reuses forward activations the same way).
+
+Arbitrary batch sizes: inputs are zero-padded up to the tile multiple and
+the output sliced back, so callers never fall back off the kernel for
+alignment reasons.
 """
 from __future__ import annotations
 
@@ -24,50 +35,78 @@ from jax.experimental.pallas import tpu as pltpu
 
 from instantvnr_tpu.config import NetworkConfig
 
+_LANES = 128  # output lane padding (tcnn pads n_out to 16; TPU wants 128)
 
-def _kernel(x_ref, *refs, n_layers: int, act: str):
-    w_refs = refs[:-1]
-    o_ref = refs[-1]
+
+def _apply_act(h, act: str):
+    if act == "relu":
+        return jnp.maximum(h, 0.0)
+    if act == "sine":
+        return jnp.sin(h)
+    if act == "squareplus":
+        return 0.5 * (h + jnp.sqrt(h * h + 4.0))
+    if act in ("none", "linear", "identity"):
+        return h
+    raise ValueError(f"unsupported activation: {act}")
+
+
+def _act_grad(z, act: str):
+    """d act(z) / dz from the saved pre-activation z."""
+    if act == "relu":
+        return (z > 0).astype(z.dtype)
+    if act == "sine":
+        return jnp.cos(z)
+    if act == "squareplus":
+        return 0.5 * (1.0 + z * jax.lax.rsqrt(z * z + 4.0))
+    if act in ("none", "linear", "identity"):
+        return jnp.ones_like(z)
+    raise ValueError(f"unsupported activation: {act}")
+
+
+def _kernel(x_ref, *refs, n_layers: int, act: str, out_act: str,
+            save_residuals: bool):
+    if save_residuals:
+        w_refs = refs[:-2]
+        o_ref, z_ref = refs[-2], refs[-1]
+    else:
+        w_refs = refs[:-1]
+        o_ref = refs[-1]
     h = x_ref[...].astype(jnp.bfloat16)
     for i in range(n_layers):
         h = jnp.dot(h, w_refs[i][...].astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32)
         if i < n_layers - 1:
-            if act == "relu":
-                h = jnp.maximum(h, 0.0)
-            elif act == "sine":
-                h = jnp.sin(h)
-            h = h.astype(jnp.bfloat16)
+            if save_residuals:
+                z_ref[i, :, :] = h.astype(z_ref.dtype)
+            h = _apply_act(h, act).astype(jnp.bfloat16)
+    if not save_residuals:
+        # inference path applies the output activation in-kernel; the
+        # training forward keeps the pre-activation (the backward needs it)
+        h = _apply_act(h, out_act)
     o_ref[...] = h.astype(o_ref.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def fused_mlp_apply(params: list, x: jnp.ndarray, cfg: NetworkConfig,
-                    tile: int = 1024, interpret: bool = False) -> jnp.ndarray:
-    """Apply the MLP as one Pallas kernel. x [B, n_in] → [B, n_out_padded→
-    sliced to n_out] float32. B must be a multiple of `tile` (pad first).
+def _pallas_forward(params, x, cfg: NetworkConfig, tile: int,
+                    interpret: bool, save_residuals: bool):
+    """Run the fused kernel on an ALIGNED batch (b % tile == 0).
 
-    The output layer is computed at lane width 128 (n_out zero-padded like
-    tcnn pads to 16) and sliced back — sub-128 lane writes waste the store
-    either way, and padding keeps the layout tiled.
-
-    Differentiable: the forward runs the Pallas kernel; the backward is the
-    plain XLA matmul chain (custom_vjp below), so training with
-    mlp_impl="pallas" works — only inference takes the fused path's win.
+    Returns (z_out [B, n_out] pre-output-activation if save_residuals else
+    activated output, zs [n_layers-1, B, W] pre-activations or None).
     """
     b, n_in = x.shape
     n_out = params[-1].shape[1]
     assert b % tile == 0, (b, tile)
     act = cfg.activation.lower()
+    out_act = cfg.output_activation.lower()
     n_layers = len(params)
+    width = params[0].shape[1]
 
     # pad the output matrix to 128 lanes for tiled stores
     w_pad = list(params[:-1])
     w_last = params[-1]
-    pad_to = 128
-    if n_out < pad_to:
+    if n_out < _LANES:
         w_last = jnp.concatenate(
-            [w_last, jnp.zeros((w_last.shape[0], pad_to - n_out),
+            [w_last, jnp.zeros((w_last.shape[0], _LANES - n_out),
                                w_last.dtype)], axis=1)
     w_pad.append(w_last)
 
@@ -79,28 +118,105 @@ def fused_mlp_apply(params: list, x: jnp.ndarray, cfg: NetworkConfig,
         pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for w in w_pad
     ]
-    out = pl.pallas_call(
-        partial(_kernel, n_layers=n_layers, act=act),
-        out_shape=jax.ShapeDtypeStruct((b, pad_to), jnp.float32),
+    out_shape = [jax.ShapeDtypeStruct((b, max(n_out, _LANES)), jnp.float32)]
+    out_specs = [pl.BlockSpec((tile, max(n_out, _LANES)), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    if save_residuals:
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_layers - 1, b, width), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((n_layers - 1, tile, width), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM))
+    outs = pl.pallas_call(
+        partial(_kernel, n_layers=n_layers, act=act, out_act=out_act,
+                save_residuals=save_residuals),
+        out_shape=out_shape,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile, pad_to), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         interpret=interpret,
     )(x, *w_pad)
-    return out[:, :n_out]
+    y = outs[0][:, :n_out]
+    return (y, outs[1]) if save_residuals else (y, None)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fused_mlp(params, x, cfg: NetworkConfig, tile: int, interpret: bool):
+    y, _ = _pallas_forward(params, x, cfg, tile, interpret,
+                           save_residuals=False)
+    return y
 
 
 def _fwd(params, x, cfg, tile, interpret):
-    return fused_mlp_apply(params, x, cfg, tile, interpret), (params, x)
+    if len(params) == 1:
+        # single matmul: nothing to save; plain XLA backward is optimal
+        z_out, _ = _pallas_forward(params, x, cfg, tile, interpret, False)
+        # the no-residual kernel already applied out_act; recover z_out for
+        # the backward only when out_act is nontrivial
+        if cfg.output_activation.lower() not in ("none", "linear",
+                                                 "identity"):
+            z_out = jnp.dot(x.astype(jnp.bfloat16),
+                            params[0].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+        y = _apply_act(z_out, cfg.output_activation.lower())
+        return y, (params, x, None, z_out)
+    z_out, zs = _pallas_forward(params, x, cfg, tile, interpret, True)
+    y = _apply_act(z_out, cfg.output_activation.lower())
+    return y, (params, x, zs, z_out)
 
 
 def _bwd(cfg, tile, interpret, res, g):
-    from instantvnr_tpu.ops.mlp import mlp_apply
+    """Matmul-only backward from the saved pre-activations (no forward
+    recompute). Numerics mirror XLA's autodiff of the bf16 forward:
+    bf16 operands, fp32 accumulation."""
+    params, x, zs, z_out = res
+    act = cfg.activation.lower()
+    out_act = cfg.output_activation.lower()
+    n_layers = len(params)
 
-    params, x = res
-    _, vjp = jax.vjp(lambda p, xx: mlp_apply(p, xx, cfg), params, x)
-    return vjp(g)
+    bf = jnp.bfloat16
+    g_z = g.astype(jnp.float32)
+    if out_act not in ("none", "linear", "identity"):
+        g_z = g_z * _act_grad(z_out, out_act)
+
+    # hidden activations recovered elementwise from the pre-activations
+    hs = [x.astype(bf)]
+    for k in range(n_layers - 1):
+        hs.append(_apply_act(zs[k], act).astype(bf))
+
+    d_params = [None] * n_layers
+    for k in range(n_layers - 1, -1, -1):
+        gz_bf = g_z.astype(bf)
+        d_params[k] = jnp.dot(hs[k].T, gz_bf,
+                              preferred_element_type=jnp.float32
+                              ).astype(params[k].dtype)
+        g_h = jnp.dot(gz_bf, params[k].T.astype(bf),
+                      preferred_element_type=jnp.float32)
+        if k > 0:
+            g_z = g_h * _act_grad(zs[k - 1], act)
+    return d_params, g_h.astype(x.dtype)
 
 
-fused_mlp_apply.defvjp(_fwd, _bwd)
+_fused_mlp.defvjp(_fwd, _bwd)
+
+
+def fused_mlp_apply(params: list, x: jnp.ndarray, cfg: NetworkConfig,
+                    tile: int = 1024, interpret: bool = False) -> jnp.ndarray:
+    """Apply the MLP as one Pallas kernel. x [B, n_in] → [B, n_out] float32.
+
+    Any batch size: B is zero-padded to the next multiple of `tile` and the
+    result sliced back (the pad/slice differentiates transparently). The
+    backward reuses the forward's saved pre-activations (see _bwd).
+    """
+    b = x.shape[0]
+    tile = min(tile, _next_multiple(b, 8))
+    rem = b % tile
+    if rem:
+        x = jnp.concatenate(
+            [x, jnp.zeros((tile - rem, x.shape[1]), x.dtype)], axis=0)
+    y = _fused_mlp(params, x, cfg, tile, interpret)
+    return y[:b] if rem else y
+
+
+def _next_multiple(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

@@ -228,6 +228,7 @@ def raymarch(
     tf: TransferFunction,
     jitter: jnp.ndarray,  # [R] in [0,1)
     settings: RaymarchSettings,
+    light_dir: jnp.ndarray | None = None,  # [3], already view-flipped
 ) -> jnp.ndarray:
     """March rays through the volume; returns rgba [R,4].
 
@@ -235,11 +236,20 @@ def raymarch(
     Positions handed to it follow the reference's neural-mode convention
     (raw object coords; the GT path applies its own cell-centered remap
     inside sample_fn via ops.trilinear.sample_volume).
+
+    light_dir: the directional light for gradient/SSH shading. The caller
+    (render/renderer.py) flips it against the camera view per frame
+    (renderer.cpp:98-100); when None, settings.light_dir is used unflipped.
     """
+    from instantvnr_tpu.utils.math import normalize as _normalize
+
     r = org.shape[0]
     dims = jnp.array(mc.volume_dims, jnp.float32)
     base_step = 1.0 / settings.sampling_rate
     grad_step = settings.gradient_step_frac / dims  # object units
+    if light_dir is None:
+        light_dir = jnp.asarray(settings.light_dir, jnp.float32)
+    light_dir = _normalize(light_dir)
 
     state = _RayState(
         t=t_near,
@@ -292,7 +302,8 @@ def raymarch(
             )  # [R,K,3] object-space gradient
             normal = -grad
             rgb_tf, _ = classify(tf, values)
-            shaded = _shade_scivis(dirn[:, None, :], normal, rgb_tf)
+            shaded = _shade_scivis(dirn[:, None, :], normal, rgb_tf,
+                                   light_dir=light_dir)
             rgb_override = (
                 settings.shading_scale * shaded
                 + (1.0 - settings.shading_scale) * rgb_tf
@@ -336,9 +347,9 @@ def raymarch(
         # Deferred single-shade pass (method_raymarching.cu:469-484): march
         # a shadow ray from the highest-contribution sample toward the
         # light and blend the shaded color by its transmittance.
-        from instantvnr_tpu.utils.math import normalize, ray_box_intersect
+        from instantvnr_tpu.utils.math import ray_box_intersect
 
-        light = normalize(jnp.asarray(settings.light_dir, jnp.float32))
+        light = light_dir  # already view-flipped + normalized
         org2 = state.best_pos * dims  # object → voxel space
         dir2 = jnp.broadcast_to(light[None, :], org2.shape)
         _, t1b, hitb = ray_box_intersect(org2, dir2, jnp.zeros(3), dims)

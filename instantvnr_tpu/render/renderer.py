@@ -70,8 +70,14 @@ def _render_frame(
     t1 = jnp.where(hit, t1, 0.0)
 
     jitter = jax.random.uniform(key, (org.shape[0],), jnp.float32)
+    # flip the directional light against the view (renderer.cpp:98-100)
+    from instantvnr_tpu.utils.math import normalize
+
+    view = normalize(cam_arrays[1] - cam_arrays[0])
+    light = jnp.asarray(settings.light_dir, jnp.float32)
+    light = jnp.where(jnp.dot(view, light) > 0, -light, light)
     rgba = raymarch(partial(sample_fn, sample_ctx), org, dirn, t0, t1, mc, tf,
-                    jitter, settings)
+                    jitter, settings, light_dir=light)
 
     # progressive accumulation (writePixelColor, raytracing.h:196-207)
     accum = jnp.where(frame_index == 1, rgba, accum + rgba)

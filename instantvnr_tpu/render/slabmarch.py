@@ -333,8 +333,7 @@ def slab_render(
                 light = jnp.asarray(settings.light_dir, jnp.float32)
                 cam_fwd = cam_arrays[1] - cam_arrays[0]
                 light = jnp.where(jnp.dot(cam_fwd, light) > 0, -light, light)
-                shaded = _shade_scivis(view, normal, rgb,
-                                       light_dir=tuple(settings.light_dir))
+                shaded = _shade_scivis(view, normal, rgb, light_dir=light)
                 s_ = settings.shading_scale
                 rgb = s_ * shaded + (1.0 - s_) * rgb
             if use_shadow:

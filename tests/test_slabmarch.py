@@ -172,3 +172,60 @@ class TestBatchedCompositor:
         b.set_camera(cam)
         b.render()
         np.testing.assert_allclose(a.mapframe(), b.mapframe(), atol=2e-3)
+
+
+class TestGradientLightParity:
+    """The wavefront and slab gradient-shaded paths must honor the SAME
+    settings.light_dir (view-flipped per renderer.cpp:98-100). Regression
+    test for the round-1 bug where the wavefront path always shaded with
+    the hardcoded default light."""
+
+    L1 = (1.0, 0.0, 0.2)
+    L2 = (0.0, 1.0, 0.2)
+
+    @staticmethod
+    def _wavefront(scene, light, cam):
+        vol, tf, mc = scene
+        r = Renderer(24, 24, mc, tf, reference_sample_fn,
+                     sample_ctx=vol.data,
+                     settings=RaymarchSettings(n_iters=8, max_supersteps=64,
+                                               shading="gradient",
+                                               light_dir=light))
+        r.camera = cam
+        r.render()
+        return r.mapframe()
+
+    @staticmethod
+    def _slab(scene, light, cam):
+        vol, tf, mc = scene
+        d = DecodedRenderer(24, 24, mc, tf, vol.dims,
+                            initial_volume=vol.data,
+                            settings=SlabSettings(shading="gradient",
+                                                  light_dir=light))
+        d.set_camera(cam)
+        d.render()
+        return d.mapframe()
+
+    def test_wavefront_respects_light_dir(self, scene):
+        cam = Camera(eye=(0, 0, -70), center=(0, 0, 0), up=(0, 1, 0), fovy=40)
+        a = self._wavefront(scene, self.L1, cam)
+        b = self._wavefront(scene, self.L2, cam)
+        hit = a[..., 3] > 0.1
+        assert np.abs(a[..., :3][hit] - b[..., :3][hit]).mean() > 5e-3
+
+    def test_slab_and_wavefront_agree_per_light(self, scene):
+        cam = Camera(eye=(0, 0, -70), center=(0, 0, 0), up=(0, 1, 0), fovy=40)
+        for light in (self.L1, self.L2):
+            wf = self._wavefront(scene, light, cam)
+            sl = self._slab(scene, light, cam)
+            assert np.isfinite(wf).all() and np.isfinite(sl).all()
+            # same light → the two paths agree to resampling tolerance
+            assert np.abs(wf - sl).mean() < 0.035, light
+        # cross-light discrimination: each slab render is closer to the
+        # same-light wavefront render than to the other light's
+        wf1 = self._wavefront(scene, self.L1, cam)
+        wf2 = self._wavefront(scene, self.L2, cam)
+        sl1 = self._slab(scene, self.L1, cam)
+        sl2 = self._slab(scene, self.L2, cam)
+        assert np.abs(wf1 - sl1).mean() < np.abs(wf2 - sl1).mean()
+        assert np.abs(wf2 - sl2).mean() < np.abs(wf1 - sl2).mean()
