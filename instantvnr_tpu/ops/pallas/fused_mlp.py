@@ -122,8 +122,11 @@ def _pallas_forward(params, x, cfg: NetworkConfig, tile: int,
     out_specs = [pl.BlockSpec((tile, max(n_out, _LANES)), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)]
     if save_residuals:
+        # bf16 residuals: the backward casts to bf16 for its matmuls anyway,
+        # and fp32 residuals overflow the 16 MB scoped-VMEM limit at
+        # tile=4096 (measured on v5e)
         out_shape.append(
-            jax.ShapeDtypeStruct((n_layers - 1, b, width), jnp.float32))
+            jax.ShapeDtypeStruct((n_layers - 1, b, width), jnp.bfloat16))
         out_specs.append(
             pl.BlockSpec((n_layers - 1, tile, width), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM))
