@@ -20,7 +20,8 @@ def main():
     p.add_argument("--load", help="checkpoint (renders without GT if no scene)")
     p.add_argument("--mode", default="decoded",
                    choices=["decoded", "neural", "reference", "gradient", "ssh",
-                            "pathtrace", "pathtrace-reference"],
+                            "pathtrace", "pathtrace-neural",
+                            "pathtrace-reference"],
                    help="render mode (reference api.h:36-60 matrix)")
     p.add_argument("--size", type=int, default=768,
                    help="frame size (batch_renderer.cpp:199 default 768²)")
@@ -64,6 +65,7 @@ def main():
         if args.load else RenderMode.REFERENCE_SSH,
         "pathtrace": RenderMode.PATHTRACE_DECODED
         if args.load else RenderMode.PATHTRACE_REFERENCE,
+        "pathtrace-neural": RenderMode.PATHTRACE_NEURAL,
         "pathtrace-reference": RenderMode.PATHTRACE_REFERENCE,
     }[args.mode]
 

@@ -59,6 +59,9 @@ class RenderMode(enum.IntEnum):
     PATHTRACE_REFERENCE = 6
     NEURAL_WAVEFRONT_SSH = 7  # single-shade heuristic (deferred shadow ray)
     REFERENCE_SSH = 8
+    PATHTRACE_NEURAL = 9  # network inference inside the tracking loop
+    # (reference mode SAMPLE_STREAMING path tracing,
+    # method_pathtracing.cu:679-813)
 
 
 class SimpleVolume:
@@ -337,10 +340,12 @@ class VNRenderer:
             shading = {RenderMode.NEURAL_WAVEFRONT: "none",
                        RenderMode.NEURAL_WAVEFRONT_GRADIENT: "gradient",
                        RenderMode.NEURAL_WAVEFRONT_SSH: "ssh"}[mode]
+            from instantvnr_tpu.models.network import render_params
             impl = Renderer(
                 self.width, self.height, mc, tf,
                 make_neural_sample_fn(self.neural.field),
-                sample_ctx=self.neural.state.params,
+                sample_ctx=render_params(self.neural.state.params,
+                                         self.neural.field),
                 settings=RaymarchSettings(shading=shading),
             )
         elif mode in (RenderMode.REFERENCE_RAYMARCH,
@@ -362,6 +367,16 @@ class VNRenderer:
             assert self.neural is not None
             impl = PathTraceRenderer(self.width, self.height, mc, tf,
                                      self.neural.decode_volume())
+        elif mode == RenderMode.PATHTRACE_NEURAL:
+            # network inference inside the tracking loop — the reference's
+            # neural path tracing (method_pathtracing.cu:679-813)
+            assert self.neural is not None
+            from instantvnr_tpu.models.network import render_params
+            impl = PathTraceRenderer(
+                self.width, self.height, mc, tf,
+                render_params(self.neural.state.params, self.neural.field),
+                sample_fn=make_neural_sample_fn(self.neural.field),
+            )
         else:
             raise ValueError(mode)
         if self._camera is not None:

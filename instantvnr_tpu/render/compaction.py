@@ -1,0 +1,188 @@
+"""Host-orchestrated ray compaction for the sample-streaming wavefront.
+
+The reference's CUDA wavefront compacts terminated rays out of the stream
+with device atomics and a host sync every iteration
+(`core/renderer/method_raymarching.cu:687-973`, SURVEY.md §3.2). TPUs have
+no atomic queues and XLA programs have static shapes, so the TPU-native
+equivalent is *bucketed prefix compaction*:
+
+  - all per-ray arrays stay full-size [R]; the live rays occupy a prefix
+  - one jitted program per power-of-2 prefix length M runs ONE superstep
+    on rays [0:M] (static slice in, dynamic_update_slice out) and returns
+    the live count as a device scalar
+  - the host reads the count (~a scalar readback per superstep) and, when
+    it falls below half the current bucket, dispatches a compaction
+    program that sorts the live rays of the prefix to the front and
+    shrinks the bucket
+
+Cost model (v5e, measured): a 512² superstep is sample-streaming
+inference-bound (~150 ns/sample → ~600 ms at M=262144·K=16), while a
+compaction is ~20 row-gathers of [R] (~5-15 ms) and a count readback is
+~1 ms through the device link — so compaction pays for itself as soon as
+the live fraction drops below ~95%. Programs are compiled once per bucket
+size and reused across frames (and persisted via the JAX compile cache).
+
+Output parity: `raymarch_compacted` computes exactly the same per-ray
+march as `raymarch` (same superstep function, raymarch.py:_superstep);
+only the scheduling differs. Verified allclose in
+tests/test_compaction.py.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from instantvnr_tpu.render.raymarch import (
+    RaymarchSettings,
+    _RayState,
+    _superstep,
+    init_ray_state,
+)
+
+_MIN_BUCKET = 8192
+
+
+def _bucket(count: int, r: int) -> int:
+    """Smallest power-of-2 prefix ≥ count (≥ _MIN_BUCKET, ≤ r)."""
+    m = _MIN_BUCKET
+    while m < count:
+        m *= 2
+    return min(m, r)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(7,))
+def _superstep_prefix(sample_fn, settings: RaymarchSettings, m: int,
+                      mc, tf, light_dir, rays, state: _RayState,
+                      sample_ctx):
+    """Run ONE superstep on the first `m` rays; everything else passes
+    through. Returns (state, live_count_in_prefix)."""
+    org, dirn, t_far, jitter = rays
+    fn = partial(sample_fn, sample_ctx)
+
+    pre = jax.tree_util.tree_map(lambda a: a[:m], state)
+    sub = _superstep(fn, org[:m], dirn[:m], t_far[:m], jitter[:m],
+                     mc, tf, settings, light_dir, pre)
+    new_state = jax.tree_util.tree_map(
+        lambda full, part: jax.lax.dynamic_update_slice(
+            full, part, (0,) * full.ndim),
+        state, sub)
+    return new_state, jnp.sum(sub.active.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2, 3))
+def _compact_prefix(m: int, rays, state: _RayState, perm):
+    """Within the prefix [0:m], move live rays to the front (stable).
+
+    Permutes the per-ray inputs, the marching state, and the slot→pixel
+    permutation together, so position i always refers to one coherent ray.
+    """
+    order = jnp.argsort(~state.active[:m], stable=True)  # live first
+
+    def perm_prefix(x):
+        return x.at[:m].set(jnp.take(x[:m], order, axis=0))
+
+    rays = jax.tree_util.tree_map(perm_prefix, rays)
+    state = jax.tree_util.tree_map(perm_prefix, state)
+    perm = perm_prefix(perm)
+    return rays, state, perm
+
+
+@jax.jit
+def _unpermute(perm, color, alpha, best_w, best_pos, best_rgb):
+    """Scatter per-slot results back to pixel order (slot i → pixel perm[i])."""
+    r = perm.shape[0]
+    out_c = jnp.zeros((r, 3), color.dtype).at[perm].set(color)
+    out_a = jnp.zeros((r,), alpha.dtype).at[perm].set(alpha)
+    out_bw = jnp.zeros((r,), best_w.dtype).at[perm].set(best_w)
+    out_bp = jnp.zeros((r, 3), best_pos.dtype).at[perm].set(best_pos)
+    out_bc = jnp.zeros((r, 3), best_rgb.dtype).at[perm].set(best_rgb)
+    return out_c, out_a, out_bw, out_bp, out_bc
+
+
+def raymarch_compacted(
+    sample_fn,
+    org: jnp.ndarray,  # [R,3] voxel-space ray origins
+    dirn: jnp.ndarray,  # [R,3] normalized directions
+    t_near: jnp.ndarray,  # [R]
+    t_far: jnp.ndarray,  # [R]
+    mc,
+    tf,
+    jitter: jnp.ndarray,  # [R] in [0,1)
+    settings: RaymarchSettings,
+    light_dir: jnp.ndarray | None = None,
+    sample_ctx=None,
+) -> jnp.ndarray:
+    """`raymarch` with host-orchestrated bucketed ray compaction.
+
+    Must be called OUTSIDE jit (it reads live-ray counts on the host).
+    Semantically identical to raymarch(...); see module docstring.
+
+    sample_fn is called as sample_fn(sample_ctx, positions) and must be a
+    long-lived callable (it keys the per-bucket program cache); per-frame
+    data (network params / volume) goes in sample_ctx, which is traced.
+    """
+    from instantvnr_tpu.utils.math import normalize as _normalize
+
+    r = org.shape[0]
+    dims = jnp.array(mc.volume_dims, jnp.float32)
+    if light_dir is None:
+        light_dir = jnp.asarray(settings.light_dir, jnp.float32)
+    light_dir = _normalize(light_dir)
+
+    state = init_ray_state(t_near, t_far)
+    rays = (org, dirn, t_far, jitter)
+    perm = jnp.arange(r, dtype=jnp.int32)
+
+    m = r
+    steps = 0
+    count = int(jnp.sum(state.active.astype(jnp.int32)))
+    # compact straight away if the box misses most pixels
+    if _bucket(count, r) < m:
+        rays, state, perm = _compact_prefix(m, rays, state, perm)
+        m = _bucket(count, r)
+    while count > 0 and steps < settings.max_supersteps:
+        state, n_live = _superstep_prefix(
+            sample_fn, settings, m, mc, tf, light_dir, rays, state,
+            sample_ctx)
+        steps += 1
+        count = int(n_live)  # host sync: one scalar per superstep
+        if count > 0 and _bucket(count, r) < m:
+            rays, state, perm = _compact_prefix(m, rays, state, perm)
+            m = _bucket(count, r)
+
+    color, alpha, bw, bp, bc = _unpermute(
+        perm, state.color, state.alpha, state.best_w, state.best_pos,
+        state.best_rgb)
+
+    if settings.shading == "ssh":
+        # deferred single-shade pass, same as raymarch (in pixel order);
+        # the shadow rays are themselves marched with compaction
+        from instantvnr_tpu.utils.math import ray_box_intersect
+
+        org2 = bp * dims
+        dir2 = jnp.broadcast_to(light_dir[None, :], org2.shape)
+        _, t1b, hitb = ray_box_intersect(org2, dir2, jnp.zeros(3), dims)
+        has_best = bw > 0.0
+        t1b = jnp.where(hitb & has_best, jnp.maximum(t1b, 0.0), 0.0)
+        shadow_settings = RaymarchSettings(
+            sampling_rate=(settings.sampling_rate
+                           / settings.ssh_shadow_sampling_scale),
+            density_scale=settings.density_scale,
+            n_iters=settings.n_iters,
+            max_skips=settings.max_skips,
+            max_supersteps=settings.max_supersteps,
+            shading="none",
+            fixed_steps=settings.fixed_steps,
+        )
+        rgba_sh = raymarch_compacted(
+            sample_fn, org2, dir2, jnp.zeros_like(t1b), t1b, mc, tf,
+            jitter, shadow_settings, sample_ctx=sample_ctx)
+        transmittance = 1.0 - rgba_sh[:, 3]
+        shaded = bc * alpha[:, None] * transmittance[:, None]
+        s_ = settings.shading_scale
+        color = jnp.where(has_best[:, None],
+                          (1.0 - s_) * color + s_ * shaded, color)
+
+    return jnp.concatenate([color, alpha[:, None]], axis=-1)

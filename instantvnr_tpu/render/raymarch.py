@@ -66,6 +66,11 @@ class RaymarchSettings:
     light_dir: tuple = (0.7, 0.9, 0.4)  # instantvnr_types.h:148
     ssh_shadow_sampling_scale: float = 2.0  # shadow-pass rate scale
     fixed_steps: bool = False  # True → differentiable scan loop
+    # host-orchestrated bucketed ray compaction (render/compaction.py) —
+    # the TPU analog of the reference wavefront's stream compaction.
+    # Only honored by Renderer.render (needs host-side counts, so it can't
+    # run under an outer jit); ignored when fixed_steps is set.
+    compact: bool = False
 
     def __post_init__(self):
         assert self.shading in ("none", "gradient", "ssh"), self.shading
@@ -218,6 +223,101 @@ def _compose(values, t_x, t_y, valid, jitter_unused, state_alpha, state_color,
     return alpha, color, (bw, bp, bc)
 
 
+def init_ray_state(t_near: jnp.ndarray, t_far: jnp.ndarray) -> _RayState:
+    """Fresh marching state for a batch of rays ([R] t ranges)."""
+    r = t_near.shape[0]
+    return _RayState(
+        t=t_near,
+        # forces cell entry on first slot; `+ 0.0` keeps this a distinct
+        # buffer from `t` (the compaction driver donates the whole state,
+        # and aliased leaves would be donated twice)
+        t_cell_end=t_near + 0.0,
+        ss=jnp.full((r,), jnp.inf, jnp.float32),
+        alpha=jnp.zeros((r,), jnp.float32),
+        color=jnp.zeros((r, 3), jnp.float32),
+        active=t_near < t_far,
+        best_w=jnp.zeros((r,), jnp.float32),
+        best_pos=jnp.zeros((r, 3), jnp.float32),
+        best_rgb=jnp.zeros((r, 3), jnp.float32),
+    )
+
+
+def _superstep(sample_fn, org, dirn, t_far, jitter, mc: MacroCell,
+               tf: TransferFunction, settings: "RaymarchSettings",
+               light_dir, state: _RayState) -> _RayState:
+    """One bulk-synchronous superstep: EMIT → SAMPLE → COMPOSE.
+
+    Shared by the in-jit loops of `raymarch` and the host-orchestrated
+    compaction driver (render/compaction.py), which runs it on shrinking
+    active-ray prefixes."""
+    r = org.shape[0]
+    k = settings.n_iters
+    dims = jnp.array(mc.volume_dims, jnp.float32)
+    base_step = 1.0 / settings.sampling_rate
+    grad_step = settings.gradient_step_frac / dims  # object units
+
+    (t, t_cell_end, ss), t_x, t_y, valid = _emit_samples(
+        org, dirn, t_far, state, mc, base_step,
+        settings.n_iters, settings.max_skips,
+    )
+    valid = valid & state.active[:, None]
+    # sample position: lerp(jitter, t.x, t.y) (method_raymarching.cu:431)
+    t_s = t_x + jitter[:, None] * (t_y - t_x)
+    pos_v = org[:, None, :] + t_s[..., None] * dirn[:, None, :]  # [R,K,3]
+    pos_obj = pos_v / dims  # voxel → object space
+
+    if settings.shading == "gradient":
+        # forward-difference gradient needs 3 extra sample batches
+        # (raytracing.h:112-130, with the boundary flip)
+        stp = jnp.broadcast_to(grad_step, pos_obj.shape)
+        stp = jnp.where(pos_obj + stp > 1.0 - _EPS, -stp, stp)
+        offsets = jnp.stack(
+            [
+                jnp.stack([stp[..., 0], jnp.zeros_like(stp[..., 0]),
+                           jnp.zeros_like(stp[..., 0])], -1),
+                jnp.stack([jnp.zeros_like(stp[..., 1]), stp[..., 1],
+                           jnp.zeros_like(stp[..., 1])], -1),
+                jnp.stack([jnp.zeros_like(stp[..., 2]),
+                           jnp.zeros_like(stp[..., 2]), stp[..., 2]], -1),
+            ],
+            axis=0,
+        )  # [3,R,K,3]
+        all_pos = jnp.concatenate(
+            [pos_obj[None], pos_obj[None] + offsets], axis=0
+        )  # [4,R,K,3]
+        all_vals = sample_fn(all_pos.reshape(-1, 3)).reshape(4, r, k)
+        values = all_vals[0]
+        grad = jnp.stack(
+            [(all_vals[1 + ax] - values) / stp[..., ax] for ax in range(3)],
+            axis=-1,
+        )  # [R,K,3] object-space gradient
+        normal = -grad
+        rgb_tf, _ = classify(tf, values)
+        shaded = _shade_scivis(dirn[:, None, :], normal, rgb_tf,
+                               light_dir=light_dir)
+        rgb_override = (
+            settings.shading_scale * shaded
+            + (1.0 - settings.shading_scale) * rgb_tf
+        )
+    else:
+        values = sample_fn(pos_obj.reshape(-1, 3)).reshape(r, k)
+        rgb_override = None
+
+    track = ((state.best_w, state.best_pos, state.best_rgb)
+             if settings.shading == "ssh" else None)
+    alpha, color, best = _compose(
+        values, t_x, t_y, valid, jitter, state.alpha, state.color, tf,
+        settings.sampling_rate, settings.density_scale, rgb_override,
+        track_best=track, pos_obj=pos_obj,
+    )
+    if settings.shading != "ssh":
+        best = (state.best_w, state.best_pos, state.best_rgb)
+    active = state.active & (t < t_far) & (alpha < NEARLY_ONE)
+    return _RayState(t=t, t_cell_end=t_cell_end, ss=ss, alpha=alpha,
+                     color=color, active=active,
+                     best_w=best[0], best_pos=best[1], best_rgb=best[2])
+
+
 def raymarch(
     sample_fn: Callable[[jnp.ndarray], jnp.ndarray],
     org: jnp.ndarray,  # [R,3] voxel-space ray origins
@@ -243,88 +343,16 @@ def raymarch(
     """
     from instantvnr_tpu.utils.math import normalize as _normalize
 
-    r = org.shape[0]
     dims = jnp.array(mc.volume_dims, jnp.float32)
-    base_step = 1.0 / settings.sampling_rate
-    grad_step = settings.gradient_step_frac / dims  # object units
     if light_dir is None:
         light_dir = jnp.asarray(settings.light_dir, jnp.float32)
     light_dir = _normalize(light_dir)
 
-    state = _RayState(
-        t=t_near,
-        t_cell_end=t_near,  # forces cell entry on first slot
-        ss=jnp.full((r,), jnp.inf, jnp.float32),
-        alpha=jnp.zeros((r,), jnp.float32),
-        color=jnp.zeros((r, 3), jnp.float32),
-        active=t_near < t_far,
-        best_w=jnp.zeros((r,), jnp.float32),
-        best_pos=jnp.zeros((r, 3), jnp.float32),
-        best_rgb=jnp.zeros((r, 3), jnp.float32),
-    )
+    state = init_ray_state(t_near, t_far)
 
     def superstep(state: _RayState) -> _RayState:
-        (t, t_cell_end, ss), t_x, t_y, valid = _emit_samples(
-            org, dirn, t_far, state, mc, base_step,
-            settings.n_iters, settings.max_skips,
-        )
-        valid = valid & state.active[:, None]
-        # sample position: lerp(jitter, t.x, t.y) (method_raymarching.cu:431)
-        t_s = t_x + jitter[:, None] * (t_y - t_x)
-        pos_v = org[:, None, :] + t_s[..., None] * dirn[:, None, :]  # [R,K,3]
-        pos_obj = pos_v / dims  # voxel → object space
-
-        k = settings.n_iters
-        if settings.shading == "gradient":
-            # forward-difference gradient needs 3 extra sample batches
-            # (raytracing.h:112-130, with the boundary flip)
-            stp = jnp.broadcast_to(grad_step, pos_obj.shape)
-            stp = jnp.where(pos_obj + stp > 1.0 - _EPS, -stp, stp)
-            offsets = jnp.stack(
-                [
-                    jnp.stack([stp[..., 0], jnp.zeros_like(stp[..., 0]),
-                               jnp.zeros_like(stp[..., 0])], -1),
-                    jnp.stack([jnp.zeros_like(stp[..., 1]), stp[..., 1],
-                               jnp.zeros_like(stp[..., 1])], -1),
-                    jnp.stack([jnp.zeros_like(stp[..., 2]),
-                               jnp.zeros_like(stp[..., 2]), stp[..., 2]], -1),
-                ],
-                axis=0,
-            )  # [3,R,K,3]
-            all_pos = jnp.concatenate(
-                [pos_obj[None], pos_obj[None] + offsets], axis=0
-            )  # [4,R,K,3]
-            all_vals = sample_fn(all_pos.reshape(-1, 3)).reshape(4, r, k)
-            values = all_vals[0]
-            grad = jnp.stack(
-                [(all_vals[1 + ax] - values) / stp[..., ax] for ax in range(3)],
-                axis=-1,
-            )  # [R,K,3] object-space gradient
-            normal = -grad
-            rgb_tf, _ = classify(tf, values)
-            shaded = _shade_scivis(dirn[:, None, :], normal, rgb_tf,
-                                   light_dir=light_dir)
-            rgb_override = (
-                settings.shading_scale * shaded
-                + (1.0 - settings.shading_scale) * rgb_tf
-            )
-        else:
-            values = sample_fn(pos_obj.reshape(-1, 3)).reshape(r, k)
-            rgb_override = None
-
-        track = ((state.best_w, state.best_pos, state.best_rgb)
-                 if settings.shading == "ssh" else None)
-        alpha, color, best = _compose(
-            values, t_x, t_y, valid, jitter, state.alpha, state.color, tf,
-            settings.sampling_rate, settings.density_scale, rgb_override,
-            track_best=track, pos_obj=pos_obj,
-        )
-        if settings.shading != "ssh":
-            best = (state.best_w, state.best_pos, state.best_rgb)
-        active = state.active & (t < t_far) & (alpha < NEARLY_ONE)
-        return _RayState(t=t, t_cell_end=t_cell_end, ss=ss, alpha=alpha,
-                         color=color, active=active,
-                         best_w=best[0], best_pos=best[1], best_rgb=best[2])
+        return _superstep(sample_fn, org, dirn, t_far, jitter, mc, tf,
+                          settings, light_dir, state)
 
     if settings.fixed_steps:
         def scan_body(st, _):

@@ -43,6 +43,33 @@ class RenderMode(enum.Enum):
     PATHTRACE_NEURAL = "pathtrace_neural"
 
 
+@partial(jax.jit, static_argnums=(0, 1))
+def _frame_rays(width: int, height: int, cam_arrays, dims, light_dir):
+    """Ray generation + volume-box clip + view-flipped light, as its own
+    program (the compacted path marches outside jit)."""
+    cam = Camera(
+        eye=cam_arrays[0], center=cam_arrays[1], up=cam_arrays[2],
+        fovy=cam_arrays[3],
+    )
+    org_w, dirn = camera_rays(cam, width, height)
+    org = org_w + 0.5 * dims
+    t0, t1, hit = ray_box_intersect(org, dirn, jnp.zeros(3), dims)
+    t0 = jnp.where(hit, jnp.maximum(t0, 0.0), 1.0)
+    t1 = jnp.where(hit, t1, 0.0)
+    from instantvnr_tpu.utils.math import normalize
+
+    view = normalize(cam_arrays[1] - cam_arrays[0])
+    light = jnp.where(jnp.dot(view, light_dir) > 0, -light_dir, light_dir)
+    return org, dirn, t0, t1, light
+
+
+@partial(jax.jit, donate_argnums=(1,))
+def _accumulate(rgba, accum, frame_index):
+    """Progressive accumulation (writePixelColor, raytracing.h:196-207)."""
+    accum = jnp.where(frame_index == 1, rgba, accum + rgba)
+    return accum, accum / frame_index.astype(jnp.float32)
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2, 3), donate_argnums=(9,))
 def _render_frame(
     sample_fn,
@@ -156,6 +183,21 @@ class Renderer:
         if self.frame_index == 1:
             # fresh accumulation buffer (donated each frame)
             self._accum = jnp.zeros((self.width * self.height, 4), jnp.float32)
+        if self.settings.compact and not self.settings.fixed_steps:
+            from instantvnr_tpu.render.compaction import raymarch_compacted
+
+            org, dirn, t0, t1, light = _frame_rays(
+                self.width, self.height, cam_arrays,
+                jnp.array(self.mc.volume_dims, jnp.float32),
+                jnp.asarray(self.settings.light_dir, jnp.float32))
+            jitter = jax.random.uniform(sub, (org.shape[0],), jnp.float32)
+            rgba = raymarch_compacted(
+                self.sample_fn, org, dirn, t0, t1, self.mc, self.tf,
+                jitter, self.settings, light_dir=light,
+                sample_ctx=self.sample_ctx)
+            self._accum, self._frame = _accumulate(
+                rgba, self._accum, jnp.int32(self.frame_index))
+            return self._frame
         self._accum, self._frame = _render_frame(
             self.sample_fn, self.width, self.height, self.settings,
             self.sample_ctx, cam_arrays, self.mc, self.tf, sub, self._accum,
@@ -177,14 +219,19 @@ def reference_sample_fn(volume: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     return sample_volume(volume, p)
 
 
-def make_neural_sample_fn(field):
+def make_neural_sample_fn(field, chunk: int = 1 << 18):
     """Neural sample function factory: batched network inference — the
     reference's sample-streaming mode (`NeuralVolume::inference`,
     network.cu:1043). ctx = the params pytree, so online-training updates
-    swap ctx without retracing."""
-    from instantvnr_tpu.models.network import network_apply
+    swap ctx without retracing.
+
+    Inference is chunked to `chunk` samples (bounds the 16x-padded gather
+    temp that would otherwise OOM at 512²+ wavefronts — see
+    network_apply_chunked). Pass the ctx through models.network.render_params
+    for the bf16-table fast path."""
+    from instantvnr_tpu.models.network import network_apply_chunked
 
     def fn(params, p):
-        return network_apply(params, p, field)[:, 0]
+        return network_apply_chunked(params, p, field, chunk=chunk)[:, 0]
 
     return fn

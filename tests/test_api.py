@@ -63,6 +63,7 @@ class TestNeuralVolumeApi:
         RenderMode.REFERENCE_GRADIENT,
         RenderMode.REFERENCE_SSH,
         RenderMode.PATHTRACE_REFERENCE,
+        RenderMode.PATHTRACE_NEURAL,
     ])
     def test_render_modes(self, trained, mode):
         simple, nv = trained
