@@ -85,6 +85,9 @@ class SimpleVolume:
         self.tfn_cfg = tfn_cfg or TransferFunctionConfig()
         self.tf: TransferFunction = bake_transfer_function(self.tfn_cfg)
         self.macrocell = mcmod.build(self.volume.data, self.volume.dims, self.tf)
+        from instantvnr_tpu.render.transform import default_transform
+
+        self.transform = default_transform(self.dims)
 
     @classmethod
     def synthetic(cls, dims=(64, 64, 64), kind="vorts", **kw):
@@ -98,6 +101,23 @@ class SimpleVolume:
         self.tfn_cfg = tfn_cfg
         self.tf = bake_transfer_function(tfn_cfg)
         self.macrocell = mcmod.update_max_opacity(self.macrocell, self.tf)
+
+    def set_clipping_box(self, lower, upper):
+        """vnrVolumeSetClippingBox (api.cpp:322-338): bounds in voxel
+        coordinates [0, dims], like the reference's user-facing convention."""
+        import jax.numpy as jnp
+
+        self.transform = self.transform._replace(
+            clip_lower=jnp.asarray(lower, jnp.float32),
+            clip_upper=jnp.asarray(upper, jnp.float32))
+
+    def set_scaling(self, scale):
+        """vnrVolumeSetScaling (api.cpp:340-351): composes scale(s) with the
+        existing data transform."""
+        import jax.numpy as jnp
+
+        self.transform = self.transform._replace(
+            scale=jnp.asarray(scale, jnp.float32) * self.transform.scale)
 
 
 @dataclass
@@ -129,6 +149,24 @@ class NeuralVolume:
         # (reference m_macrocell; fresh unless aliasing the GT one)
         self.macrocell = mcmod.allocate(self.dims)
         self._decoder = None
+        from instantvnr_tpu.render.transform import default_transform
+
+        self.transform = default_transform(self.dims)
+
+    def set_clipping_box(self, lower, upper):
+        """vnrVolumeSetClippingBox on the neural volume (api.cpp:322-338)."""
+        self.transform = self.transform._replace(
+            clip_lower=jnp.asarray(lower, jnp.float32),
+            clip_upper=jnp.asarray(upper, jnp.float32))
+        if self._decoder is not None:
+            self._decoder.set_transform(self.transform)
+
+    def set_scaling(self, scale):
+        """vnrVolumeSetScaling on the neural volume (api.cpp:340-351)."""
+        self.transform = self.transform._replace(
+            scale=jnp.asarray(scale, jnp.float32) * self.transform.scale)
+        if self._decoder is not None:
+            self._decoder.set_transform(self.transform)
 
     # -- training -----------------------------------------------------------
 
@@ -193,16 +231,18 @@ class NeuralVolume:
                 self._decoder = DecodedRenderer(
                     width, height, mc, tf, self.dims, settings=settings,
                     field=self.field, params=self.state.params,
-                    initial_volume=decoded,
+                    initial_volume=decoded, transform=self.transform,
                 )
                 self._decoder._next_blob = next_blob
                 return self._decoder
             self._decoder = DecodedRenderer(
                 width, height, mc, tf, self.dims, settings=settings,
                 field=self.field, params=self.state.params,
+                transform=self.transform,
             )
         else:
             self._decoder.set_params(self.state.params)
+            self._decoder.set_transform(self.transform)
         return self._decoder
 
     def decode_progressive(self, n_blobs: int = 1):
@@ -328,6 +368,7 @@ class VNRenderer:
 
         self.mode = mode
         mc, tf, dims = self._scene_parts()
+        xf = (self.neural or self.simple).transform
 
         if mode == RenderMode.DECODED_SLAB:
             assert self.neural is not None
@@ -346,7 +387,12 @@ class VNRenderer:
                 make_neural_sample_fn(self.neural.field),
                 sample_ctx=render_params(self.neural.state.params,
                                          self.neural.field),
-                settings=RaymarchSettings(shading=shading),
+                # host-orchestrated ray compaction + short supersteps:
+                # measured 2.5x over the plain wavefront at 512² (K=4,
+                # render/compaction.py)
+                settings=RaymarchSettings(shading=shading, compact=True,
+                                          n_iters=4),
+                transform=xf,
             )
         elif mode in (RenderMode.REFERENCE_RAYMARCH,
                       RenderMode.REFERENCE_GRADIENT,
@@ -359,14 +405,16 @@ class VNRenderer:
                 self.width, self.height, mc, tf, reference_sample_fn,
                 sample_ctx=self.simple.volume.data,
                 settings=RaymarchSettings(shading=shading),
+                transform=xf,
             )
         elif mode == RenderMode.PATHTRACE_REFERENCE:
             impl = PathTraceRenderer(self.width, self.height, mc, tf,
-                                     self.simple.volume.data)
+                                     self.simple.volume.data, transform=xf)
         elif mode == RenderMode.PATHTRACE_DECODED:
             assert self.neural is not None
             impl = PathTraceRenderer(self.width, self.height, mc, tf,
-                                     self.neural.decode_volume())
+                                     self.neural.decode_volume(),
+                                     transform=xf)
         elif mode == RenderMode.PATHTRACE_NEURAL:
             # network inference inside the tracking loop — the reference's
             # neural path tracing (method_pathtracing.cu:679-813)
@@ -376,6 +424,7 @@ class VNRenderer:
                 self.width, self.height, mc, tf,
                 render_params(self.neural.state.params, self.neural.field),
                 sample_fn=make_neural_sample_fn(self.neural.field),
+                transform=xf,
             )
         else:
             raise ValueError(mode)
@@ -393,6 +442,17 @@ class VNRenderer:
     def set_camera(self, cam: Camera):
         self._camera = cam
         self._impl.set_camera(cam)
+
+    def set_clipping_box(self, lower, upper):
+        """vnrVolumeSetClippingBox + renderer refresh (api.cpp:322-338,
+        :455). Voxel coordinates in [0, dims]."""
+        (self.neural or self.simple).set_clipping_box(lower, upper)
+        self._impl.set_transform((self.neural or self.simple).transform)
+
+    def set_scaling(self, scale):
+        """vnrVolumeSetScaling + renderer refresh (api.cpp:340-351)."""
+        (self.neural or self.simple).set_scaling(scale)
+        self._impl.set_transform((self.neural or self.simple).transform)
 
     @property
     def camera(self) -> Camera:

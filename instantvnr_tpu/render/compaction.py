@@ -55,7 +55,7 @@ def _bucket(count: int, r: int) -> int:
 @partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(7,))
 def _superstep_prefix(sample_fn, settings: RaymarchSettings, m: int,
                       mc, tf, light_dir, rays, state: _RayState,
-                      sample_ctx):
+                      sample_ctx, scale):
     """Run ONE superstep on the first `m` rays; everything else passes
     through. Returns (state, live_count_in_prefix)."""
     org, dirn, t_far, jitter = rays
@@ -63,7 +63,7 @@ def _superstep_prefix(sample_fn, settings: RaymarchSettings, m: int,
 
     pre = jax.tree_util.tree_map(lambda a: a[:m], state)
     sub = _superstep(fn, org[:m], dirn[:m], t_far[:m], jitter[:m],
-                     mc, tf, settings, light_dir, pre)
+                     mc, tf, settings, light_dir, pre, scale=scale)
     new_state = jax.tree_util.tree_map(
         lambda full, part: jax.lax.dynamic_update_slice(
             full, part, (0,) * full.ndim),
@@ -113,6 +113,9 @@ def raymarch_compacted(
     settings: RaymarchSettings,
     light_dir: jnp.ndarray | None = None,
     sample_ctx=None,
+    scale=None,  # [3] voxel→world scaling (render/transform.py)
+    clip_lower=None,  # [3] voxel-space clip box (for SSH shadow rays)
+    clip_upper=None,
 ) -> jnp.ndarray:
     """`raymarch` with host-orchestrated bucketed ray compaction.
 
@@ -131,8 +134,11 @@ def raymarch_compacted(
         light_dir = jnp.asarray(settings.light_dir, jnp.float32)
     light_dir = _normalize(light_dir)
 
-    state = init_ray_state(t_near, t_far)
-    rays = (org, dirn, t_far, jitter)
+    # copy the inputs once: the bucket programs DONATE the ray/state buffers
+    # (they are rewritten every superstep), and the caller's arrays must
+    # survive this call
+    rays = tuple(x + 0.0 for x in (org, dirn, t_far, jitter))
+    state = init_ray_state(t_near + 0.0, rays[2])
     perm = jnp.arange(r, dtype=jnp.int32)
 
     m = r
@@ -145,7 +151,7 @@ def raymarch_compacted(
     while count > 0 and steps < settings.max_supersteps:
         state, n_live = _superstep_prefix(
             sample_fn, settings, m, mc, tf, light_dir, rays, state,
-            sample_ctx)
+            sample_ctx, scale)
         steps += 1
         count = int(n_live)  # host sync: one scalar per superstep
         if count > 0 and _bucket(count, r) < m:
@@ -162,8 +168,11 @@ def raymarch_compacted(
         from instantvnr_tpu.utils.math import ray_box_intersect
 
         org2 = bp * dims
-        dir2 = jnp.broadcast_to(light_dir[None, :], org2.shape)
-        _, t1b, hitb = ray_box_intersect(org2, dir2, jnp.zeros(3), dims)
+        light_v = light_dir if scale is None else light_dir / scale
+        dir2 = jnp.broadcast_to(light_v[None, :], org2.shape)
+        box_lo = jnp.zeros(3) if clip_lower is None else clip_lower
+        box_hi = dims if clip_upper is None else clip_upper
+        _, t1b, hitb = ray_box_intersect(org2, dir2, box_lo, box_hi)
         has_best = bw > 0.0
         t1b = jnp.where(hitb & has_best, jnp.maximum(t1b, 0.0), 0.0)
         shadow_settings = RaymarchSettings(
@@ -178,7 +187,8 @@ def raymarch_compacted(
         )
         rgba_sh = raymarch_compacted(
             sample_fn, org2, dir2, jnp.zeros_like(t1b), t1b, mc, tf,
-            jitter, shadow_settings, sample_ctx=sample_ctx)
+            jitter, shadow_settings, sample_ctx=sample_ctx, scale=scale,
+            clip_lower=clip_lower, clip_upper=clip_upper)
         transmittance = 1.0 - rgba_sh[:, 3]
         shaded = bc * alpha[:, None] * transmittance[:, None]
         s_ = settings.shading_scale

@@ -41,13 +41,16 @@ class DecodedRenderer:
                  tf: TransferFunction, volume_dims,
                  settings: SlabSettings | None = None,
                  field=None, params=None, initial_volume=None,
-                 slab_blob: int = 16):
+                 slab_blob: int = 16, transform=None):
+        from instantvnr_tpu.render.transform import default_transform
+
         dx, dy, dz = (int(d) for d in volume_dims)
         self.width, self.height = width, height
         self.mc = mc
         self.tf = tf
         self.volume_dims = (dx, dy, dz)
         self.settings = settings or SlabSettings()
+        self.transform = transform or default_transform(volume_dims)
         self.camera = Camera.default_for_dims(self.volume_dims)
         self.field = field
         self.params = params
@@ -96,6 +99,11 @@ class DecodedRenderer:
     def set_camera(self, cam: Camera):
         self.camera = cam
 
+    def set_transform(self, transform):
+        """Clipping box / scaling update (vnrVolumeSetClippingBox /
+        vnrVolumeSetScaling, api.cpp:322-351)."""
+        self.transform = transform
+
     def set_transfer_function(self, tf: TransferFunction):
         """Interactive TF edit (the reference GUI's per-change pipeline:
         re-derive macrocell max opacity + refresh shadows; the decoded grid
@@ -131,8 +139,9 @@ class DecodedRenderer:
 
     def render(self):
         cam = self.camera
-        axis, flipped = principal_axis(cam)
-        if not eye_outside_slab_range(cam, self.volume_dims, axis):
+        scale_h = np.asarray(self.transform.scale)  # host copy (static axis)
+        axis, flipped = principal_axis(cam, scale_h)
+        if not eye_outside_slab_range(cam, self.volume_dims, axis, scale_h):
             # inside the volume: slab factorization is invalid — fall back
             # to the masked-wavefront marcher over the decoded grid
             return self._render_fallback(cam)
@@ -157,6 +166,7 @@ class DecodedRenderer:
         self._frame = slab_render(
             self.decoded, self.tf, cam_arrays, self.width, self.height,
             self.settings, axis, flipped, occ, grad, self.shadow_volume,
+            self.transform,
         )
         return self._frame
 
@@ -185,6 +195,7 @@ class DecodedRenderer:
             reference_sample_fn, self.width, self.height, settings,
             self.decoded, cam_arrays, self.mc, self.tf,
             jax.random.PRNGKey(0), self._fb_accum, jnp.int32(1),
+            self.transform,
         )
         return self._frame
 

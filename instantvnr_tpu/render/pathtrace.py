@@ -78,10 +78,11 @@ def _uniform_sphere(u: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _restart_segment(org, dirn, dims):
+def _restart_segment(org, dirn, box_lo, box_hi):
     """After a direction change the segment starts at the origin (inside the
-    volume): tnear 0, tfar = box exit."""
-    _, t1, hit = ray_box_intersect(org, dirn, jnp.zeros(3), dims)
+    volume): tnear 0, tfar = box exit. The box is the CLIP box when one is
+    set (the reference overwrites DeviceVolume::bbox, object.cpp:386-391)."""
+    _, t1, hit = ray_box_intersect(org, dirn, box_lo, box_hi)
     return jnp.where(hit, jnp.maximum(t1, 0.0), 0.0)
 
 
@@ -96,13 +97,26 @@ def pathtrace(
     key: jax.Array,
     settings: PathTraceSettings,
     light_dir_world: jnp.ndarray,
+    scale=None,  # [3] voxel→world scaling (render/transform.py)
+    clip_lower=None,  # [3] voxel-space clip box
+    clip_upper=None,
 ) -> jnp.ndarray:
-    """One progressive sample per ray → radiance rgba [R, 4]."""
+    """One progressive sample per ray → radiance rgba [R, 4].
+
+    Under anisotropic scaling the caller hands VOXEL-space rays with
+    UNNORMALIZED directions (t stays world-metric, so the optical depth per
+    t is unchanged); scatter/shadow directions generated here are drawn in
+    world space and mapped through S⁻¹ the same way."""
     r = org.shape[0]
     dims = jnp.array(mc.volume_dims, jnp.float32)
     w = float(MACROCELL_SIZE)
     light_dir = normalize(light_dir_world)
     light_rgb = jnp.asarray(settings.light_rgb, jnp.float32)
+    box_lo = jnp.zeros(3) if clip_lower is None else clip_lower
+    box_hi = dims if clip_upper is None else clip_upper
+    s_inv = (jnp.ones(3, jnp.float32) if scale is None
+             else 1.0 / jnp.asarray(scale, jnp.float32))
+    light_v = light_dir * s_inv  # world light → voxel marching direction
 
     k_tau, key = jax.random.split(key)
     state = _PTState(
@@ -173,7 +187,7 @@ def pathtrace(
             radiance + throughput * light_rgb[None, :],
             radiance,
         )
-        sphere = _uniform_sphere(jax.random.uniform(k3, (r, 2)))
+        sphere = _uniform_sphere(jax.random.uniform(k3, (r, 2))) * s_inv
         dir_new = jnp.where(shadow_done[:, None], sphere, dir_new)
         shadow = jnp.where(shadow_done, False, shadow)
 
@@ -204,12 +218,12 @@ def pathtrace(
         throughput = jnp.where(
             hit[:, None], throughput * PHASE_FACTOR * rgb, throughput
         )
-        dir_new = jnp.where(hit[:, None], light_dir[None, :], dir_new)
+        dir_new = jnp.where(hit[:, None], light_v[None, :], dir_new)
         shadow = jnp.where(hit, True, shadow)
 
         # segment restarts where the direction changed
         restart = shadow_done | hit
-        tfar_restart = _restart_segment(org_new, dir_new, dims)
+        tfar_restart = _restart_segment(org_new, dir_new, box_lo, box_hi)
         tfar_new = jnp.where(restart, tfar_restart, tfar_new)
         t_new = jnp.where(restart, 0.0, t_new)
         new_tau2 = jnp.where(
@@ -236,15 +250,24 @@ def pathtrace(
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3), donate_argnums=(9,))
 def _pt_frame(sample_fn, width, height, settings, sample_ctx, cam_arrays,
-              mc, tf, key, accum, frame_index):
+              mc, tf, key, accum, frame_index, xform=None):
+    from instantvnr_tpu.render.transform import (
+        clip_bounds,
+        default_transform,
+        rays_to_voxel,
+    )
+
     cam = Camera(eye=cam_arrays[0], center=cam_arrays[1], up=cam_arrays[2],
                  fovy=cam_arrays[3])
     k_jit, k_pt = jax.random.split(key)
     jit2 = jax.random.uniform(k_jit, (width * height, 2))
-    org_w, dirn = camera_rays(cam, width, height, jitter=jit2)
+    org_w, dirn_w = camera_rays(cam, width, height, jitter=jit2)
     dims = jnp.array(mc.volume_dims, jnp.float32)
-    org = org_w + 0.5 * dims
-    t0, t1, hit = ray_box_intersect(org, dirn, jnp.zeros(3), dims)
+    if xform is None:
+        xform = default_transform(dims)
+    org, dirn = rays_to_voxel(xform, dims, org_w, dirn_w)
+    lo, hi = clip_bounds(xform, dims)
+    t0, t1, hit = ray_box_intersect(org, dirn, lo, hi)
     t0 = jnp.where(hit, jnp.maximum(t0, 0.0), 1.0)
     t1 = jnp.where(hit, t1, 0.0)
 
@@ -254,7 +277,8 @@ def _pt_frame(sample_fn, width, height, settings, sample_ctx, cam_arrays,
     light = jnp.where(jnp.dot(view, light) > 0, -light, light)
 
     rgba = pathtrace(partial(sample_fn, sample_ctx), org, dirn, t0, t1,
-                     mc, tf, k_pt, settings, light)
+                     mc, tf, k_pt, settings, light, scale=xform.scale,
+                     clip_lower=lo, clip_upper=hi)
     accum = jnp.where(frame_index == 1, rgba, accum + rgba)
     return accum, accum / frame_index.astype(jnp.float32)
 
@@ -265,14 +289,17 @@ class PathTraceRenderer:
 
     def __init__(self, width, height, mc: MacroCell, tf: TransferFunction,
                  volume_or_ctx, sample_fn=None,
-                 settings: PathTraceSettings | None = None, seed: int = 0):
+                 settings: PathTraceSettings | None = None, seed: int = 0,
+                 transform=None):
         from instantvnr_tpu.render.renderer import reference_sample_fn
+        from instantvnr_tpu.render.transform import default_transform
 
         self.width, self.height = width, height
         self.mc, self.tf = mc, tf
         self.sample_fn = sample_fn or reference_sample_fn
         self.sample_ctx = volume_or_ctx
         self.settings = settings or PathTraceSettings()
+        self.transform = transform or default_transform(mc.volume_dims)
         self.camera = Camera.default_for_dims(mc.volume_dims)
         self._key = jax.random.PRNGKey(seed)
         self._accum = jnp.zeros((width * height, 4), jnp.float32)
@@ -298,7 +325,7 @@ class PathTraceRenderer:
         self._accum, self._frame = _pt_frame(
             self.sample_fn, self.width, self.height, self.settings,
             self.sample_ctx, cam_arrays, self.mc, self.tf, sub, self._accum,
-            jnp.int32(self.frame_index),
+            jnp.int32(self.frame_index), self.transform,
         )
         return self._frame
 

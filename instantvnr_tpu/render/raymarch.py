@@ -244,12 +244,17 @@ def init_ray_state(t_near: jnp.ndarray, t_far: jnp.ndarray) -> _RayState:
 
 def _superstep(sample_fn, org, dirn, t_far, jitter, mc: MacroCell,
                tf: TransferFunction, settings: "RaymarchSettings",
-               light_dir, state: _RayState) -> _RayState:
+               light_dir, state: _RayState, scale=None) -> _RayState:
     """One bulk-synchronous superstep: EMIT → SAMPLE → COMPOSE.
 
     Shared by the in-jit loops of `raymarch` and the host-orchestrated
     compaction driver (render/compaction.py), which runs it on shrinking
-    active-ray prefixes."""
+    active-ray prefixes.
+
+    scale: optional [3] voxel→world scaling (render/transform.py). When set,
+    `dirn` is the UNNORMALIZED voxel-space direction and shading quantities
+    are mapped back to world space (view = S·dirn, normal = grad/(dims·S) —
+    the diagonal xfmNormal of method_raymarching.cu:441/1085)."""
     r = org.shape[0]
     k = settings.n_iters
     dims = jnp.array(mc.volume_dims, jnp.float32)
@@ -291,9 +296,19 @@ def _superstep(sample_fn, org, dirn, t_far, jitter, mc: MacroCell,
             [(all_vals[1 + ax] - values) / stp[..., ax] for ax in range(3)],
             axis=-1,
         )  # [R,K,3] object-space gradient
-        normal = -grad
+        if scale is None:
+            shade_dir = dirn
+            normal = -grad
+        else:
+            # world-space shading under anisotropic scaling: view dir back
+            # through S, normal through the inverse-transpose (diagonal →
+            # divide by dims·scale)
+            from instantvnr_tpu.utils.math import normalize as _nrm
+
+            shade_dir = _nrm(dirn * scale)
+            normal = -grad / (dims * scale)
         rgb_tf, _ = classify(tf, values)
-        shaded = _shade_scivis(dirn[:, None, :], normal, rgb_tf,
+        shaded = _shade_scivis(shade_dir[:, None, :], normal, rgb_tf,
                                light_dir=light_dir)
         rgb_override = (
             settings.shading_scale * shaded
@@ -329,6 +344,9 @@ def raymarch(
     jitter: jnp.ndarray,  # [R] in [0,1)
     settings: RaymarchSettings,
     light_dir: jnp.ndarray | None = None,  # [3], already view-flipped
+    scale=None,  # [3] voxel→world scaling (render/transform.py)
+    clip_lower=None,  # [3] voxel-space clip box (api.h:146)
+    clip_upper=None,
 ) -> jnp.ndarray:
     """March rays through the volume; returns rgba [R,4].
 
@@ -340,6 +358,13 @@ def raymarch(
     light_dir: the directional light for gradient/SSH shading. The caller
     (render/renderer.py) flips it against the camera view per frame
     (renderer.cpp:98-100); when None, settings.light_dir is used unflipped.
+
+    scale/clip_lower/clip_upper: anisotropic scaling + clipping box. The
+    caller is responsible for clipping the PRIMARY rays' [t_near, t_far] to
+    the clip box (render/renderer.py does); here they only shape the
+    deferred SSH shadow rays, whose box intersection the reference also
+    takes against the clip box (it overwrites DeviceVolume::bbox,
+    object.cpp:386-391).
     """
     from instantvnr_tpu.utils.math import normalize as _normalize
 
@@ -352,7 +377,7 @@ def raymarch(
 
     def superstep(state: _RayState) -> _RayState:
         return _superstep(sample_fn, org, dirn, t_far, jitter, mc, tf,
-                          settings, light_dir, state)
+                          settings, light_dir, state, scale=scale)
 
     if settings.fixed_steps:
         def scan_body(st, _):
@@ -379,8 +404,11 @@ def raymarch(
 
         light = light_dir  # already view-flipped + normalized
         org2 = state.best_pos * dims  # object → voxel space
-        dir2 = jnp.broadcast_to(light[None, :], org2.shape)
-        _, t1b, hitb = ray_box_intersect(org2, dir2, jnp.zeros(3), dims)
+        light_v = light if scale is None else light / scale
+        dir2 = jnp.broadcast_to(light_v[None, :], org2.shape)
+        box_lo = jnp.zeros(3) if clip_lower is None else clip_lower
+        box_hi = dims if clip_upper is None else clip_upper
+        _, t1b, hitb = ray_box_intersect(org2, dir2, box_lo, box_hi)
         has_best = state.best_w > 0.0
         t1b = jnp.where(hitb & has_best, jnp.maximum(t1b, 0.0), 0.0)
         shadow_settings = RaymarchSettings(
@@ -394,7 +422,8 @@ def raymarch(
             fixed_steps=settings.fixed_steps,
         )
         rgba_sh = raymarch(sample_fn, org2, dir2, jnp.zeros_like(t1b), t1b,
-                           mc, tf, jitter, shadow_settings)
+                           mc, tf, jitter, shadow_settings, scale=scale,
+                           clip_lower=clip_lower, clip_upper=clip_upper)
         transmittance = 1.0 - rgba_sh[:, 3]
         shaded = state.best_rgb * state.alpha[:, None] \
             * transmittance[:, None]

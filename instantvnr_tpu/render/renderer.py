@@ -44,23 +44,28 @@ class RenderMode(enum.Enum):
 
 
 @partial(jax.jit, static_argnums=(0, 1))
-def _frame_rays(width: int, height: int, cam_arrays, dims, light_dir):
-    """Ray generation + volume-box clip + view-flipped light, as its own
-    program (the compacted path marches outside jit)."""
+def _frame_rays(width: int, height: int, cam_arrays, dims, light_dir, xform):
+    """Ray generation + clip-box intersection + view-flipped light, as its
+    own program (the compacted path marches outside jit). Applies the
+    volume transform (render/transform.py): scaling via the world→voxel ray
+    map, clipping via the box bounds (api.cpp:322-351)."""
+    from instantvnr_tpu.render.transform import clip_bounds, rays_to_voxel
+
     cam = Camera(
         eye=cam_arrays[0], center=cam_arrays[1], up=cam_arrays[2],
         fovy=cam_arrays[3],
     )
-    org_w, dirn = camera_rays(cam, width, height)
-    org = org_w + 0.5 * dims
-    t0, t1, hit = ray_box_intersect(org, dirn, jnp.zeros(3), dims)
+    org_w, dirn_w = camera_rays(cam, width, height)
+    org, dirn = rays_to_voxel(xform, dims, org_w, dirn_w)
+    lo, hi = clip_bounds(xform, dims)
+    t0, t1, hit = ray_box_intersect(org, dirn, lo, hi)
     t0 = jnp.where(hit, jnp.maximum(t0, 0.0), 1.0)
     t1 = jnp.where(hit, t1, 0.0)
     from instantvnr_tpu.utils.math import normalize
 
     view = normalize(cam_arrays[1] - cam_arrays[0])
     light = jnp.where(jnp.dot(view, light_dir) > 0, -light_dir, light_dir)
-    return org, dirn, t0, t1, light
+    return org, dirn, t0, t1, light, lo, hi
 
 
 @partial(jax.jit, donate_argnums=(1,))
@@ -83,28 +88,21 @@ def _render_frame(
     key: jax.Array,
     accum: jnp.ndarray,
     frame_index: jnp.ndarray,
+    xform=None,  # VolumeTransform (render/transform.py)
 ):
-    cam = Camera(
-        eye=cam_arrays[0], center=cam_arrays[1], up=cam_arrays[2],
-        fovy=cam_arrays[3],
-    )
-    org_w, dirn = camera_rays(cam, width, height)
+    from instantvnr_tpu.render.transform import default_transform
+
     dims = jnp.array(mc.volume_dims, jnp.float32)
-    # world box [-dims/2, dims/2] → voxel space [0, dims]
-    org = org_w + 0.5 * dims
-    t0, t1, hit = ray_box_intersect(org, dirn, jnp.zeros(3), dims)
-    t0 = jnp.where(hit, jnp.maximum(t0, 0.0), 1.0)
-    t1 = jnp.where(hit, t1, 0.0)
+    if xform is None:
+        xform = default_transform(dims)
+    org, dirn, t0, t1, light, lo, hi = _frame_rays(
+        width, height, cam_arrays, dims,
+        jnp.asarray(settings.light_dir, jnp.float32), xform)
 
     jitter = jax.random.uniform(key, (org.shape[0],), jnp.float32)
-    # flip the directional light against the view (renderer.cpp:98-100)
-    from instantvnr_tpu.utils.math import normalize
-
-    view = normalize(cam_arrays[1] - cam_arrays[0])
-    light = jnp.asarray(settings.light_dir, jnp.float32)
-    light = jnp.where(jnp.dot(view, light) > 0, -light, light)
     rgba = raymarch(partial(sample_fn, sample_ctx), org, dirn, t0, t1, mc, tf,
-                    jitter, settings, light_dir=light)
+                    jitter, settings, light_dir=light, scale=xform.scale,
+                    clip_lower=lo, clip_upper=hi)
 
     # progressive accumulation (writePixelColor, raytracing.h:196-207)
     accum = jnp.where(frame_index == 1, rgba, accum + rgba)
@@ -120,7 +118,9 @@ class Renderer:
                  sample_fn: Callable[..., jnp.ndarray],
                  sample_ctx=None,
                  settings: RaymarchSettings | None = None,
-                 seed: int = 0):
+                 seed: int = 0, transform=None):
+        from instantvnr_tpu.render.transform import default_transform
+
         self.width = width
         self.height = height
         self.mc = mc
@@ -128,6 +128,7 @@ class Renderer:
         self.sample_fn = sample_fn
         self.sample_ctx = sample_ctx
         self.settings = settings or RaymarchSettings()
+        self.transform = transform or default_transform(mc.volume_dims)
         self.camera = Camera.default_for_dims(mc.volume_dims)
         self._key = jax.random.PRNGKey(seed)
         self._accum = jnp.zeros((width * height, 4), jnp.float32)
@@ -159,6 +160,12 @@ class Renderer:
         self.settings = settings
         self.reset_accumulation()
 
+    def set_transform(self, transform):
+        """Clipping box / scaling update (vnrVolumeSetClippingBox /
+        vnrVolumeSetScaling, api.cpp:322-351). Traced pytree — no retrace."""
+        self.transform = transform
+        self.reset_accumulation()
+
     def resize(self, width: int, height: int):
         self.width, self.height = width, height
         self._accum = jnp.zeros((width * height, 4), jnp.float32)
@@ -186,22 +193,24 @@ class Renderer:
         if self.settings.compact and not self.settings.fixed_steps:
             from instantvnr_tpu.render.compaction import raymarch_compacted
 
-            org, dirn, t0, t1, light = _frame_rays(
+            org, dirn, t0, t1, light, lo, hi = _frame_rays(
                 self.width, self.height, cam_arrays,
                 jnp.array(self.mc.volume_dims, jnp.float32),
-                jnp.asarray(self.settings.light_dir, jnp.float32))
+                jnp.asarray(self.settings.light_dir, jnp.float32),
+                self.transform)
             jitter = jax.random.uniform(sub, (org.shape[0],), jnp.float32)
             rgba = raymarch_compacted(
                 self.sample_fn, org, dirn, t0, t1, self.mc, self.tf,
                 jitter, self.settings, light_dir=light,
-                sample_ctx=self.sample_ctx)
+                sample_ctx=self.sample_ctx, scale=self.transform.scale,
+                clip_lower=lo, clip_upper=hi)
             self._accum, self._frame = _accumulate(
                 rgba, self._accum, jnp.int32(self.frame_index))
             return self._frame
         self._accum, self._frame = _render_frame(
             self.sample_fn, self.width, self.height, self.settings,
             self.sample_ctx, cam_arrays, self.mc, self.tf, sub, self._accum,
-            jnp.int32(self.frame_index),
+            jnp.int32(self.frame_index), self.transform,
         )
         return self._frame
 

@@ -97,11 +97,17 @@ def compute_gradient_volumes(volume: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([central(2), central(1), central(0)])
 
 
-def principal_axis(cam: Camera) -> tuple[int, bool]:
-    """(axis ∈ {0,1,2} for x/y/z, flipped) — host-side, static per jit."""
+def principal_axis(cam: Camera, scale=None) -> tuple[int, bool]:
+    """(axis ∈ {0,1,2} for x/y/z, flipped) — host-side, static per jit.
+
+    scale: optional [3] voxel→world scaling; the slab axis must dominate in
+    VOXEL space (where the slabs are axis-aligned), so the view direction is
+    mapped through S⁻¹ first."""
     eye = np.asarray(cam.eye, np.float32)
     center = np.asarray(cam.center, np.float32)
     d = center - eye
+    if scale is not None:
+        d = d / np.asarray(scale, np.float32)
     d = d / (np.linalg.norm(d) + 1e-20)
     axis = int(np.argmax(np.abs(d)))
     return axis, bool(d[axis] < 0)
@@ -143,17 +149,25 @@ def _interp_matrix(n_out: int, n_in: int, scale, offset):
     return jnp.where(in_range, w, 0.0)
 
 
-def _pixel_dt(xs, ys, e, z_ref):
+def _pixel_dt(xs, ys, e, z_ref, s_perm=None):
     """Per-intermediate-pixel step length: the ray through reference-plane
     point (X, Y) advances (ΔX, ΔY, 1)·(…)/(z_ref−e_z) per unit slab; its 3-D
-    length is constant across slabs (Δz = 1 between slabs)."""
+    length is constant across slabs (Δz = 1 between slabs).
+
+    s_perm: optional [3] permuted voxel→world scale — the step length (used
+    for opacity correction) is measured in WORLD units, so each voxel-space
+    component is stretched by its scale factor."""
     fx = (xs[None, :] - e[0]) / (z_ref - e[2])
     fy = (ys[:, None] - e[1]) / (z_ref - e[2])
-    return jnp.sqrt(fx * fx + fy * fy + 1.0)
+    if s_perm is None:
+        return jnp.sqrt(fx * fx + fy * fy + 1.0)
+    return jnp.sqrt((fx * s_perm[0]) ** 2 + (fy * s_perm[1]) ** 2
+                    + s_perm[2] ** 2)
 
 
 def _composite_batched(vol, tf, e, z_ref, xs, ys, corr_exp,
-                       slab_occupancy, shadow_perm, shadow_ambient):
+                       slab_occupancy, shadow_perm, shadow_ambient,
+                       clo=None, chi=None):
     """Batched slab pipeline: resample ALL slabs with two batched matmuls,
     classify/correct in one VPU pass, and combine with ONE associative_scan
     of the (associative!) premultiplied `over` operator — turns the
@@ -187,6 +201,17 @@ def _composite_batched(vol, tf, e, z_ref, xs, ys, corr_exp,
 
     vals = resample(vol)  # [D, hi, wi]
     cov = (my.sum(2) > 0)[:, :, None] & (mx.sum(2) > 0)[:, None, :]
+    if clo is not None:
+        # clip box masks (permuted voxel coords): per-slab z plus the
+        # per-pixel source coordinates along the in-slab axes
+        x_src = off_x[:, None] + jnp.arange(wi, dtype=jnp.float32)[None, :] \
+            * scale_x[:, None]  # [D, wi]
+        y_src = off_y[:, None] + jnp.arange(hi, dtype=jnp.float32)[None, :] \
+            * scale_y[:, None]  # [D, hi]
+        in_clip = (((x_src >= clo[0]) & (x_src <= chi[0]))[:, None, :]
+                   & ((y_src >= clo[1]) & (y_src <= chi[1]))[:, :, None]
+                   & ((z_k >= clo[2]) & (z_k <= chi[2]))[:, None, None])
+        cov = cov & in_clip
     rgb, alpha = classify_controls(tf, vals)
     if shadow_perm is not None:
         sh = jnp.clip(resample(shadow_perm), 0.0, 1.0)
@@ -225,11 +250,16 @@ def slab_render(
     slab_occupancy: jnp.ndarray | None = None,  # [D] bool, per-slab occupied
     grad_volumes: jnp.ndarray | None = None,  # [3, dz, dy, dx] for shading
     shadow_volume: jnp.ndarray | None = None,  # [dz, dy, dx] transmittance
+    xform=None,  # VolumeTransform (render/transform.py): clip box + scaling
 ) -> jnp.ndarray:
     """Render one frame → rgba [height·width, 4] (row-major, bottom-left
     origin, same layout as render/renderer.py)."""
+    from instantvnr_tpu.render.transform import clip_bounds, default_transform
+
     dz, dy, dx = volume.shape
     dims_w = jnp.array([dx, dy, dz], jnp.float32)
+    if xform is None:
+        xform = default_transform(dims_w)
 
     vol, perm = _permute_volume(volume, axis, flipped)
     d_slab, ay_n, ax_n = vol.shape
@@ -241,13 +271,25 @@ def slab_render(
     if use_shadow:
         svol = _permute_volume(shadow_volume, axis, flipped)[0]
 
-    # eye in voxel space of the PERMUTED volume
-    eye_w = cam_arrays[0] + 0.5 * dims_w  # world → voxel space [0, dims]
+    # eye in voxel space of the PERMUTED volume (world → voxel through S⁻¹)
+    eye_w = cam_arrays[0] / xform.scale + 0.5 * dims_w
     sizes = jnp.array([dx, dy, dz], jnp.float32)
     e = jnp.stack([eye_w[perm[0]], eye_w[perm[1]], eye_w[perm[2]]])
+    s_perm = jnp.stack([xform.scale[perm[0]], xform.scale[perm[1]],
+                        xform.scale[perm[2]]])
     size_z = sizes[perm[2]]
+    # clip box in permuted voxel coords (point-in-box masks below — the
+    # slab-sampling analog of the reference's clipped ray-box range)
+    clip_lo_w, clip_hi_w = clip_bounds(xform, dims_w)
+    clo = jnp.stack([clip_lo_w[perm[0]], clip_lo_w[perm[1]],
+                     clip_lo_w[perm[2]]])
+    chi = jnp.stack([clip_hi_w[perm[0]], clip_hi_w[perm[1]],
+                     clip_hi_w[perm[2]]])
     if flipped:
         e = e.at[2].set(size_z - e[2])
+        clo_z, chi_z = size_z - chi[2], size_z - clo[2]
+        clo = clo.at[2].set(clo_z)
+        chi = chi.at[2].set(chi_z)
 
     # slab planes at z_k = k + 0.5 (voxel centers); reference plane = slab 0
     z_ref = 0.5
@@ -266,7 +308,7 @@ def slab_render(
     xs = x_lo + (jnp.arange(wi, dtype=jnp.float32) + 0.5) * (x_hi - x_lo) / wi
     ys = y_lo + (jnp.arange(hi, dtype=jnp.float32) + 0.5) * (y_hi - y_lo) / hi
 
-    dt = _pixel_dt(xs, ys, e, z_ref)  # [hi, wi]
+    dt = _pixel_dt(xs, ys, e, z_ref, s_perm)  # [hi, wi] world-metric
     corr_exp = settings.sampling_rate * settings.density_scale * dt
 
     if slab_occupancy is None:
@@ -277,11 +319,11 @@ def slab_render(
                        if use_shadow else None)
         color, alpha_img = _composite_batched(
             vol, tf, e, z_ref, xs, ys, corr_exp, slab_occupancy,
-            shadow_perm, settings.shadow_ambient,
+            shadow_perm, settings.shadow_ambient, clo, chi,
         )
         return _final_warp(color, alpha_img, cam_arrays, width, height,
                            perm, flipped, e, z_ref, x_lo, x_hi, y_lo, y_hi,
-                           wi, hi)
+                           wi, hi, xform.scale)
 
     def body(carry, k):
         color, trans = carry  # [hi, wi, 3], [hi, wi]
@@ -300,8 +342,14 @@ def slab_render(
             my = _interp_matrix(hi, ay_n, scale_y, off_y)  # [hi, ay]
             slab = jax.lax.dynamic_index_in_dim(vol, k, 0, keepdims=False)
             vals = my @ slab @ mx.T  # [hi, wi]  (MXU)
-            # coverage: zero-weight rows mean "outside the volume"
-            cov = (my.sum(1) > 0)[:, None] & (mx.sum(1) > 0)[None, :]
+            # coverage: zero-weight rows mean "outside the volume";
+            # clip box masks out in-slab samples outside [clo, chi]
+            x_src = off_x + jnp.arange(wi, dtype=jnp.float32) * scale_x
+            y_src = off_y + jnp.arange(hi, dtype=jnp.float32) * scale_y
+            in_clip = (((x_src >= clo[0]) & (x_src <= chi[0]))[None, :]
+                       & ((y_src >= clo[1]) & (y_src <= chi[1]))[:, None])
+            cov = (my.sum(1) > 0)[:, None] & (mx.sum(1) > 0)[None, :] \
+                & in_clip
             rgb, alpha = classify_controls(tf, vals)
             if use_shading:
                 # resample the 3 world-component gradients with the same
@@ -311,11 +359,10 @@ def slab_render(
                 g = jnp.stack([
                     my @ jax.lax.dynamic_index_in_dim(gv, k, 0, False) @ mx.T
                     for gv in gvols
-                ], axis=-1)  # [hi, wi, 3] world components
-                normal = -g
+                ], axis=-1)  # [hi, wi, 3] voxel-space components
+                # world-space normal: diagonal xfmNormal = divide by scale
+                normal = -g / xform.scale
                 # per-pixel world position on this slab → view direction
-                x_src = off_x + jnp.arange(wi, dtype=jnp.float32) * scale_x
-                y_src = off_y + jnp.arange(hi, dtype=jnp.float32) * scale_y
                 p_perm = [
                     jnp.broadcast_to(x_src[None, :], (hi, wi)),
                     jnp.broadcast_to(y_src[:, None], (hi, wi)),
@@ -326,8 +373,8 @@ def slab_render(
                 p_world = [None, None, None]
                 for i_ax in range(3):
                     p_world[perm[i_ax]] = p_perm[i_ax]
-                p_world = jnp.stack(p_world, axis=-1)  # [hi, wi, 3]
-                view = p_world - eye_w[None, None, :]
+                p_world = jnp.stack(p_world, axis=-1)  # [hi, wi, 3] voxel
+                view = (p_world - eye_w[None, None, :]) * xform.scale
                 view = view / jnp.maximum(
                     jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-9)
                 light = jnp.asarray(settings.light_dir, jnp.float32)
@@ -350,7 +397,7 @@ def slab_render(
         if True:  # occupancy folds into the alpha mask; cond would
             # serialize the scan body on TPU for negligible savings
             color2, trans2 = do_slab(color, trans)
-            keep = slab_occupancy[k]
+            keep = slab_occupancy[k] & (z_k >= clo[2]) & (z_k <= chi[2])
             color = jnp.where(keep, color2, color)
             trans = jnp.where(keep, trans2, trans)
         return (color, trans), None
@@ -360,11 +407,12 @@ def slab_render(
                                      unroll=4)
     alpha_img = 1.0 - trans
     return _final_warp(color, alpha_img, cam_arrays, width, height, perm,
-                       flipped, e, z_ref, x_lo, x_hi, y_lo, y_hi, wi, hi)
+                       flipped, e, z_ref, x_lo, x_hi, y_lo, y_hi, wi, hi,
+                       xform.scale)
 
 
 def _final_warp(color, alpha_img, cam_arrays, width, height, perm, flipped,
-                e, z_ref, x_lo, x_hi, y_lo, y_hi, wi, hi):
+                e, z_ref, x_lo, x_hi, y_lo, y_hi, wi, hi, scale=None):
     """Reference plane → screen (the frame's only gather)."""
     eye = cam_arrays[0]
     direction = normalize(cam_arrays[1] - eye)
@@ -382,6 +430,8 @@ def _final_warp(color, alpha_img, cam_arrays, width, height, perm, flipped,
     d = (direction[None, None, :]
          + (px - 0.5)[..., None] * horizontal[None, None, :]
          + (py - 0.5)[..., None] * vertical[None, None, :])  # [H, W, 3]
+    if scale is not None:
+        d = d / scale  # world → voxel direction (anisotropic scaling)
     # permuted-space components of eye/dir
     d_p = jnp.stack([d[..., perm[0]], d[..., perm[1]], d[..., perm[2]]], -1)
     if flipped:
@@ -445,7 +495,11 @@ def slab_occupancy_from_macrocell(mc, axis: int, flipped: bool,
     return layer[idx]
 
 
-def eye_outside_slab_range(cam: Camera, dims, axis: int) -> bool:
+def eye_outside_slab_range(cam: Camera, dims, axis: int,
+                           scale=None) -> bool:
     """v1 validity guard (host-side)."""
-    eye = np.asarray(cam.eye, np.float32) + np.asarray(dims, np.float32) / 2
+    eye = np.asarray(cam.eye, np.float32)
+    if scale is not None:
+        eye = eye / np.asarray(scale, np.float32)
+    eye = eye + np.asarray(dims, np.float32) / 2
     return not (0.0 <= eye[axis] <= float(dims[axis]))
