@@ -9,10 +9,18 @@ Writer/reader mirror `NeuralVolume::save_params_to_json` /
                     reference's −1/+1 offset trick (macrocell.cu:34-39), so
                     files round-trip bit-compatibly with CUDA-written ones
   root["model"]     — the tcnn-schema model JSON
-  root["parameters"]— trainer snapshot; params as one fp16 binary blob in
-                    tcnn order: MLP matrices first ([out×in] row-major, the
-                    output layer zero-padded to 16 rows like FullyFusedMLP),
-                    then the hash grid ([entry-major, F features]).
+  root["parameters"]— tcnn Trainer::serialize() layout (flat n_params /
+                    params_binary / params_type keys, plus step/loss extras
+                    the CUDA loader ignores); params as one fp16 binary blob
+                    in tcnn order: MLP matrices first ([out×in] row-major,
+                    the output layer zero-padded to 16 rows like
+                    FullyFusedMLP), then the hash grid ([entry-major, F
+                    features]).
+
+Key order is alphabetical at every level (nlohmann::json backs objects with
+std::map, so `json::to_bson` emits sorted keys) — byte-compatibility with
+CUDA-written files depends on it. Verified against a hand-built byte-exact
+fixture in tests/test_serializer.py.
 
 Native checkpointing (orbax) is available separately for training resume;
 this module is the interchange format for parity with the reference.
@@ -83,6 +91,7 @@ def save_checkpoint(path: str, field: NeuralField, params: dict,
     ranges = np.stack([lo.ravel(), hi.ravel()], axis=-1).astype("<f4")
 
     dx, dy, dz = (int(d) for d in volume_dims)
+    blob = pack_params(field, params)
     root = {
         "volume": {"dims": _vec3(dx, dy, dz, int)},
         "macrocell": {
@@ -91,18 +100,29 @@ def save_checkpoint(path: str, field: NeuralField, params: dict,
             "spacings": _vec3(sx, sy, sz, float),
             "data": bson.Binary(ranges.tobytes()),
         },
+        # tcnn Trainer::serialize() (root["parameters"] = m_trainer->serialize(),
+        # tcnn_network.h:157): flat keys; step/loss are extras tcnn's
+        # deserialize ignores
         "parameters": {
-            "step": int(step),
             "loss": float(loss),
-            "network": {
-                "params_type": "__half",
-                "params_binary": bson.Binary(pack_params(field, params)),
-            },
+            "n_params": len(blob) // 2,
+            "params_binary": bson.Binary(blob),
+            "params_type": "__half",
+            "step": int(step),
         },
         "model": field.cfg.to_json(),
     }
     with open(path, "wb") as f:
-        f.write(bson.encode(root))
+        f.write(bson.encode(_sort_keys(root)))
+
+
+def _sort_keys(v):
+    """Recursively sort dict keys (nlohmann std::map ordering → to_bson)."""
+    if isinstance(v, dict):
+        return {k: _sort_keys(v[k]) for k in sorted(v)}
+    if isinstance(v, (list, tuple)) and not isinstance(v, (bytes, bytearray)):
+        return [_sort_keys(x) for x in v]
+    return v
 
 
 def load_checkpoint(path: str):
@@ -138,7 +158,14 @@ def load_checkpoint(path: str):
         )
 
     psec = root.get("parameters", root)
-    blob = psec["network"]["params_binary"]
-    params = unpack_params(field, bytes(blob))
+    # CUDA/tcnn files have params_binary flat in "parameters"
+    # (Trainer::serialize); early repo checkpoints nested it in "network"
+    net = psec if "params_binary" in psec else psec["network"]
+    blob = bytes(net["params_binary"])
+    if net.get("params_type", "__half") != "__half":
+        raise ValueError(f"unsupported params_type {net['params_type']!r}")
+    if "n_params" in net and int(net["n_params"]) != len(blob) // 2:
+        raise ValueError("n_params does not match params_binary size")
+    params = unpack_params(field, blob)
     meta = {"step": psec.get("step", 0), "loss": psec.get("loss", 0.0)}
     return field, params, mc, volume_dims, meta

@@ -113,3 +113,183 @@ class TestCheckpoint:
                      settings=RaymarchSettings(n_iters=4, max_supersteps=32))
         img = np.asarray(r.render())
         assert np.isfinite(img).all()
+
+
+# ---------------------------------------------------------------------------
+# CUDA byte-interop fixture (VERDICT r1 item 9)
+#
+# An INDEPENDENT BSON writer + tcnn param packer, implemented from the BSON
+# spec and the documented CUDA layout (network.cu:827-877 writes via
+# nlohmann json::to_bson — std::map ⇒ alphabetical keys; parameters =
+# tcnn Trainer::serialize(): {n_params, params_binary, params_type}; blob =
+# fp16 MLP matrices [out×in] row-major with the output layer padded to 16
+# rows, then the hash grid entry-major). Nothing below imports
+# instantvnr_tpu.utils.bson or serializer helpers.
+# ---------------------------------------------------------------------------
+import struct
+
+
+def _b_elem(tag, key, payload):
+    return bytes([tag]) + key.encode() + b"\x00" + payload
+
+
+def _b_doc(pairs):
+    """pairs: list of (key, value) — caller must pass them pre-sorted."""
+    body = b""
+    for k, v in pairs:
+        if isinstance(v, bool):
+            body += _b_elem(0x08, k, b"\x01" if v else b"\x00")
+        elif isinstance(v, int):
+            body += _b_elem(0x10, k, struct.pack("<i", v))
+        elif isinstance(v, float):
+            body += _b_elem(0x01, k, struct.pack("<d", v))
+        elif isinstance(v, str):
+            s = v.encode() + b"\x00"
+            body += _b_elem(0x02, k, struct.pack("<i", len(s)) + s)
+        elif isinstance(v, bytes):  # generic binary, subtype 0
+            body += _b_elem(0x05, k, struct.pack("<i", len(v)) + b"\x00" + v)
+        elif isinstance(v, list):  # pre-built subdocument pairs
+            body += _b_elem(0x03, k, _b_doc(v))
+        else:
+            raise TypeError(type(v))
+    return struct.pack("<i", len(body) + 5) + body + b"\x00"
+
+
+def _vec3_pairs(x, y, z):
+    return [("x", x), ("y", y), ("z", z)]
+
+
+def _cuda_fixture_bytes(cfg, mlp_mats, grid, mc_lo, mc_hi, vol_dims,
+                        mc_spacings, extras=()):
+    """Bytes of a checkpoint exactly as NeuralVolume::save_params writes it.
+
+    mlp_mats: list of [in, out] float arrays (our convention); stored
+    transposed. grid: [n_entries, F]. mc_lo/mc_hi: [mz,my,mx] true ranges
+    (stored with the −1/+1 offset). extras: additional (key, value) pairs in
+    "parameters" (empty for a pristine CUDA file).
+    """
+    chunks = []
+    for i, w in enumerate(mlp_mats):
+        m = np.asarray(w, np.float32).T
+        if i == len(mlp_mats) - 1 and m.shape[0] < 16:
+            m = np.concatenate([m, np.zeros((16 - m.shape[0], m.shape[1]),
+                                            np.float32)])
+        chunks.append(m.astype(np.float16).ravel())
+    chunks.append(np.asarray(grid, np.float32).astype(np.float16).ravel())
+    blob = np.concatenate(chunks).tobytes()
+
+    lo = np.asarray(mc_lo, np.float32) - 1.0
+    hi = np.asarray(mc_hi, np.float32) + 1.0
+    ranges = np.stack([lo.ravel(), hi.ravel()], axis=-1).astype("<f4")
+    mz, my, mx = np.asarray(mc_lo).shape
+
+    e = cfg.encoding
+    n = cfg.network
+    o = cfg.optimizer
+    model = [
+        ("encoding", [
+            ("base_resolution", e.base_resolution),
+            ("log2_hashmap_size", e.log2_hashmap_size),
+            ("n_features_per_level", e.n_features_per_level),
+            ("n_levels", e.n_levels),
+            ("otype", e.otype),
+            ("per_level_scale", float(e.per_level_scale)),
+        ]),
+        ("loss", [("otype", cfg.loss.otype)]),
+        ("network", [
+            ("activation", n.activation),
+            ("n_hidden_layers", n.n_hidden_layers),
+            ("n_neurons", n.n_neurons),
+            ("otype", n.otype),
+            ("output_activation", n.output_activation),
+        ]),
+        ("optimizer", [
+            ("decay_base", float(o.decay_base)),
+            ("decay_interval", o.decay_interval),
+            ("decay_start", o.decay_start),
+            ("nested", [
+                ("beta1", float(o.beta1)),
+                ("beta2", float(o.beta2)),
+                ("epsilon", float(o.epsilon)),
+                ("l2_reg", float(o.l2_reg)),
+                ("learning_rate", float(o.learning_rate)),
+                ("otype", "Adam"),
+            ]),
+            ("otype", o.otype),
+        ]),
+    ]
+    params = sorted([
+        ("n_params", len(blob) // 2),
+        ("params_binary", blob),
+        ("params_type", "__half"),
+        *extras,
+    ])
+    root = [
+        ("macrocell", [
+            ("data", ranges.tobytes()),
+            ("dims", _vec3_pairs(mx, my, mz)),
+            ("groundtruth", False),
+            ("spacings", _vec3_pairs(*(float(s) for s in mc_spacings))),
+        ]),
+        ("model", model),
+        ("parameters", params),
+        ("volume", [("dims", _vec3_pairs(*(int(d) for d in vol_dims)))]),
+    ]
+    return _b_doc(root)
+
+
+class TestCudaInterop:
+    def _setup(self):
+        rng = np.random.RandomState(7)
+        field, _ = small_setup()
+        widths = ([field.spec.n_output_dims]
+                  + [field.cfg.network.n_neurons]
+                  * field.cfg.network.n_hidden_layers
+                  + [field.n_output_dims])
+        mlp = [rng.randn(i, o).astype(np.float32) * 0.25
+               for i, o in zip(widths[:-1], widths[1:])]
+        grid = rng.randn(field.spec.n_entries,
+                         field.spec.n_features).astype(np.float32) * 0.1
+        vol = synthetic_volume((32, 32, 32), kind="sphere")
+        mc = mcmod.build(vol.data, vol.dims)
+        return field, mlp, grid, mc, vol
+
+    def test_load_cuda_written_fixture(self, tmp_path):
+        """A byte-exact CUDA-layout file (no repo code involved in writing)
+        loads correctly: params, macrocell ranges (offset undone), dims."""
+        field, mlp, grid, mc, vol = self._setup()
+        raw = _cuda_fixture_bytes(
+            field.cfg, mlp, grid, np.asarray(mc.value_lo),
+            np.asarray(mc.value_hi), vol.dims, mc.spacings)
+        p = tmp_path / "cuda.bson"
+        p.write_bytes(raw)
+
+        field2, params2, mc2, dims2, meta = load_checkpoint(str(p))
+        assert dims2 == (32, 32, 32)
+        assert field2.cfg.encoding == field.cfg.encoding
+        assert field2.cfg.network == field.cfg.network
+        # fp16 storage quantization only
+        for a, b in zip(mlp, params2["mlp"]):
+            np.testing.assert_allclose(a, np.asarray(b), atol=2e-3)
+        np.testing.assert_allclose(grid, np.asarray(params2["table"]),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(mc.value_lo),
+                                   np.asarray(mc2.value_lo), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(mc.value_hi),
+                                   np.asarray(mc2.value_hi), atol=1e-6)
+
+    def test_writer_is_byte_exact_cuda_layout(self, tmp_path):
+        """save_checkpoint emits byte-identical BSON to the independent
+        writer (alphabetical keys, subtype-0 binaries, int32/double scalars),
+        so CUDA's json::from_bson + Trainer::deserialize can read our files."""
+        field, mlp, grid, mc, vol = self._setup()
+        params = {"table": jnp.asarray(grid),
+                  "mlp": [jnp.asarray(m) for m in mlp]}
+        p = tmp_path / "ours.bson"
+        save_checkpoint(str(p), field, params, mc, vol.dims, step=3,
+                        loss=0.125)
+        expected = _cuda_fixture_bytes(
+            field.cfg, mlp, grid, np.asarray(mc.value_lo),
+            np.asarray(mc.value_hi), vol.dims, mc.spacings,
+            extras=(("loss", 0.125), ("step", 3)))
+        assert p.read_bytes() == expected
