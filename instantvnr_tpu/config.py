@@ -127,6 +127,13 @@ class ModelConfig:
     # "auto" → Pallas fused kernel on TPU, XLA path elsewhere;
     # "xla" | "pallas" force one (ops/pallas/fused_mlp.py)
     mlp_impl: str = "auto"
+    # training backward for the hash grid: "splat" routes dense levels
+    # through separable splatting — 1.1–1.4× faster full train steps on v5e
+    # (ops/hash_encoding.py measurement table); "scatter" keeps the plain
+    # XLA scatter-add autodiff backward; "auto" (default) → splat on TPU
+    # backends, scatter elsewhere (CPU scatter is cheap, CPU matmuls of the
+    # R=64 dense level are not)
+    grid_grad_impl: str = "auto"
 
     def to_json(self) -> dict:
         """Serialize back to the tcnn-compatible schema (for checkpoints)."""
@@ -236,6 +243,26 @@ class VolumeDesc:
     dtype: str = "FLOAT"  # key into VALUE_TYPES
     offset: int = 0
     bigendian: bool = False
+    # time series: one file per timestep (reference MultiVolume::data,
+    # instantvnr_types.h:40-56; diva 'filename' arrays and vidi
+    # 'dataSource' arrays each map to one timestep, serializer.cpp:148-163,
+    # 330-344). Empty → single-timestep volume at `filename`.
+    timestep_files: tuple = ()
+
+    @property
+    def n_timesteps(self) -> int:
+        return max(1, len(self.timestep_files))
+
+    def at_timestep(self, index: int) -> "VolumeDesc":
+        """Descriptor of one timestep (vnrSimpleVolumeSetCurrentTimeStep)."""
+        if not self.timestep_files:
+            if index != 0:
+                raise IndexError("single-timestep volume")
+            return self
+        import dataclasses
+
+        return dataclasses.replace(
+            self, filename=self.timestep_files[index], timestep_files=())
 
     @property
     def np_dtype(self) -> np.dtype:
@@ -301,9 +328,15 @@ def _vec3(d: Any) -> tuple[float, float, float]:
 
 
 def _scene_from_vidi(root: dict, base_dir: str) -> SceneConfig:
-    """The 'vidi' dialect: dataSource/view keys (serializer.cpp:253-300)."""
+    """The 'vidi' dialect: dataSource/view keys (serializer.cpp:253-300).
+
+    A 'dataSource' ARRAY is a time series: each entry is one timestep
+    sharing the primary entry's dims/type (serializer.cpp:330-344)."""
     ds = root["dataSource"]
+    steps: tuple = ()
     if isinstance(ds, list):
+        if len(ds) > 1:
+            steps = tuple(_pick_existing(d["fileName"], base_dir) for d in ds)
         ds = ds[0]
     dims = _vec3(ds["dimensions"])
     dtype = ds["type"]
@@ -313,6 +346,7 @@ def _scene_from_vidi(root: dict, base_dir: str) -> SceneConfig:
         dtype=dtype,
         offset=int(ds.get("offset", 0)),
         bigendian=(ds.get("endian", "LITTLE_ENDIAN") == "BIG_ENDIAN"),
+        timestep_files=steps,
     )
     cam = CameraConfig()
     tfn = TransferFunctionConfig()
@@ -387,12 +421,21 @@ def _scene_from_diva(root: dict, base_dir: str) -> SceneConfig:
     """The 'diva' dialect: top-level 'volume' key (serializer.cpp:138-170)."""
     config = root["volume"]
     dims = _vec3(config["dims"])
+    fns = config["filename"]
+    # a filename ARRAY is a time series, one file per timestep
+    # (serializer.cpp:148-155)
+    steps: tuple = ()
+    if isinstance(fns, list) and len(fns) > 1:
+        steps = tuple(
+            fn if os.path.isabs(fn) else os.path.join(base_dir, fn)
+            for fn in fns)
     vol = VolumeDesc(
-        filename=_pick_existing(config["filename"], base_dir),
+        filename=steps[0] if steps else _pick_existing(fns, base_dir),
         dims=(int(dims[0]), int(dims[1]), int(dims[2])),
         dtype=config["type"],
         offset=int(config.get("offset", 0)),
         bigendian=bool(config.get("bigendian", False)),
+        timestep_files=steps,
     )
     return SceneConfig(volume=vol)
 

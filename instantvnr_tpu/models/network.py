@@ -85,8 +85,17 @@ def network_apply(params: Params, coords: jnp.ndarray,
     for the MLP (MXU), fp32 accumulation.
     """
     compute_dtype = jnp.dtype(field.cfg.compute_dtype)
-    feats = hash_encode(params["table"], coords, field.spec,
-                        compute_dtype=compute_dtype)
+    impl = field.cfg.grid_grad_impl
+    if impl == "auto":
+        impl = "splat" if jax.default_backend() == "tpu" else "scatter"
+    if impl == "splat":
+        from instantvnr_tpu.ops.hash_encoding import hash_encode_splat
+
+        feats = hash_encode_splat(params["table"], coords, field.spec,
+                                  compute_dtype=compute_dtype)
+    else:
+        feats = hash_encode(params["table"], coords, field.spec,
+                            compute_dtype=compute_dtype)
     if _use_pallas_mlp(field.cfg.mlp_impl):
         from instantvnr_tpu.ops.pallas.fused_mlp import fused_mlp_apply
 

@@ -239,3 +239,160 @@ def hash_encode(table: jnp.ndarray, coords: jnp.ndarray,
     feats = feats.astype(compute_dtype) * weights.astype(compute_dtype)[..., None]
     feats = feats.reshape(b, spec.n_levels, 8, spec.n_features).sum(axis=2)
     return feats.reshape(b, spec.n_levels * spec.n_features)
+
+
+# ---------------------------------------------------------------------------
+# Training backward: dense-level separable splatting
+#
+# XLA's scatter-add on v5e costs ≈ ∝ (updates × table entries) — it is the
+# training bottleneck (NOTES_ROUND1). For DENSE levels the gradient
+#   dT[e,f] = Σ_n Σ_c w_c(n) [idx_c(n)=e] g(n,f),  idx = x + y·R + z·R²
+# factorizes into per-axis two-nonzero weight matrices, so it is computable
+# as one reassociated matmul + carry-folds with NO scatter; only the hashed
+# levels keep a (smaller) scatter. Measured on v5e, B=2^16
+# (scratch/splat_proto.py):
+#   encode-only backward, scatter → splat:
+#     log2_hashmap 14:  84 → 82 ms   (1.02×, one dense level)
+#     log2_hashmap 16: 405 → 182 ms  (2.23×)
+#     log2_hashmap 19: 407 → 281 ms  (1.45×; B=2^18: 1607 → 1118 ms)
+#   full train step (fwd+bwd+Adam), scatter → splat:
+#     log2_hashmap 14:  86 → 80 ms/step   (0.76 → 0.82 Msamples/s)
+#     log2_hashmap 16: 285 → 231 ms/step  (0.23 → 0.28 Msamples/s)
+#     log2_hashmap 19: 295 → 219 ms/step  (0.22 → 0.30 Msamples/s)
+# Max grad deviation vs the autodiff backward: ~6e-4 relative (f32
+# accumulation order only). bf16 intermediates measured SLOWER (241 ms at
+# 2^16) — the chain stays f32.
+# ---------------------------------------------------------------------------
+
+
+def _dense_level_grad_splat(spec: HashGridSpec, lvl: int, coords: jnp.ndarray,
+                            g_lvl: jnp.ndarray) -> jnp.ndarray:
+    """Gradient of one dense level via separable splatting → [size, F].
+
+    Reproduces tcnn's dense indexing exactly, including the out-of-row
+    aliasing of +1 corners at cell == R−1 (idx = x + y·R + z·R² with x,y,z up
+    to R) and the final % size wrap: the (R+1)³ extended-grid gradient is
+    folded back by linear-index carries (strided-slice adds, no scatter).
+    Assumes coords ∈ [0,1] (training batches are uniform draws).
+    """
+    res = spec.resolutions[lvl]
+    size = spec.level_sizes[lvl]
+    f_ = spec.n_features
+    r1 = res + 1
+
+    x = coords * jnp.float32(spec.scales[lvl]) + 0.5
+    cell = jnp.floor(x)
+    frac = (x - cell).astype(jnp.float32)
+    cell = cell.astype(jnp.int32)
+    iota = jnp.arange(r1, dtype=jnp.int32)
+
+    def axis_w(a):  # [B, R+1], two nonzeros per row
+        c = cell[:, a : a + 1]
+        f = frac[:, a : a + 1]
+        return (jnp.where(iota[None, :] == c, 1.0 - f, 0.0)
+                + jnp.where(iota[None, :] == c + 1, f, 0.0))
+
+    wx, wy, wz = axis_w(0), axis_w(1), axis_w(2)
+    # reassociated contraction: grad[zyxf] = Σ_n (wz⊗wy)[n,zy]·(wx⊗g)[n,xf]
+    # — ONE [zy, n]@[n, xf] matmul, 2·B·R²·(R·F) flops (the naive 4-factor
+    # einsum is R²/F× more; XLA does not reliably reassociate it)
+    b = coords.shape[0]
+    a_zy = (wz[:, :, None] * wy[:, None, :]).reshape(b, r1 * r1)
+    b_xf = (wx[:, :, None] * g_lvl[:, None, :]).reshape(b, r1 * f_)
+    grad = jnp.dot(a_zy.T, b_xf,
+                   preferred_element_type=jnp.float32)  # [zy, xf]
+    grad = grad.reshape(r1, r1, r1, f_)
+
+    # fold x-carry: partial index m = x + R·y; x==R lands on row y+1's x==0
+    main = grad[:, :, :res, :].reshape(r1, res * r1, f_)
+    fold1 = jnp.concatenate([main, jnp.zeros((r1, 1, f_), grad.dtype)], 1)
+    fold1 = fold1.at[:, res::res].add(grad[:, :, res, :])
+
+    # fold y-carry: flat = m + R²·z; z blocks (length R²+R+1, stride R²)
+    # overlap by R+1 — overlap-add via pad+reshape
+    ny = res * res
+    main2 = fold1[:, :ny, :].reshape(r1 * ny, f_)
+    tails = fold1[:, ny:, :]  # [r1, R+1, F] → head of block z+1
+    tt = jnp.concatenate(
+        [tails, jnp.zeros((r1, ny - (res + 1), f_), grad.dtype)],
+        axis=1).reshape(r1 * ny, f_)
+    out_len = ny * res + ny + res + 1  # R³+R²+R+1
+    fold2 = jnp.zeros((out_len, f_), grad.dtype)
+    fold2 = fold2.at[: r1 * ny].add(main2)
+    fold2 = fold2.at[ny:].add(tt[: out_len - ny])
+
+    # wrap indices ≥ size (the % size in the address path)
+    if out_len > size:
+        head = fold2[:size]
+        wrap = fold2[size:]
+        return head.at[: wrap.shape[0]].add(wrap)
+    return jnp.concatenate(
+        [fold2, jnp.zeros((size - out_len, f_), fold2.dtype)])
+
+
+def _make_splat_encode(spec: HashGridSpec, compute_dtype):
+    dense_lvls = [l for l in range(spec.n_levels) if spec.level_is_dense[l]]
+    hashed_lvls = [l for l in range(spec.n_levels)
+                   if not spec.level_is_dense[l]]
+    h_sizes = [spec.level_sizes[l] for l in hashed_lvls]
+    h_offsets = np.cumsum([0] + h_sizes)[:-1]
+    n_hashed = int(np.sum(h_sizes)) if h_sizes else 0
+
+    @jax.custom_vjp
+    def encode(table, coords):
+        return hash_encode(table, coords, spec, compute_dtype)
+
+    def fwd(table, coords):
+        # zero-size residual just to carry the table dtype to the backward
+        return encode(table, coords), (coords, jnp.zeros((0,), table.dtype))
+
+    def bwd(res_, g):
+        coords, dtype_token = res_
+        table_dtype = dtype_token.dtype
+        b = coords.shape[0]
+        g = g.astype(jnp.float32).reshape(b, spec.n_levels, spec.n_features)
+        parts = [None] * spec.n_levels
+
+        for l in dense_lvls:
+            parts[l] = _dense_level_grad_splat(spec, l, coords, g[:, l, :])
+
+        if hashed_lvls:
+            indices, weights = corner_indices_and_weights(spec, coords)
+            iw = indices.reshape(b, spec.n_levels, 8)
+            ww = weights.reshape(b, spec.n_levels, 8)
+            idx_h, upd_h = [], []
+            for j, l in enumerate(hashed_lvls):
+                shift = spec.level_offsets[l] - int(h_offsets[j])
+                idx_h.append(iw[:, l, :] - shift)
+                upd_h.append(ww[:, l, :, None] * g[:, l, None, :])
+            idx_flat = jnp.stack(idx_h, 1).reshape(-1)
+            upd_flat = jnp.stack(upd_h, 1).reshape(-1, spec.n_features)
+            h_table = jnp.zeros((n_hashed, spec.n_features), jnp.float32)
+            h_table = h_table.at[idx_flat].add(upd_flat)
+            for j, l in enumerate(hashed_lvls):
+                parts[l] = jax.lax.dynamic_slice_in_dim(
+                    h_table, int(h_offsets[j]), spec.level_sizes[l])
+
+        return jnp.concatenate(parts, 0).astype(table_dtype), None
+
+    encode.defvjp(fwd, bwd)
+    return encode
+
+
+_SPLAT_CACHE: dict = {}
+
+
+def hash_encode_splat(table: jnp.ndarray, coords: jnp.ndarray,
+                      spec: HashGridSpec,
+                      compute_dtype=jnp.float32) -> jnp.ndarray:
+    """`hash_encode` with the splatting training backward (see above).
+
+    Forward-identical to `hash_encode`; backward differs only in f32
+    accumulation order. No gradient w.r.t. coords (nothing in the framework
+    differentiates through sample positions).
+    """
+    key = (spec, jnp.dtype(compute_dtype).name)
+    fn = _SPLAT_CACHE.get(key)
+    if fn is None:
+        fn = _SPLAT_CACHE[key] = _make_splat_encode(spec, compute_dtype)
+    return fn(table, coords)

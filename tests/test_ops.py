@@ -215,3 +215,58 @@ class TestEncodingNumpyOracle:
                     acc += np.float32(w) * table[idx]
                 expect[i, lvl * spec.n_features:(lvl + 1) * spec.n_features] = acc
         np.testing.assert_allclose(out, expect, atol=1e-5)
+
+
+class TestSplatBackward:
+    """Dense-level separable-splat backward ≡ XLA scatter-add autodiff
+    (hash_encoding.hash_encode_splat), including the dense out-of-row corner
+    aliasing and % size wrap that tcnn's forward indexing implies."""
+
+    @pytest.mark.parametrize("log2", [6, 14])
+    def test_grad_matches_autodiff(self, log2):
+        from instantvnr_tpu.config import EncodingConfig
+        from instantvnr_tpu.ops.hash_encoding import (
+            HashGridSpec,
+            hash_encode,
+            hash_encode_splat,
+            init_hash_table,
+        )
+
+        spec = HashGridSpec.from_config(
+            EncodingConfig(n_levels=4, n_features_per_level=2,
+                           log2_hashmap_size=log2, base_resolution=4))
+        assert any(spec.level_is_dense) and (
+            not all(spec.level_is_dense) or log2 == 14)
+        key = jax.random.PRNGKey(3)
+        table = init_hash_table(key, spec)
+        coords = jax.random.uniform(key, (257, 3), jnp.float32)
+        # weighted sum loss so every output position has a distinct cotangent
+        w = jax.random.normal(jax.random.PRNGKey(4),
+                              (257, spec.n_output_dims))
+
+        def loss(enc):
+            return lambda t: jnp.sum(enc(t, coords, spec) * w)
+
+        g_ref = jax.grad(loss(hash_encode))(table)
+        g_new = jax.grad(loss(hash_encode_splat))(table)
+        np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                                   atol=1e-4, rtol=1e-3)
+
+    def test_forward_identical(self):
+        from instantvnr_tpu.config import EncodingConfig
+        from instantvnr_tpu.ops.hash_encoding import (
+            HashGridSpec,
+            hash_encode,
+            hash_encode_splat,
+            init_hash_table,
+        )
+
+        spec = HashGridSpec.from_config(
+            EncodingConfig(n_levels=3, n_features_per_level=2,
+                           log2_hashmap_size=8, base_resolution=4))
+        key = jax.random.PRNGKey(0)
+        table = init_hash_table(key, spec)
+        coords = jax.random.uniform(key, (64, 3), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(hash_encode_splat(table, coords, spec)),
+            np.asarray(hash_encode(table, coords, spec)))
