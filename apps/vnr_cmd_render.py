@@ -33,6 +33,9 @@ def main():
                    "(batch_renderer.cpp:222-224)")
     p.add_argument("--camera", type=float, nargs=3, default=None,
                    help="eye position (default: auto-framed orbit)")
+    p.add_argument("--timestep", type=int, default=0,
+                   help="time-series volumes: render this timestep "
+                   "(vnrSimpleVolumeSetCurrentTimeStep, api.h:118)")
     args = p.parse_args()
 
     import numpy as np
@@ -68,6 +71,10 @@ def main():
         "pathtrace-neural": RenderMode.PATHTRACE_NEURAL,
         "pathtrace-reference": RenderMode.PATHTRACE_REFERENCE,
     }[args.mode]
+
+    if args.timestep and simple is not None:
+        print(f"[vnr] timestep {args.timestep}/{simple.num_timesteps}")
+        simple.set_current_timestep(args.timestep)
 
     r = VNRenderer(subject, width=args.size, height=args.size, mode=mode)
     if args.camera:

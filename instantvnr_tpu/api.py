@@ -73,11 +73,20 @@ class SimpleVolume:
             from instantvnr_tpu.config import load_scene_config
 
             source = load_scene_config(source)
+        self._timestep_volumes = None  # in-memory time series (tests/synthetic)
+        self._timestep = 0
         if isinstance(source, SceneConfig):
             self.scene = source
             self.volume = load_volume(source.volume)
             tfn_cfg = tfn_cfg or source.tfn
             self.camera_cfg = source.camera
+        elif isinstance(source, (list, tuple)):
+            # in-memory time series: a list of Volume objects sharing dims
+            assert len({v.dims for v in source}) == 1, "timestep dims differ"
+            self.scene = None
+            self._timestep_volumes = list(source)
+            self.volume = self._timestep_volumes[0]
+            self.camera_cfg = None
         else:
             self.scene = None
             self.volume = source
@@ -101,6 +110,37 @@ class SimpleVolume:
         self.tfn_cfg = tfn_cfg
         self.tf = bake_transfer_function(tfn_cfg)
         self.macrocell = mcmod.update_max_opacity(self.macrocell, self.tf)
+
+    # -- time series (vnrSimpleVolumeSetCurrentTimeStep /
+    #    vnrSimpleVolumeGetNumberOfTimeSteps, api.h:118-119) ---------------
+
+    @property
+    def num_timesteps(self) -> int:
+        if self._timestep_volumes is not None:
+            return len(self._timestep_volumes)
+        if self.scene is not None:
+            return self.scene.volume.n_timesteps
+        return 1
+
+    @property
+    def current_timestep(self) -> int:
+        return self._timestep
+
+    def set_current_timestep(self, index: int):
+        """Switch the active timestep and recompute the macrocell from the
+        new data (SimpleVolume::set_current_timestep, sampler.cu:20-26)."""
+        n = self.num_timesteps
+        if not 0 <= index < n:
+            raise IndexError(f"timestep {index} out of range [0,{n})")
+        if index == self._timestep:
+            return
+        if self._timestep_volumes is not None:
+            self.volume = self._timestep_volumes[index]
+        else:
+            self.volume = load_volume(self.scene.volume.at_timestep(index))
+        self._timestep = index
+        self.macrocell = mcmod.build(self.volume.data, self.volume.dims,
+                                     self.tf)
 
     def set_clipping_box(self, lower, upper):
         """vnrVolumeSetClippingBox (api.cpp:322-338): bounds in voxel
@@ -453,6 +493,14 @@ class VNRenderer:
         """vnrVolumeSetScaling + renderer refresh (api.cpp:340-351)."""
         (self.neural or self.simple).set_scaling(scale)
         self._impl.set_transform((self.neural or self.simple).transform)
+
+    def set_current_timestep(self, index: int):
+        """vnrSimpleVolumeSetCurrentTimeStep + renderer rebind (api.h:118):
+        swaps the active timestep's data and macrocell into the render path
+        (compiled programs are reused — only array bindings change)."""
+        assert self.simple is not None, "time series requires a SimpleVolume"
+        self.simple.set_current_timestep(index)
+        self.set_mode(self.mode)
 
     @property
     def camera(self) -> Camera:

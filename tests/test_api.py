@@ -141,3 +141,56 @@ class TestMacrocellPsnr:
         # after 120 steps of online updates the sampled ranges approximate
         # the offline sweep (ranges differ by the sampling density only)
         assert p > 10, p
+
+
+class TestTimeSeries:
+    """vnrSimpleVolumeSetCurrentTimeStep / GetNumberOfTimeSteps
+    (api.h:118-119; SimpleVolume::set_current_timestep, sampler.cu:20-26)."""
+
+    def test_in_memory_series_switches_data_and_macrocell(self):
+        from instantvnr_tpu.api import RenderMode, SimpleVolume, VNRenderer
+        from instantvnr_tpu.data import synthetic_volume
+
+        vols = [synthetic_volume((16, 16, 16), kind="sphere"),
+                synthetic_volume((16, 16, 16), kind="vorts")]
+        sv = SimpleVolume(vols)
+        assert sv.num_timesteps == 2
+        assert sv.current_timestep == 0
+
+        r = VNRenderer(sv, width=12, height=12,
+                       mode=RenderMode.REFERENCE_RAYMARCH)
+        f0 = np.asarray(r.render())
+
+        r.set_current_timestep(1)
+        assert sv.current_timestep == 1
+        # macrocell rebuilt from the new data (reference recomputes it)
+        assert not np.allclose(np.asarray(sv.macrocell.value_hi),
+                               np.asarray(r.simple.macrocell.value_lo))
+        f1 = np.asarray(r.render())
+        assert np.isfinite(f1).all()
+        assert not np.allclose(f0, f1)  # different data renders differently
+
+        with pytest.raises(IndexError):
+            sv.set_current_timestep(2)
+
+    def test_scene_file_series(self, tmp_path):
+        import json
+
+        from instantvnr_tpu.api import SimpleVolume
+
+        for t in range(2):
+            (np.full((4, 5, 6), 10.0 * t + 1.0, np.float32)
+             .tofile(tmp_path / f"t{t}.raw"))
+        scene = {"volume": {"filename": ["t0.raw", "t1.raw"],
+                            "dims": {"x": 6, "y": 5, "z": 4},
+                            "type": "FLOAT"}}
+        p = tmp_path / "scene.json"
+        p.write_text(json.dumps(scene))
+        sv = SimpleVolume(str(p))
+        assert sv.num_timesteps == 2
+        v0 = np.asarray(sv.volume.data)
+        sv.set_current_timestep(1)
+        v1 = np.asarray(sv.volume.data)
+        assert v0.shape == v1.shape == (4, 5, 6)
+        # constant volumes normalize to zeros in both cases; ranges differ
+        assert sv.volume.original_range == (11.0, 11.0)

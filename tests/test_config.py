@@ -137,3 +137,30 @@ def test_scene_config_vidi_dialect(tmp_path):
     # uint8 scalarMappingRange scales by 255 (serializer.cpp:222-226)
     assert cfg.tfn.range == (0.0, 0.5 * 255.0)
     assert len(cfg.tfn.alphas) == 2
+
+
+def test_scene_config_diva_time_series(tmp_path):
+    """A 'filename' ARRAY is a time series: one file per timestep
+    (serializer.cpp:148-155 pushes each entry as a MultiVolume::File)."""
+    from instantvnr_tpu.config import load_scene_config
+
+    files = []
+    for t in range(3):
+        f = tmp_path / f"vol_t{t}.raw"
+        np.full((4, 4, 4), t, np.float32).tofile(f)
+        files.append(f.name)  # relative → resolved against the scene dir
+    scene = {
+        "volume": {
+            "filename": files,
+            "dims": {"x": 4, "y": 4, "z": 4},
+            "type": "FLOAT",
+        }
+    }
+    p = tmp_path / "scene.json"
+    p.write_text(json.dumps(scene))
+    cfg = load_scene_config(str(p))
+    assert cfg.volume.n_timesteps == 3
+    assert cfg.volume.filename == str(tmp_path / "vol_t0.raw")
+    d1 = cfg.volume.at_timestep(1)
+    assert d1.filename == str(tmp_path / "vol_t1.raw")
+    assert d1.n_timesteps == 1
