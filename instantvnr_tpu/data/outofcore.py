@@ -34,23 +34,30 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
 
 
+_ABI_VERSION = 2
+
+
 def _load_native():
     so = os.path.join(_NATIVE_DIR, "libvnr_loader.so")
-    if not os.path.exists(so):
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True)
-        except Exception:
+    try:
+        # incremental make: no-op when the .so is current, rebuilds stale ones
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+    except Exception:
+        if not os.path.exists(so):
             return None
     try:
         lib = ctypes.CDLL(so)
-    except OSError:
+        if lib.vnr_loader_abi_version() != _ABI_VERSION:
+            return None
+    except (OSError, AttributeError):
         return None
     lib.vnr_loader_create.restype = ctypes.c_void_p
     lib.vnr_loader_create.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int, ctypes.c_int64, ctypes.c_float, ctypes.c_float,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
     ]
     lib.vnr_loader_sample.restype = ctypes.c_int
     lib.vnr_loader_sample.argtypes = [
@@ -75,17 +82,38 @@ def native_lib():
     return _LIB or None
 
 
+def default_n_resident(desc: VolumeDesc, block_y: int, block_z: int) -> int:
+    """Size the resident set to a host-memory budget, the reference's policy
+    (neural_sampler.cpp:1054-1061: VNR_NUM_BLOCKS = 64 × concurrent, env-
+    overridable). `VNR_NUM_BLOCKS` overrides the count directly;
+    `VNR_OOC_MEM_MB` (default 1024) sets the budget."""
+    env = os.environ.get("VNR_NUM_BLOCKS")
+    if env:
+        return max(1, int(env))
+    budget = int(os.environ.get("VNR_OOC_MEM_MB", "1024")) << 20
+    block_bytes = (block_y + 1) * (block_z + 1) * desc.dims[0] * 4
+    # never more blocks than the volume has (don't over-allocate small files)
+    n_blocks_total = (
+        -(-desc.dims[1] // block_y) * -(-desc.dims[2] // block_z))
+    return int(np.clip(budget // max(block_bytes, 1), 8, n_blocks_total))
+
+
 class OutOfCoreSampler:
     """Streamed random-block sampler over a raw volume file."""
 
     def __init__(self, desc: VolumeDesc, value_range: tuple[float, float],
-                 block_y: int = 32, block_z: int = 32, n_resident: int = 64,
+                 block_y: int = 32, block_z: int = 32,
+                 n_resident: int | None = None,
                  n_threads: int = 4, use_native: bool | None = None,
-                 seed: int = 1337):
+                 seed: int = 1337, odirect: bool | None = None):
         self.desc = desc
         self.value_range = value_range
         self.block_y, self.block_z = block_y, block_z
+        if n_resident is None:
+            n_resident = default_n_resident(desc, block_y, block_z)
         self.n_resident = n_resident
+        if odirect is None:
+            odirect = os.environ.get("VNR_OOC_ODIRECT", "0") == "1"
         self._seed = seed
         self._counter = 0
         self._native = None
@@ -96,7 +124,7 @@ class OutOfCoreSampler:
                 desc.filename.encode(), dx, dy, dz,
                 _DTYPE_CODE[desc.dtype], desc.offset,
                 float(value_range[0]), float(value_range[1]),
-                block_y, block_z, n_resident, n_threads,
+                block_y, block_z, n_resident, n_threads, int(odirect),
             )
             if h:
                 self._native = (lib, ctypes.c_void_p(h))
@@ -108,6 +136,12 @@ class OutOfCoreSampler:
                                    shape=(desc.dims[2], desc.dims[1],
                                           desc.dims[0]))
             self._rng = np.random.default_rng(seed)
+            # resident set for the fallback: a rotating pool of loaded
+            # blocks, one refreshed per sample() call (uniform-over-resident
+            # like the native path; bounded memory)
+            self._py_blocks: list = []
+            self._py_pool = min(self.n_resident, 16)
+            self._py_next = 0
 
     @property
     def is_native(self) -> bool:
@@ -146,14 +180,14 @@ class OutOfCoreSampler:
             return coords, values[:, None]
         return self._sample_numpy(batch)
 
-    def _sample_numpy(self, batch: int):
-        """Fallback: same block geometry, synchronous memmap reads."""
+    def _load_block_numpy(self):
+        """Load one random block (with +1 ghost rows) from the memmap."""
         dx, dy, dz = self.desc.dims
         rng = self._rng
-        by0 = rng.integers(0, max((dy + self.block_y - 1) // self.block_y, 1)) \
-            * self.block_y
-        bz0 = rng.integers(0, max((dz + self.block_z - 1) // self.block_z, 1)) \
-            * self.block_z
+        by0 = int(rng.integers(0, max((dy + self.block_y - 1) // self.block_y, 1))
+                  * self.block_y)
+        bz0 = int(rng.integers(0, max((dz + self.block_z - 1) // self.block_z, 1))
+                  * self.block_z)
         ny = min(self.block_y + 1, dy - by0)
         nz = min(self.block_z + 1, dz - bz0)
         block = np.asarray(self._mmap[bz0 : bz0 + nz, by0 : by0 + ny, :],
@@ -161,32 +195,75 @@ class OutOfCoreSampler:
         lo, hi = self.value_range
         if hi > lo:
             block = (block - lo) / (hi - lo)
-        fx = rng.random(batch, np.float32) * dx
-        fy = rng.random(batch, np.float32) * max(ny - 1, 1)
-        fz = rng.random(batch, np.float32) * max(nz - 1, 1)
-        cx = np.clip(fx - 0.5, 0, dx - 1)
-        x0 = cx.astype(np.int32)
-        x1 = np.minimum(x0 + 1, dx - 1)
-        wx = cx - x0
-        y0 = np.minimum(fy.astype(np.int32), max(ny - 2, 0))
-        wy = fy - y0
-        z0 = np.minimum(fz.astype(np.int32), max(nz - 2, 0))
-        wz = fz - z0
-        y1 = np.minimum(y0 + 1, ny - 1)
-        z1 = np.minimum(z0 + 1, nz - 1)
-        c00 = block[z0, y0, x0] * (1 - wx) + block[z0, y0, x1] * wx
-        c10 = block[z0, y1, x0] * (1 - wx) + block[z0, y1, x1] * wx
-        c01 = block[z1, y0, x0] * (1 - wx) + block[z1, y0, x1] * wx
-        c11 = block[z1, y1, x0] * (1 - wx) + block[z1, y1, x1] * wx
-        c0 = c00 * (1 - wy) + c10 * wy
-        c1 = c01 * (1 - wy) + c11 * wy
-        values = c0 * (1 - wz) + c1 * wz
-        coords = np.stack([
-            (cx + 0.5) / dx,
-            (by0 + fy + 0.5) / dy,
-            (bz0 + fz + 0.5) / dz,
-        ], axis=-1).astype(np.float32)
+        return (by0, bz0, ny, nz, block)
+
+    def _sample_numpy(self, batch: int):
+        """Fallback: same block geometry, synchronous memmap reads.
+
+        Batches draw uniformly across the whole resident pool (reference
+        uniform-over-resident policy, neural_sampler.cpp:1066-1120), with one
+        block refreshed per call — NOT one block per batch, which would give
+        heavily correlated samples."""
+        dx, dy, dz = self.desc.dims
+        rng = self._rng
+        # refresh: replace the oldest pool slot with a fresh random block
+        if len(self._py_blocks) < self._py_pool:
+            self._py_blocks.append(self._load_block_numpy())
+        else:
+            self._py_blocks[self._py_next] = self._load_block_numpy()
+            self._py_next = (self._py_next + 1) % self._py_pool
+
+        k = len(self._py_blocks)
+        pick = rng.integers(0, k, batch)
+        coords = np.empty((batch, 3), np.float32)
+        values = np.empty((batch,), np.float32)
+        for bi in range(k):
+            m = pick == bi
+            n = int(m.sum())
+            if n == 0:
+                continue
+            by0, bz0, ny, nz, block = self._py_blocks[bi]
+            fx = rng.random(n, np.float32) * dx
+            fy = rng.random(n, np.float32) * max(ny - 1, 1)
+            fz = rng.random(n, np.float32) * max(nz - 1, 1)
+            cx = np.clip(fx - 0.5, 0, dx - 1)
+            x0 = cx.astype(np.int32)
+            x1 = np.minimum(x0 + 1, dx - 1)
+            wx = cx - x0
+            y0 = np.minimum(fy.astype(np.int32), max(ny - 2, 0))
+            wy = fy - y0
+            z0 = np.minimum(fz.astype(np.int32), max(nz - 2, 0))
+            wz = fz - z0
+            y1 = np.minimum(y0 + 1, ny - 1)
+            z1 = np.minimum(z0 + 1, nz - 1)
+            c00 = block[z0, y0, x0] * (1 - wx) + block[z0, y0, x1] * wx
+            c10 = block[z0, y1, x0] * (1 - wx) + block[z0, y1, x1] * wx
+            c01 = block[z1, y0, x0] * (1 - wx) + block[z1, y0, x1] * wx
+            c11 = block[z1, y1, x0] * (1 - wx) + block[z1, y1, x1] * wx
+            c0 = c00 * (1 - wy) + c10 * wy
+            c1 = c01 * (1 - wy) + c11 * wy
+            values[m] = c0 * (1 - wz) + c1 * wz
+            coords[m] = np.stack([
+                (cx + 0.5) / dx,
+                (by0 + fy + 0.5) / dy,
+                (bz0 + fz + 0.5) / dz,
+            ], axis=-1)
         return coords, values[:, None].astype(np.float32)
+
+    def measure_throughput(self, batch: int = 1 << 16,
+                           duration: float = 2.0) -> float:
+        """Sustained host sampling throughput in samples/s (the reference
+        protocol reports training samples/s; this isolates the IO+interp
+        stage)."""
+        import time
+
+        self.sample(batch)  # warm (native: wait for first blocks)
+        n = 0
+        t0 = time.time()
+        while time.time() - t0 < duration:
+            self.sample(batch)
+            n += batch
+        return n / (time.time() - t0)
 
     def close(self):
         if self._native:

@@ -75,3 +75,38 @@ def make_dp_train_step(field: NeuralField, mesh: Mesh, batch: int,
         return state
 
     return jax.jit(sharded_steps, donate_argnums=(0,))
+
+
+def make_dp_hostbatch_step(field: NeuralField, mesh: Mesh):
+    """Data-parallel step on HOST-provided batches — the multi-host
+    out-of-core path: every host streams its own blocks (OutOfCoreSampler),
+    contributes its local shard of the global batch, and gradients meet in
+    one psum (SURVEY §2.9 per-host brick streaming; reference
+    neural_sampler.cpp:1066-1120 feeds the same way on one GPU)."""
+    loss_fn = make_loss_fn(field)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P("data"), P("data")),
+             out_specs=P(), check_vma=False)
+    def step(state: TrainState, coords, targets):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, coords,
+                                                  targets)
+        grads = jax.lax.pmean(grads, "data")
+        loss = jax.lax.pmean(loss, "data")
+        key, _ = jax.random.split(state.key)  # keep RNG streams advancing
+        params, opt = adam_update(
+            field.cfg.optimizer, state.params, grads, state.opt,
+            l2_mask=mlp_l2_mask(state.params),
+        )
+        return TrainState(params=params, opt=opt, key=key, loss=loss)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def shard_host_batch(mesh: Mesh, coords, targets):
+    """Assemble the global [B] batch from THIS process's local arrays
+    (jax.make_array_from_process_local_data): on a multi-host mesh each host
+    contributes its slice; single-host meshes just shard over local devices."""
+    sh = NamedSharding(mesh, P("data"))
+    c = jax.make_array_from_process_local_data(sh, coords)
+    t = jax.make_array_from_process_local_data(sh, targets)
+    return c, t

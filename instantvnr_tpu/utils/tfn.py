@@ -147,6 +147,11 @@ def classify(tf: TransferFunction, values: jnp.ndarray):
     return rgb, alpha
 
 
+# beyond this many segments the unrolled chain loses to one LUT gather
+# (compile size grows linearly in knots; the gather is knot-independent)
+_CONTROLS_CROSSOVER = 64
+
+
 def classify_controls(tf: TransferFunction, values: jnp.ndarray):
     """Gather-free classification: evaluate the piecewise-linear transfer
     function directly from its control points via the telescoping form
@@ -157,7 +162,14 @@ def classify_controls(tf: TransferFunction, values: jnp.ndarray):
     random gather, ~10⁸/s on TPU; this sustains full vector rate). Exact for
     values covered by the control points (the dense-LUT path additionally
     quantizes to `resolution` bins). Returns (rgb [...,3], alpha [...]).
+
+    Detailed transfer functions (many knots) cross over to the dense-LUT
+    gather: the unrolled segment chain grows the traced program linearly in
+    Kc and the VPU win fades, while the gather path is Kc-independent.
     """
+    kc = tf.ctrl_x.shape[0]
+    if kc - 1 > _CONTROLS_CROSSOVER:
+        return classify(tf, values)
     v = (jnp.clip(values, tf.range_lo, tf.range_hi) - tf.range_lo) / jnp.maximum(
         tf.range_hi - tf.range_lo, 1e-20
     )

@@ -40,6 +40,7 @@ struct Block {
 
 struct Loader {
   int fd = -1;
+  bool odirect = false; // O_DIRECT reads (512-aligned staging window)
   int64_t dx = 0, dy = 0, dz = 0;
   int dtype = 0; // 0=u8 1=i8 2=u16 3=i16 4=u32 5=i32 6=f32 7=f64
   int64_t offset = 0;
@@ -51,6 +52,8 @@ struct Loader {
   std::atomic<int64_t> loads{0};
   std::atomic<uint64_t> rng_seed{1337}; // reference seed (neural_sampler.cu:36)
 };
+
+constexpr int64_t kAlign = 512; // RandomBuffer::ALIGNMENT (neural_sampler.cpp:491)
 
 size_t dtype_size(int t) {
   switch (t) {
@@ -89,22 +92,41 @@ bool load_block(Loader* L, Block& b, int64_t by0, int64_t bz0) {
   b.ny = ny;
   b.nz = nz;
   b.data.resize((size_t)nz * ny * L->dx);
-  std::vector<uint8_t> raw(row_bytes);
+  // O_DIRECT requires 512-aligned offset/length/buffer: stage each row read
+  // through an aligned window covering [off, off+row_bytes)
+  const size_t win_bytes = (size_t)(((row_bytes + 2 * kAlign - 1) / kAlign + 1) * kAlign);
+  uint8_t* raw = nullptr;
+  if (posix_memalign((void**)&raw, kAlign, win_bytes) != 0) return false;
   const float scale =
       (L->vmax > L->vmin) ? 1.f / (L->vmax - L->vmin) : 0.f;
-  for (int z = 0; z < nz; ++z) {
-    for (int y = 0; y < ny; ++y) {
+  bool ok = true;
+  for (int z = 0; z < nz && ok; ++z) {
+    for (int y = 0; y < ny && ok; ++y) {
       const int64_t gy = by0 + y, gz = bz0 + z;
       const int64_t voxel = (gz * L->dy + gy) * L->dx;
       const int64_t off = L->offset + voxel * (int64_t)es;
-      ssize_t got = pread(L->fd, raw.data(), row_bytes, off);
-      if (got != (ssize_t)row_bytes) return false;
+      const uint8_t* src;
+      if (L->odirect) {
+        const int64_t aoff = off & ~(kAlign - 1);
+        const int64_t need = off - aoff + (int64_t)row_bytes;
+        const int64_t alen = ((need + kAlign - 1) / kAlign) * kAlign;
+        ssize_t got = pread(L->fd, raw, (size_t)alen, aoff);
+        // a short read at EOF is fine as long as the row is covered
+        ok = got >= need;
+        src = raw + (off - aoff);
+      } else {
+        ssize_t got = pread(L->fd, raw, row_bytes, off);
+        ok = got == (ssize_t)row_bytes;
+        src = raw;
+      }
+      if (!ok) break;
       float* dst = b.data.data() + ((size_t)z * ny + y) * L->dx;
       for (int64_t x = 0; x < L->dx; ++x)
-        dst[x] = (convert(raw.data() + x * es, L->dtype) - L->vmin) * scale;
+        dst[x] = (convert(src + x * es, L->dtype) - L->vmin) * scale;
     }
   }
-  return true;
+  free(raw);
+  return ok;
 }
 
 void worker_main(Loader* L, uint64_t seed) {
@@ -136,12 +158,21 @@ void worker_main(Loader* L, uint64_t seed) {
 
 extern "C" {
 
+// bumped whenever the C ABI changes; the Python side rebuilds on mismatch
+int vnr_loader_abi_version() { return 2; }
+
 void* vnr_loader_create(const char* filename, int64_t dx, int64_t dy,
                         int64_t dz, int dtype, int64_t offset, float vmin,
                         float vmax, int block_y, int block_z,
-                        int n_resident, int n_threads) {
+                        int n_resident, int n_threads, int use_odirect) {
   auto* L = new Loader();
-  L->fd = open(filename, O_RDONLY);
+  if (use_odirect) {
+    // O_DIRECT bypasses the page cache (the reference's libaio path reads
+    // unbuffered too); not all filesystems support it — fall back silently
+    L->fd = open(filename, O_RDONLY | O_DIRECT);
+    L->odirect = L->fd >= 0;
+  }
+  if (L->fd < 0) L->fd = open(filename, O_RDONLY);
   if (L->fd < 0) {
     delete L;
     return nullptr;

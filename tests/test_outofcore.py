@@ -116,3 +116,50 @@ class TestOutOfCoreTraining:
         from instantvnr_tpu.models.metrics import psnr_vs
 
         assert float(psnr_vs(field, state.params, vol.data)) > 22.0
+
+
+class TestHardening:
+    def test_numpy_fallback_multiblock_coverage(self, raw_volume):
+        """One batch spans MANY blocks (uniform-over-resident-pool), not one
+        correlated block (VERDICT r1 weak 6)."""
+        desc, _ = raw_volume
+        s = OutOfCoreSampler(desc, (0.0, 1.0), block_y=8, block_z=8,
+                             n_resident=16, use_native=False)
+        for _ in range(8):  # grow the pool
+            s.sample(256)
+        coords, _v = s.sample(8192)
+        hist, _ = np.histogram(coords[:, 2], bins=4, range=(0, 1))
+        assert (hist > 0).sum() >= 3, hist  # single batch touches ≥3 z bands
+
+    def test_default_resident_sizing(self, raw_volume, monkeypatch):
+        from instantvnr_tpu.data.outofcore import default_n_resident
+
+        desc, _ = raw_volume
+        monkeypatch.delenv("VNR_NUM_BLOCKS", raising=False)
+        monkeypatch.setenv("VNR_OOC_MEM_MB", "1")
+        n = default_n_resident(desc, 8, 8)
+        block_bytes = 9 * 9 * desc.dims[0] * 4
+        assert 8 <= n <= max((1 << 20) // block_bytes, 8)
+        # reference env override (neural_sampler.cpp:1054-1061)
+        monkeypatch.setenv("VNR_NUM_BLOCKS", "24")
+        assert default_n_resident(desc, 8, 8) == 24
+
+    def test_throughput_measurement(self, raw_volume):
+        desc, data = raw_volume
+        s = OutOfCoreSampler(desc, (0.0, 1.0), block_y=16, block_z=16,
+                             use_native=False)
+        sps = s.measure_throughput(batch=4096, duration=0.3)
+        assert sps > 1e4, sps  # sane host sampling rate
+
+    def test_native_odirect(self, raw_volume):
+        """O_DIRECT loader path (falls back transparently where the fs
+        doesn't support it) produces correct samples."""
+        if native_lib() is None:
+            pytest.skip("native loader not buildable")
+        desc, data = raw_volume
+        s = OutOfCoreSampler(desc, (0.0, 1.0), block_y=16, block_z=16,
+                             n_resident=8, n_threads=2, use_native=True,
+                             odirect=True)
+        s.wait_ready(4)
+        check_sampler(s, data)
+        s.close()
