@@ -3,6 +3,10 @@ from instantvnr_tpu.models.network import (  # noqa: F401
     network_apply,
     init_params,
 )
+from instantvnr_tpu.models.fvsrn import (  # noqa: F401
+    FvsrnConfig,
+    FvsrnField,
+)
 from instantvnr_tpu.models.optimizer import (  # noqa: F401
     AdamState,
     adam_init,

@@ -83,7 +83,14 @@ def network_apply(params: Params, coords: jnp.ndarray,
 
     The reference path: one fused XLA gather for the encoding, bf16 matmuls
     for the MLP (MXU), fp32 accumulation.
+
+    AbstractNetwork dispatch (reference tcnn_network.h:70-95): any field
+    exposing `apply_params` (e.g. models.fvsrn.FvsrnField) routes through
+    its own forward — trainer, metrics, and renderers stay family-agnostic.
     """
+    custom = getattr(field, "apply_params", None)
+    if custom is not None:
+        return custom(params, coords)
     compute_dtype = jnp.dtype(field.cfg.compute_dtype)
     impl = field.cfg.grid_grad_impl
     if impl == "auto":

@@ -299,8 +299,10 @@ def _dense_level_grad_splat(spec: HashGridSpec, lvl: int, coords: jnp.ndarray,
     b = coords.shape[0]
     a_zy = (wz[:, :, None] * wy[:, None, :]).reshape(b, r1 * r1)
     b_xf = (wx[:, :, None] * g_lvl[:, None, :]).reshape(b, r1 * f_)
-    grad = jnp.dot(a_zy.T, b_xf,
-                   preferred_element_type=jnp.float32)  # [zy, xf]
+    # HIGHEST: TPU matmuls default to bf16 passes; quantizing the dense-level
+    # gradients costs ~1.5 dB converged PSNR (measured, 150 steps @2^14)
+    grad = jnp.dot(a_zy.T, b_xf, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)  # [zy, xf]
     grad = grad.reshape(r1, r1, r1, f_)
 
     # fold x-carry: partial index m = x + R·y; x==R lands on row y+1's x==0

@@ -47,6 +47,10 @@ def _activation(name: str):
         return lambda x: x
     if name == "squareplus":
         return lambda x: 0.5 * (x + jnp.sqrt(x * x + 4.0))
+    if name == "snakealt":
+        # fV-SRN's SnakeAlt: (x + 1 − cos(2x))/2 — the periodic activation
+        # its SRNs train with (volume_interpolation_network semantics)
+        return lambda x: 0.5 * (x + 1.0 - jnp.cos(2.0 * x))
     raise ValueError(f"unsupported activation: {name}")
 
 

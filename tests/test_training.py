@@ -112,3 +112,61 @@ class TestMetrics:
         state = create_train_state(jax.random.PRNGKey(0), field)
         out = decode_volume(field, state.params, (16, 8, 32))
         assert out.shape == (32, 8, 16)
+
+
+class TestFvsrnFamily:
+    """The second model family (reference FvsrnNetwork,
+    fvsrn_network.cu:1-162) behind the same AbstractNetwork interface:
+    trains with the shared trainer, renders through the shared wavefront."""
+
+    def _field(self):
+        from instantvnr_tpu.config import NetworkConfig, OptimizerConfig
+        from instantvnr_tpu.models.fvsrn import FvsrnConfig, FvsrnField
+
+        return FvsrnField.from_config(FvsrnConfig(
+            latent_res=(16, 16, 16), latent_features=8, fourier_bands=6,
+            network=NetworkConfig(n_neurons=32, n_hidden_layers=2,
+                                  activation="SnakeAlt"),
+            optimizer=OptimizerConfig(learning_rate=3e-3, decay_start=10_000),
+        ))
+
+    def test_trains_on_shared_trainer(self):
+        from instantvnr_tpu.data import synthetic_volume
+        from instantvnr_tpu.models import create_train_state, train_steps
+        from instantvnr_tpu.models.metrics import psnr_vs
+
+        field = self._field()
+        vol = synthetic_volume((32, 32, 32), kind="sphere")
+        state = create_train_state(jax.random.PRNGKey(0), field)
+        state = train_steps(field, vol.data, state, 300, 8192)
+        assert float(state.loss) < 0.05
+        assert float(psnr_vs(field, state.params, vol.data)) > 25.0
+
+    def test_renders_through_wavefront(self):
+        from instantvnr_tpu.accel import macrocell as mcmod
+        from instantvnr_tpu.config import TransferFunctionConfig
+        from instantvnr_tpu.data import synthetic_volume
+        from instantvnr_tpu.models import create_train_state, train_steps
+        from instantvnr_tpu.models.network import render_params
+        from instantvnr_tpu.render import (
+            RaymarchSettings,
+            Renderer,
+            make_neural_sample_fn,
+        )
+        from instantvnr_tpu.render.camera import Camera
+        from instantvnr_tpu.utils.tfn import bake_transfer_function
+
+        field = self._field()
+        vol = synthetic_volume((32, 32, 32), kind="sphere")
+        state = create_train_state(jax.random.PRNGKey(0), field)
+        state = train_steps(field, vol.data, state, 100, 4096)
+        tf = bake_transfer_function(TransferFunctionConfig())
+        mc = mcmod.build(vol.data, vol.dims, tf)
+        r = Renderer(16, 16, mc, tf, make_neural_sample_fn(field),
+                     sample_ctx=render_params(state.params, field),
+                     settings=RaymarchSettings(n_iters=4, max_supersteps=48))
+        r.set_camera(Camera(eye=(5, 3, -60), center=(0, 0, 0), up=(0, 1, 0),
+                            fovy=45))
+        img = np.asarray(r.render())
+        assert np.isfinite(img).all()
+        assert img[..., 3].max() > 0.05  # something rendered
