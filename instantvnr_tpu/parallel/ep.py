@@ -106,7 +106,10 @@ def make_ep_decode(field: NeuralField, mesh: Mesh, dims):
     (one all_gather materializes it replicated if needed)."""
     dx, dy, dz = (int(d) for d in dims)
     n_exp = mesh.shape["expert"]
-    assert dz % n_exp == 0, (dz, n_exp)
+    if dz % n_exp != 0:
+        raise ValueError(
+            f"EP decode needs dz divisible by the expert count: dz={dz}, "
+            f"experts={n_exp}. Pad the volume in z or change the mesh.")
     dz_loc = dz // n_exp
 
     @partial(shard_map, mesh=mesh, in_specs=(P("expert"),),
