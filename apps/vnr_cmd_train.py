@@ -26,9 +26,12 @@ def main():
     add_volume_args(p)
     add_model_args(p)
     p.add_argument("--save", default="params.bson",
-                   help="output checkpoint (BSON, reference format)")
+                   help="output checkpoint (BSON, reference format; a .npz "
+                   "path writes the native exact-resume checkpoint with "
+                   "full optimizer state)")
     p.add_argument("--resume", help="checkpoint to resume from "
-                   "(batch_trainer.cpp:38-39 --resume)")
+                   "(batch_trainer.cpp:38-39 --resume; .npz resumes are "
+                   "bit-exact)")
     p.add_argument("--report-psnr", action="store_true",
                    help="final PSNR/SSIM (batch_trainer.cpp:123-132)")
     p.add_argument("--log", help="CSV training curve (step, loss)")

@@ -349,6 +349,14 @@ class NeuralVolume:
     # -- serialization ------------------------------------------------------
 
     def save_params(self, path: str):
+        """vnrNeuralVolumeSerializeParams. `.npz` paths write the NATIVE
+        exact-resume checkpoint (full TrainState incl. Adam moments);
+        anything else writes the reference BSON interchange format."""
+        if path.endswith(".npz"):
+            from instantvnr_tpu.serializer import save_native
+
+            save_native(path, self.field, self.state, volume_dims=self.dims)
+            return
         from instantvnr_tpu.serializer import save_checkpoint
 
         mc = self.simple.macrocell if self.simple is not None else self.macrocell
@@ -359,10 +367,19 @@ class NeuralVolume:
     @classmethod
     def from_checkpoint(cls, path: str, simple: SimpleVolume | None = None):
         """vnrCreateNeuralVolume(params) (api.cpp:206-220): a loaded model
-        renders without any ground truth."""
+        renders without any ground truth. `.npz` native checkpoints restore
+        the full training state (exact resume)."""
         from instantvnr_tpu.serializer import load_checkpoint
         from instantvnr_tpu.models.optimizer import adam_init
 
+        if path.endswith(".npz"):
+            from instantvnr_tpu.serializer import load_native
+
+            field, state, dims = load_native(path)
+            nv = cls(field.cfg, simple=simple, dims=dims)
+            nv.state = state
+            nv.step = int(state.opt.step)
+            return nv
         field, params, mc, dims, meta = load_checkpoint(path)
         nv = cls(field.cfg, simple=simple, dims=dims)
         nv.state = nv.state._replace(params=params, opt=adam_init(params))

@@ -22,8 +22,11 @@ std::map, so `json::to_bson` emits sorted keys) — byte-compatibility with
 CUDA-written files depends on it. Verified against a hand-built byte-exact
 fixture in tests/test_serializer.py.
 
-Native checkpointing (orbax) is available separately for training resume;
-this module is the interchange format for parity with the reference.
+Native checkpointing (`save_native`/`load_native`, .npz) carries the FULL
+TrainState — params, Adam moments, RNG key, step — for bit-exact training
+resume (the BSON interchange format, like tcnn's default serialize, drops
+optimizer state); this module's BSON half is the interchange format for
+parity with the reference.
 """
 from __future__ import annotations
 
@@ -169,3 +172,54 @@ def load_checkpoint(path: str):
     params = unpack_params(field, blob)
     meta = {"step": psec.get("step", 0), "loss": psec.get("loss", 0.0)}
     return field, params, mc, volume_dims, meta
+
+
+# ---------------------------------------------------------------------------
+# Native exact-resume checkpoints (.npz)
+# ---------------------------------------------------------------------------
+
+def save_native(path: str, field: NeuralField, state,
+                volume_dims=None) -> None:
+    """Write the FULL TrainState (params + Adam m/v + step + RNG key + loss)
+    plus the model config — resuming from this is exact, unlike the BSON
+    interchange format (reference --resume also loses optimizer state,
+    tcnn Trainer::serialize(serialize_optimizer=false))."""
+    import json
+
+    import jax
+
+    leaves, _ = jax.tree_util.tree_flatten(state)
+    arrs = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
+    arrs["model_json"] = np.frombuffer(
+        json.dumps(field.cfg.to_json()).encode(), np.uint8)
+    if volume_dims is not None:
+        arrs["volume_dims"] = np.asarray(volume_dims, np.int32)
+    with open(path, "wb") as f:
+        np.savez(f, **arrs)
+
+
+def load_native(path: str):
+    """Returns (field, state, volume_dims) with the exact training state
+    restored (volume_dims is None for pre-dims checkpoints)."""
+    import json
+
+    import jax
+
+    from instantvnr_tpu.config import model_config_from_dict
+    from instantvnr_tpu.models.trainer import create_train_state
+
+    data = np.load(path)
+    cfg = model_config_from_dict(json.loads(bytes(data["model_json"])))
+    field = NeuralField.from_config(cfg)
+    template = create_train_state(jax.random.PRNGKey(0), field)
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    new_leaves = []
+    for i, ref in enumerate(leaves):
+        arr = data[f"leaf_{i}"]
+        if np.shape(ref) != arr.shape:
+            raise ValueError(
+                f"checkpoint leaf {i} shape {arr.shape} != model {np.shape(ref)}")
+        new_leaves.append(jnp.asarray(arr, jnp.asarray(ref).dtype))
+    dims = (tuple(int(d) for d in data["volume_dims"])
+            if "volume_dims" in data else None)
+    return field, jax.tree_util.tree_unflatten(treedef, new_leaves), dims

@@ -293,3 +293,55 @@ class TestCudaInterop:
             np.asarray(mc.value_hi), vol.dims, mc.spacings,
             extras=(("loss", 0.125), ("step", 3)))
         assert p.read_bytes() == expected
+
+
+class TestNativeCheckpoint:
+    """Exact-resume .npz checkpoints: the full TrainState (params + Adam
+    moments + RNG key) round-trips, so resumed training is bit-identical to
+    uninterrupted training — which the BSON interchange format (like tcnn's
+    serialize) cannot guarantee."""
+
+    def test_exact_resume(self, tmp_path):
+        import jax
+
+        from instantvnr_tpu.data import synthetic_volume
+        from instantvnr_tpu.models import create_train_state, train_steps
+        from instantvnr_tpu.serializer import load_native, save_native
+
+        field, _ = small_setup()
+        vol = synthetic_volume((16, 16, 16), kind="sphere")
+        state = create_train_state(jax.random.PRNGKey(0), field)
+        state = train_steps(field, vol.data, state, 30, 1024)
+
+        p = tmp_path / "native.npz"
+        save_native(str(p), field, state, volume_dims=(16, 16, 16))
+
+        # uninterrupted: 30 more steps
+        cont = train_steps(field, vol.data, state, 30, 1024)
+
+        # resumed: load and run the same 30 steps
+        field2, state2, dims = load_native(str(p))
+        assert dims == (16, 16, 16)
+        assert field2.cfg == field.cfg
+        resumed = train_steps(field2, vol.data, state2, 30, 1024)
+
+        assert float(cont.loss) == float(resumed.loss)
+        for a, b in zip(jax.tree.leaves(cont.params),
+                        jax.tree.leaves(resumed.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_api_npz_roundtrip(self, tmp_path):
+        from instantvnr_tpu.api import NeuralVolume, SimpleVolume
+
+        sv = SimpleVolume.synthetic(dims=(16, 16, 16), kind="sphere")
+        field, _ = small_setup()
+        nv = NeuralVolume(field.cfg, simple=sv)
+        nv.train(20)
+        p = tmp_path / "ck.npz"
+        nv.save_params(str(p))
+        nv2 = NeuralVolume.from_checkpoint(str(p))
+        assert nv2.dims == (16, 16, 16)
+        assert nv2.step == nv.state.opt.step
+        for a, b in zip(jax.tree.leaves(nv.state.params),
+                        jax.tree.leaves(nv2.state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
