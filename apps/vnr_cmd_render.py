@@ -27,7 +27,15 @@ def main():
                    help="frame size (batch_renderer.cpp:199 default 768²)")
     p.add_argument("--num-frames", type=int, default=20)
     p.add_argument("--warmup", type=int, default=5)
-    p.add_argument("--sampling-rate", type=float, default=1.0)
+    p.add_argument("--sampling-rate", type=float, default=1.0,
+                   help="vnrRendererSetVolumeSamplingRate "
+                   "(batch_renderer.cpp:203)")
+    p.add_argument("--density-scale", type=float, default=1.0,
+                   help="vnrRendererSetVolumeDensityScale "
+                   "(batch_renderer.cpp:202)")
+    p.add_argument("--denoise", action="store_true",
+                   help="a-trous denoiser at mapframe "
+                   "(vnrRendererSetDenoiser)")
     p.add_argument("--output", default="frame.png")
     p.add_argument("--fps-log", help="per-frame fps CSV "
                    "(batch_renderer.cpp:222-224)")
@@ -77,6 +85,11 @@ def main():
         simple.set_current_timestep(args.timestep)
 
     r = VNRenderer(subject, width=args.size, height=args.size, mode=mode)
+    if args.sampling_rate != 1.0:
+        r.set_volume_sampling_rate(args.sampling_rate)
+    if args.density_scale != 1.0:
+        r.set_volume_density_scale(args.density_scale)
+    r.set_denoiser(args.denoise)
     if args.camera:
         r.set_camera(Camera(eye=tuple(args.camera), center=(0, 0, 0),
                             up=(0, 1, 0), fovy=45))

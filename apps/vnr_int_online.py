@@ -56,6 +56,8 @@ def main():
 
         cfg = dataclasses.replace(cfg, encoding=dataclasses.replace(
             cfg.encoding, log2_hashmap_size=14))
+        print("[vnr] interactive default: hash table capped at 2^14 "
+              "(pass --model for the exact reference schema)")
     nv = NeuralVolume(cfg, simple=simple, seed=args.seed,
                       train_batch=args.batch)
     dec = nv.get_decoder(args.size, args.size)

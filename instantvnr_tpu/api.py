@@ -403,6 +403,11 @@ class VNRenderer:
         self.mode = mode
         self._impl = None
         self._camera = None
+        # vnrRendererSetVolumeSamplingRate / SetVolumeDensityScale /
+        # SetDenoiser (api.h renderer knobs; batch_renderer.cpp:201-203)
+        self.sampling_rate = 1.0
+        self.density_scale = 1.0
+        self.denoise = False
         if isinstance(volume, NeuralVolume):
             self.neural = volume
             self.simple = volume.simple
@@ -427,9 +432,14 @@ class VNRenderer:
         mc, tf, dims = self._scene_parts()
         xf = (self.neural or self.simple).transform
 
+        import dataclasses as _dc
+
         if mode == RenderMode.DECODED_SLAB:
             assert self.neural is not None
             impl = self.neural.get_decoder(self.width, self.height, tf=tf)
+            impl.settings = _dc.replace(
+                impl.settings, sampling_rate=self.sampling_rate,
+                density_scale=self.density_scale)
             impl.decode_all()
         elif mode in (RenderMode.NEURAL_WAVEFRONT,
                       RenderMode.NEURAL_WAVEFRONT_GRADIENT,
@@ -448,7 +458,9 @@ class VNRenderer:
                 # measured 2.5x over the plain wavefront at 512² (K=4,
                 # render/compaction.py)
                 settings=RaymarchSettings(shading=shading, compact=True,
-                                          n_iters=4),
+                                          n_iters=4,
+                                          sampling_rate=self.sampling_rate,
+                                          density_scale=self.density_scale),
                 transform=xf,
             )
         elif mode in (RenderMode.REFERENCE_RAYMARCH,
@@ -461,17 +473,21 @@ class VNRenderer:
             impl = Renderer(
                 self.width, self.height, mc, tf, reference_sample_fn,
                 sample_ctx=self.simple.volume.data,
-                settings=RaymarchSettings(shading=shading),
+                settings=RaymarchSettings(shading=shading,
+                                          sampling_rate=self.sampling_rate,
+                                          density_scale=self.density_scale),
                 transform=xf,
             )
         elif mode == RenderMode.PATHTRACE_REFERENCE:
             impl = PathTraceRenderer(self.width, self.height, mc, tf,
-                                     self.simple.volume.data, transform=xf)
+                                     self.simple.volume.data, transform=xf,
+                                     settings=self._pt_settings())
         elif mode == RenderMode.PATHTRACE_DECODED:
             assert self.neural is not None
             impl = PathTraceRenderer(self.width, self.height, mc, tf,
                                      self.neural.decode_volume(),
-                                     transform=xf)
+                                     transform=xf,
+                                     settings=self._pt_settings())
         elif mode == RenderMode.PATHTRACE_NEURAL:
             # network inference inside the tracking loop — the reference's
             # neural path tracing (method_pathtracing.cu:679-813)
@@ -481,7 +497,7 @@ class VNRenderer:
                 self.width, self.height, mc, tf,
                 render_params(self.neural.state.params, self.neural.field),
                 sample_fn=make_neural_sample_fn(self.neural.field),
-                transform=xf,
+                transform=xf, settings=self._pt_settings(),
             )
         else:
             raise ValueError(mode)
@@ -519,6 +535,26 @@ class VNRenderer:
         self.simple.set_current_timestep(index)
         self.set_mode(self.mode)
 
+    def _pt_settings(self):
+        from instantvnr_tpu.render.pathtrace import PathTraceSettings
+
+        return PathTraceSettings(density_scale=self.density_scale)
+
+    def set_volume_sampling_rate(self, rate: float):
+        """vnrRendererSetVolumeSamplingRate (batch_renderer.cpp:203)."""
+        self.sampling_rate = float(rate)
+        self.set_mode(self.mode)
+
+    def set_volume_density_scale(self, scale: float):
+        """vnrRendererSetVolumeDensityScale (batch_renderer.cpp:202)."""
+        self.density_scale = float(scale)
+        self.set_mode(self.mode)
+
+    def set_denoiser(self, enabled: bool):
+        """vnrRendererSetDenoiser (batch_renderer.cpp:201): applies the
+        a-trous filter at mapframe time (renderer.cpp:117-121 hook)."""
+        self.denoise = bool(enabled)
+
     @property
     def camera(self) -> Camera:
         return self._camera or self._impl.camera
@@ -530,8 +566,14 @@ class VNRenderer:
         return self._impl.render()
 
     def mapframe(self) -> np.ndarray:
-        """vnrRendererMapFrame: [H, W, 4] float32 on host."""
-        return self._impl.mapframe()
+        """vnrRendererMapFrame: [H, W, 4] float32 on host (denoised when
+        the denoiser is enabled)."""
+        frame = self._impl.mapframe()
+        if self.denoise:
+            from instantvnr_tpu.render.denoise import atrous_denoise
+
+            frame = np.asarray(atrous_denoise(jnp.asarray(frame)))
+        return frame
 
 
 def memory_query() -> dict:
