@@ -63,6 +63,12 @@ class RenderMode(enum.IntEnum):
     # (reference mode SAMPLE_STREAMING path tracing,
     # method_pathtracing.cu:679-813)
 
+    @property
+    def requires_decoding(self) -> bool:
+        """vnrRequireDecoding (api.h:62-88): does the mode render from the
+        decoded grid (and therefore need decode/infer before frames)?"""
+        return self in (RenderMode.DECODED_SLAB, RenderMode.PATHTRACE_DECODED)
+
 
 class SimpleVolume:
     """Ground-truth volume + macrocell (reference SimpleVolumeContext,
@@ -105,6 +111,11 @@ class SimpleVolume:
     @property
     def dims(self):
         return self.volume.dims
+
+    @property
+    def value_range(self):
+        """vnrVolumeGetValueRange (api.h): (min, max) in data units."""
+        return self.volume.original_range
 
     def set_transfer_function(self, tfn_cfg: TransferFunctionConfig):
         self.tfn_cfg = tfn_cfg
@@ -408,6 +419,7 @@ class VNRenderer:
         self.sampling_rate = 1.0
         self.density_scale = 1.0
         self.denoise = False
+        self._tf_override = None  # renderer-level TF (vnrRendererSetTransferFunction)
         if isinstance(volume, NeuralVolume):
             self.neural = volume
             self.simple = volume.simple
@@ -507,9 +519,11 @@ class VNRenderer:
 
     def _scene_parts(self):
         if self.simple is not None:
-            return self.simple.macrocell, self.simple.tf, self.simple.dims
+            tf = self._tf_override or self.simple.tf
+            return self.simple.macrocell, tf, self.simple.dims
         nv = self.neural
-        tf = bake_transfer_function(TransferFunctionConfig())
+        tf = self._tf_override or bake_transfer_function(
+            TransferFunctionConfig())
         return nv.macrocell, tf, nv.dims
 
     def set_camera(self, cam: Camera):
@@ -554,6 +568,32 @@ class VNRenderer:
         """vnrRendererSetDenoiser (batch_renderer.cpp:201): applies the
         a-trous filter at mapframe time (renderer.cpp:117-121 hook)."""
         self.denoise = bool(enabled)
+
+    def set_framebuffer_size(self, width: int, height: int):
+        """vnrRendererSetFramebufferSize (batch_renderer.cpp:199)."""
+        self.width, self.height = int(width), int(height)
+        self.set_mode(self.mode)
+
+    def set_transfer_function(self, tfn_cfg: TransferFunctionConfig):
+        """vnrRendererSetTransferFunction (batch_renderer.cpp:197):
+        renderer-level TF; updates the volume's macrocell opacity when a
+        ground-truth volume is attached (SimpleVolume::set_transfer_function
+        semantics), then rebinds the render path."""
+        if self.simple is not None:
+            self.simple.set_transfer_function(tfn_cfg)
+            self._tf_override = None
+        else:
+            self._tf_override = bake_transfer_function(tfn_cfg)
+        self.set_mode(self.mode)
+
+    def reset_accumulation(self):
+        """vnrRendererResetAccumulation (api.h): restart progressive
+        accumulation (no-op for the non-accumulating one-shot paths)."""
+        impl = self._impl
+        if hasattr(impl, "frame_index"):
+            impl.frame_index = 0
+        if hasattr(impl, "_accum"):
+            impl._accum = jnp.zeros_like(impl._accum)
 
     @property
     def camera(self) -> Camera:

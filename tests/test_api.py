@@ -229,3 +229,61 @@ class TestRendererKnobs:
         den = r.mapframe()
         assert den.shape == raw.shape and np.isfinite(den).all()
         assert not np.allclose(den, raw)  # filter did something
+
+
+class TestFacadeCompleteness:
+    """The remaining vnr* facade functions (api.h:91-188)."""
+
+    def test_value_range_and_require_decoding(self):
+        from instantvnr_tpu.api import RenderMode, SimpleVolume
+
+        sv = SimpleVolume.synthetic(dims=(8, 8, 8), kind="sphere")
+        lo, hi = sv.value_range
+        assert lo <= hi
+        assert RenderMode.DECODED_SLAB.requires_decoding
+        assert RenderMode.PATHTRACE_DECODED.requires_decoding
+        assert not RenderMode.NEURAL_WAVEFRONT.requires_decoding
+        assert not RenderMode.REFERENCE_RAYMARCH.requires_decoding
+
+    def test_framebuffer_resize(self):
+        from instantvnr_tpu.api import RenderMode, SimpleVolume, VNRenderer
+
+        sv = SimpleVolume.synthetic(dims=(8, 8, 8), kind="sphere")
+        r = VNRenderer(sv, width=8, height=8,
+                       mode=RenderMode.REFERENCE_RAYMARCH)
+        assert r.mapframe().shape == (8, 8, 4)
+        r.set_framebuffer_size(12, 10)
+        r.render()
+        assert r.mapframe().shape == (10, 12, 4)
+
+    def test_renderer_level_tf(self):
+        from instantvnr_tpu.api import RenderMode, SimpleVolume, VNRenderer
+        from instantvnr_tpu.config import TransferFunctionConfig
+
+        sv = SimpleVolume.synthetic(dims=(12, 12, 12), kind="sphere")
+        r = VNRenderer(sv, width=8, height=8,
+                       mode=RenderMode.REFERENCE_RAYMARCH)
+        f0 = np.asarray(r.render())
+        red = TransferFunctionConfig(
+            colors=((0.0, 1.0, 0.0, 0.0), (1.0, 1.0, 0.0, 0.0)))
+        r.set_transfer_function(red)
+        f1 = np.asarray(r.render())
+        assert not np.allclose(f0, f1)
+        # red TF → green/blue ≈ 0 wherever opacity accumulated
+        hit = f1[..., 3] > 0.05
+        assert hit.any()
+        assert np.abs(f1[..., 1][hit]).max() < 0.15
+
+    def test_reset_accumulation(self):
+        from instantvnr_tpu.api import RenderMode, SimpleVolume, VNRenderer
+
+        sv = SimpleVolume.synthetic(dims=(12, 12, 12), kind="sphere")
+        r = VNRenderer(sv, width=8, height=8,
+                       mode=RenderMode.PATHTRACE_REFERENCE)
+        for _ in range(3):
+            r.render()
+        assert r._impl.frame_index == 3
+        r.reset_accumulation()
+        assert r._impl.frame_index == 0
+        r.render()
+        assert np.isfinite(np.asarray(r.mapframe())).all()
