@@ -21,9 +21,16 @@ def main():
     args = p.parse_args()
 
     from instantvnr_tpu.api import NeuralVolume
-    from instantvnr_tpu.serializer import load_checkpoint
+    from instantvnr_tpu.serializer import load_checkpoint, load_native
 
-    field, params, mc, dims, meta = load_checkpoint(args.checkpoint)
+    if args.checkpoint.endswith(".npz"):
+        field, state, dims = load_native(args.checkpoint)
+        mc = None
+        meta = {"step": int(state.opt.step), "loss": float(state.loss)}
+        print("[view] format:         native exact-resume (.npz, "
+              "full optimizer state)")
+    else:
+        field, params, mc, dims, meta = load_checkpoint(args.checkpoint)
     spec = field.spec
     print(f"[view] volume dims:    {dims}")
     print(f"[view] trained steps:  {meta.get('step', '?')}  "

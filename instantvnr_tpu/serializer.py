@@ -195,7 +195,7 @@ def save_native(path: str, field: NeuralField, state,
     if volume_dims is not None:
         arrs["volume_dims"] = np.asarray(volume_dims, np.int32)
     with open(path, "wb") as f:
-        np.savez(f, **arrs)
+        np.savez_compressed(f, **arrs)
 
 
 def load_native(path: str):
