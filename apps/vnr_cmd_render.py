@@ -36,6 +36,12 @@ def main():
     p.add_argument("--denoise", action="store_true",
                    help="a-trous denoiser at mapframe "
                    "(vnrRendererSetDenoiser)")
+    p.add_argument("--shadows", action="store_true",
+                   help="shadow volume on the decoded path "
+                   "(MethodShadowMap capability)")
+    p.add_argument("--slab-shading", default="none",
+                   choices=["none", "gradient"],
+                   help="shading for the decoded-slab path")
     p.add_argument("--output", default="frame.png")
     p.add_argument("--fps-log", help="per-frame fps CSV "
                    "(batch_renderer.cpp:222-224)")
@@ -90,6 +96,11 @@ def main():
     if args.density_scale != 1.0:
         r.set_volume_density_scale(args.density_scale)
     r.set_denoiser(args.denoise)
+    if mode == RenderMode.DECODED_SLAB:
+        if args.slab_shading != "none":
+            r.set_slab_shading(args.slab_shading)
+        if args.shadows:
+            r.enable_shadows()
     if args.camera:
         r.set_camera(Camera(eye=tuple(args.camera), center=(0, 0, 0),
                             up=(0, 1, 0), fovy=45))

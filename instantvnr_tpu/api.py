@@ -586,6 +586,24 @@ class VNRenderer:
             self._tf_override = bake_transfer_function(tfn_cfg)
         self.set_mode(self.mode)
 
+    def enable_shadows(self, light_dir=None):
+        """Shadow-volume rendering on the decoded path (the reference's
+        MethodShadowMap / generate_shadow_map capability): computes a
+        transmittance volume from the current decoded grid and keeps it
+        fresh across decodes and TF edits (render/shadow.py)."""
+        assert self.mode == RenderMode.DECODED_SLAB, "shadows: decoded path"
+        self._impl.enable_shadows(light_dir)
+
+    def set_slab_shading(self, shading: str):
+        """Gradient shading on the decoded-slab path ("none"|"gradient");
+        wavefront/reference modes carry shading in the RenderMode instead
+        (the reference's mode x shading matrix, api.h:36-60)."""
+        import dataclasses as _dc
+
+        assert self.mode == RenderMode.DECODED_SLAB
+        self._impl.settings = _dc.replace(self._impl.settings,
+                                          shading=shading)
+
     def reset_accumulation(self):
         """vnrRendererResetAccumulation (api.h): restart progressive
         accumulation (no-op for the non-accumulating one-shot paths)."""

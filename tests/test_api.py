@@ -287,3 +287,21 @@ class TestFacadeCompleteness:
         assert r._impl.frame_index == 0
         r.render()
         assert np.isfinite(np.asarray(r.mapframe())).all()
+
+
+def test_decoded_shading_and_shadows(trained):
+    """Facade-level shadows + gradient shading on the decoded path."""
+    from instantvnr_tpu.api import RenderMode, VNRenderer
+
+    _simple, nv = trained
+    r = VNRenderer(nv, width=16, height=16, mode=RenderMode.DECODED_SLAB)
+    base = np.asarray(r.render())
+    r.set_slab_shading("gradient")
+    shaded = np.asarray(r.render())
+    assert np.isfinite(shaded).all()
+    assert not np.allclose(base, shaded)
+    r.set_slab_shading("none")
+    r.enable_shadows()
+    shadowed = np.asarray(r.render())
+    assert np.isfinite(shadowed).all()
+    assert not np.allclose(base, shadowed)
