@@ -248,3 +248,77 @@ def test_two_process_tp_training(tmp_path):
     l0 = outs[0].split("loss=")[1].split()[0]
     l1 = outs[1].split("loss=")[1].split()[0]
     assert l0 == l1, (l0, l1)
+
+
+_EP_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(f"localhost:{port}", num_processes=2,
+                           process_id=pid)
+import numpy as np
+from instantvnr_tpu.config import (EncodingConfig, ModelConfig, NetworkConfig,
+                                   OptimizerConfig)
+from instantvnr_tpu.data import synthetic_volume
+from instantvnr_tpu.models import NeuralField
+from instantvnr_tpu.parallel import ep as epmod
+
+cfg = ModelConfig(
+    encoding=EncodingConfig(n_levels=4, n_features_per_level=4,
+                            log2_hashmap_size=12, base_resolution=4),
+    network=NetworkConfig(n_neurons=32, n_hidden_layers=2),
+    optimizer=OptimizerConfig(learning_rate=1e-2, decay_start=10_000),
+)
+field = NeuralField.from_config(cfg)
+vol = synthetic_volume((16, 16, 16), kind="sphere")
+mesh = epmod.make_expert_mesh()  # 8 experts over 2 processes x 4 devices
+state = epmod.create_ep_train_state(jax.random.PRNGKey(0), field, mesh)
+step = epmod.make_ep_train_step(field, mesh, batch=1024, n_steps=30)
+state = step(state, vol.data)
+# expert-sharded arrays span both processes: gather before inspecting
+from jax.experimental import multihost_utils
+losses = np.asarray(multihost_utils.process_allgather(state.loss, tiled=True)).ravel()
+assert np.isfinite(losses).all() and losses.max() < 0.1, losses
+full = np.asarray(multihost_utils.process_allgather(
+    epmod.make_ep_decode(field, mesh, vol.dims)(state), tiled=True))
+assert full.shape == (16, 16, 16) and np.isfinite(full).all()
+print(f"HOST{pid} OK maxloss={losses.max():.5f}", flush=True)
+"""
+
+
+@pytest.mark.skipif(os.environ.get("VNR_SKIP_MULTIHOST") == "1",
+                    reason="multihost disabled")
+def test_two_process_ep_training(tmp_path):
+    """8 experts over 2 processes × 4 devices: zero-collective expert
+    training + the all-gathered stitched decode cross a process boundary."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = tmp_path / "worker_ep.py"
+    worker.write_text(_EP_WORKER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))) + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out.decode())
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"host {pid} failed:\n{out[-2000:]}"
+        assert f"HOST{pid} OK" in out
