@@ -37,6 +37,8 @@ def main():
     p.add_argument("--log", help="CSV training curve (step, loss)")
     p.add_argument("--chunk", type=int, default=10,
                    help="steps per chunk (batch_trainer.cpp:97)")
+    p.add_argument("--timestep", type=int, default=0,
+                   help="time-series volumes: train on this timestep")
     p.add_argument("--sampling-mode", default="gpu",
                    choices=["gpu", "out-of-core"],
                    help="GPU = in-core device sampling; out-of-core = "
@@ -64,6 +66,9 @@ def main():
               f"{oc_desc.n_bytes/1e9:.1f} GB), device {jax.devices()[0]}")
     else:
         simple = load_simple_volume(args)
+        if args.timestep:
+            simple.set_current_timestep(args.timestep)
+            print(f"[vnr] timestep {args.timestep}/{simple.num_timesteps}")
         dims = simple.dims
         print(f"[vnr] volume {dims}, device {jax.devices()[0]}")
 

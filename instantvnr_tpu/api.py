@@ -634,6 +634,13 @@ class VNRenderer:
         return frame
 
 
+def free_temporary_memory():
+    """vnrFreeTemporaryGPUMemory (api.h): drop transient device buffers and
+    cached traced programs (the JAX analog of the reference's temporary
+    GPU-arena release)."""
+    jax.clear_caches()
+
+
 def memory_query() -> dict:
     """vnrMemoryQuery (api.cpp:532-552): device memory statistics."""
     stats = {}
