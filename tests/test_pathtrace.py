@@ -104,3 +104,43 @@ class TestDenoiser:
         hit = raw[..., 3] > 0.5
         # energy approximately preserved (edge-aware blur, not darkening)
         assert abs(den[hit][:, :3].mean() - raw[hit][:, :3].mean()) < 0.02
+
+
+def test_pathtrace_clip_and_scale():
+    """Clip box and anisotropic scaling thread through the delta-tracking
+    path (reference overwrites DeviceVolume::bbox, object.cpp:386-391)."""
+    import numpy as np
+
+    from instantvnr_tpu.accel import macrocell as mcmod
+    from instantvnr_tpu.config import TransferFunctionConfig
+    from instantvnr_tpu.data import synthetic_volume
+    from instantvnr_tpu.render.camera import Camera
+    from instantvnr_tpu.render.pathtrace import PathTraceRenderer
+    from instantvnr_tpu.render.transform import default_transform
+    from instantvnr_tpu.utils.tfn import bake_transfer_function
+
+    vol = synthetic_volume((16, 16, 16), kind="sphere")
+    tf = bake_transfer_function(TransferFunctionConfig())
+    mc = mcmod.build(vol.data, vol.dims, tf)
+    cam = Camera(eye=(3, 2, -40), center=(0, 0, 0), up=(0, 1, 0), fovy=45)
+
+    def run(transform):
+        r = PathTraceRenderer(12, 12, mc, tf, vol.data, transform=transform,
+                              seed=5)
+        r.set_camera(cam)
+        for _ in range(8):
+            r.render()
+        return np.asarray(r.mapframe())
+
+    full = run(None)
+    xf = default_transform(vol.dims)
+    clipped = run(xf._replace(
+        clip_lower=jnp.asarray([0.0, 0.0, 0.0]),
+        clip_upper=jnp.asarray([16.0, 16.0, 8.0])))  # front half only
+    scaled = run(xf._replace(scale=jnp.asarray([2.0, 1.0, 1.0])))
+
+    assert np.isfinite(full).all() and np.isfinite(clipped).all()
+    assert np.isfinite(scaled).all()
+    # clipping removes volume → strictly less accumulated opacity
+    assert clipped[..., 3].sum() < full[..., 3].sum()
+    assert not np.allclose(scaled, full)  # scaling changes the image
