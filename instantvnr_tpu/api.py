@@ -294,6 +294,10 @@ class NeuralVolume:
         else:
             self._decoder.set_params(self.state.params)
             self._decoder.set_transform(self.transform)
+            if tf is not None:
+                # TF edits must reach the cached pipeline (shadow refresh
+                # included — decoded.set_transfer_function handles it)
+                self._decoder.set_transfer_function(tf)
         return self._decoder
 
     def decode_progressive(self, n_blobs: int = 1):

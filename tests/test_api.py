@@ -305,3 +305,22 @@ def test_decoded_shading_and_shadows(trained):
     shadowed = np.asarray(r.render())
     assert np.isfinite(shadowed).all()
     assert not np.allclose(base, shadowed)
+
+
+def test_renderer_level_tf_reaches_cached_decoder(trained):
+    """TF edits through VNRenderer.set_transfer_function must reach the
+    CACHED slab pipeline (get_decoder previously dropped the new tf)."""
+    from instantvnr_tpu.api import RenderMode, VNRenderer
+    from instantvnr_tpu.config import TransferFunctionConfig
+
+    _simple, nv = trained
+    r = VNRenderer(nv, width=12, height=12, mode=RenderMode.DECODED_SLAB)
+    f0 = np.asarray(r.render())
+    red = TransferFunctionConfig(
+        colors=((0.0, 1.0, 0.0, 0.0), (1.0, 1.0, 0.0, 0.0)))
+    r.set_transfer_function(red)
+    f1 = np.asarray(r.render())
+    assert not np.allclose(f0, f1)
+    hit = f1[..., 3] > 0.05
+    assert hit.any()
+    assert np.abs(f1[..., 1][hit]).max() < 0.15  # green gone under red TF
