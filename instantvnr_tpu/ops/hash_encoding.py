@@ -255,10 +255,10 @@ def hash_encode(table: jnp.ndarray, coords: jnp.ndarray,
 #     log2_hashmap 14:  84 → 82 ms   (1.02×, one dense level)
 #     log2_hashmap 16: 405 → 182 ms  (2.23×)
 #     log2_hashmap 19: 407 → 281 ms  (1.45×; B=2^18: 1607 → 1118 ms)
-#   full train step (fwd+bwd+Adam), scatter → splat:
-#     log2_hashmap 14:  86 → 80 ms/step   (0.76 → 0.82 Msamples/s)
-#     log2_hashmap 16: 285 → 231 ms/step  (0.23 → 0.28 Msamples/s)
-#     log2_hashmap 19: 295 → 219 ms/step  (0.22 → 0.30 Msamples/s)
+#   full train step (fwd+bwd+Adam), plain scatter → splat+per-level:
+#     log2_hashmap 14:  86 → 55.8 ms/step  (0.76 → 1.17 Msamples/s)
+#     log2_hashmap 16: 285 → 91.8 ms/step  (0.23 → 0.71 Msamples/s)
+#     log2_hashmap 19: 295 → 193.5 ms/step (0.22 → 0.34 Msamples/s)
 # Max grad deviation vs the autodiff backward: ~6e-4 relative (f32
 # accumulation order only). bf16 intermediates measured SLOWER (241 ms at
 # 2^16) — the chain stays f32.
@@ -336,9 +336,6 @@ def _make_splat_encode(spec: HashGridSpec, compute_dtype):
     dense_lvls = [l for l in range(spec.n_levels) if spec.level_is_dense[l]]
     hashed_lvls = [l for l in range(spec.n_levels)
                    if not spec.level_is_dense[l]]
-    h_sizes = [spec.level_sizes[l] for l in hashed_lvls]
-    h_offsets = np.cumsum([0] + h_sizes)[:-1]
-    n_hashed = int(np.sum(h_sizes)) if h_sizes else 0
 
     @jax.custom_vjp
     def encode(table, coords):
@@ -359,21 +356,22 @@ def _make_splat_encode(spec: HashGridSpec, compute_dtype):
             parts[l] = _dense_level_grad_splat(spec, l, coords, g[:, l, :])
 
         if hashed_lvls:
+            # PER-LEVEL scatters, not one fused scatter into the concatenated
+            # table: XLA scatter-add costs ≈ ∝ (updates × table entries), so
+            # fusing pays every update against every level. Measured
+            # standalone (B=2^16, v5e): 65→40 ms @2^14, 281→58 @2^16,
+            # 236→118 @2^19 (scratch/scatter_split.py; vmapped batched
+            # scatter sits in between — rejected).
             indices, weights = corner_indices_and_weights(spec, coords)
             iw = indices.reshape(b, spec.n_levels, 8)
             ww = weights.reshape(b, spec.n_levels, 8)
-            idx_h, upd_h = [], []
-            for j, l in enumerate(hashed_lvls):
-                shift = spec.level_offsets[l] - int(h_offsets[j])
-                idx_h.append(iw[:, l, :] - shift)
-                upd_h.append(ww[:, l, :, None] * g[:, l, None, :])
-            idx_flat = jnp.stack(idx_h, 1).reshape(-1)
-            upd_flat = jnp.stack(upd_h, 1).reshape(-1, spec.n_features)
-            h_table = jnp.zeros((n_hashed, spec.n_features), jnp.float32)
-            h_table = h_table.at[idx_flat].add(upd_flat)
-            for j, l in enumerate(hashed_lvls):
-                parts[l] = jax.lax.dynamic_slice_in_dim(
-                    h_table, int(h_offsets[j]), spec.level_sizes[l])
+            for l in hashed_lvls:
+                idx = (iw[:, l, :] - spec.level_offsets[l]).reshape(-1)
+                upd = (ww[:, l, :, None] * g[:, l, None, :]).reshape(
+                    -1, spec.n_features)
+                t = jnp.zeros((spec.level_sizes[l], spec.n_features),
+                              jnp.float32)
+                parts[l] = t.at[idx].add(upd)
 
         return jnp.concatenate(parts, 0).astype(table_dtype), None
 
