@@ -97,7 +97,9 @@ def main(report=None):
         cfg19 = ModelConfig()
         field19 = NeuralField.from_config(cfg19)
         state19 = create_train_state(jax.random.PRNGKey(0), field19)
-        state19 = train_steps(field19, vol.data, state19, 2, batch)  # compile
+        # n_steps is a static arg — warm with the SAME chunk size as the
+        # timed call or the timing measures compilation
+        state19 = train_steps(field19, vol.data, state19, 5, batch)
         _ = float(state19.loss)
         t0 = time.time()
         state19 = train_steps(field19, vol.data, state19, 5, batch)
