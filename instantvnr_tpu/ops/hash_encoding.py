@@ -255,10 +255,11 @@ def hash_encode(table: jnp.ndarray, coords: jnp.ndarray,
 #     log2_hashmap 14:  84 → 82 ms   (1.02×, one dense level)
 #     log2_hashmap 16: 405 → 182 ms  (2.23×)
 #     log2_hashmap 19: 407 → 281 ms  (1.45×; B=2^18: 1607 → 1118 ms)
-#   full train step (fwd+bwd+Adam), plain scatter → splat+per-level:
+#   full train step (fwd+bwd+Adam), plain scatter → splat+per-level
+#   (+f16 accumulation for levels ≥ 2^17 entries):
 #     log2_hashmap 14:  86 → 55.8 ms/step  (0.76 → 1.17 Msamples/s)
 #     log2_hashmap 16: 285 → 91.8 ms/step  (0.23 → 0.71 Msamples/s)
-#     log2_hashmap 19: 295 → 193.5 ms/step (0.22 → 0.34 Msamples/s)
+#     log2_hashmap 19: 295 → 125.5 ms/step (0.22 → 0.52 Msamples/s)
 # Max grad deviation vs the autodiff backward: ~6e-4 relative (f32
 # accumulation order only). bf16 intermediates measured SLOWER (241 ms at
 # 2^16) — the chain stays f32.
@@ -369,9 +370,17 @@ def _make_splat_encode(spec: HashGridSpec, compute_dtype):
                 idx = (iw[:, l, :] - spec.level_offsets[l]).reshape(-1)
                 upd = (ww[:, l, :, None] * g[:, l, None, :]).reshape(
                     -1, spec.n_features)
-                t = jnp.zeros((spec.level_sizes[l], spec.n_features),
-                              jnp.float32)
-                parts[l] = t.at[idx].add(upd)
+                # big levels accumulate in f16 — halves the table pass the
+                # scatter walks (118.6 → 50.3 ms/level-set @2^19 measured,
+                # no effect at ≤2^14 sizes). f16, NOT bf16: tcnn accumulates
+                # grid grads in __half atomics (11-bit mantissa); bf16's
+                # 8-bit mantissa measured a real PSNR loss (51→42.8 dB)
+                # while f16 holds 50.2 dB
+                acc_dt = (jnp.float16 if spec.level_sizes[l] >= (1 << 17)
+                          else jnp.float32)
+                t = jnp.zeros((spec.level_sizes[l], spec.n_features), acc_dt)
+                parts[l] = t.at[idx].add(upd.astype(acc_dt)).astype(
+                    jnp.float32)
 
         return jnp.concatenate(parts, 0).astype(table_dtype), None
 
