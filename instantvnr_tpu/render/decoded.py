@@ -53,7 +53,9 @@ class DecodedRenderer:
         self.transform = transform or default_transform(volume_dims)
         self.camera = Camera.default_for_dims(self.volume_dims)
         self.field = field
-        self.params = params
+        self.params = None
+        if params is not None:
+            self.set_params(params)
         self.slab_blob = slab_blob
         self._next_blob = 0
         if initial_volume is not None:
@@ -94,6 +96,14 @@ class DecodedRenderer:
         self.decode_progressive(self.n_blobs)
 
     def set_params(self, params):
+        # bf16-table inference cast (models.network.render_params): decoding
+        # is the same gather-bound batched inference as the wavefront, and
+        # the reference decodes through tcnn's fp16 inference params
+        # (tcnn_network.h:142-156) — ~1.5× fewer gathered bytes
+        if self.field is not None and isinstance(params, dict)                 and "table" in params:
+            from instantvnr_tpu.models.network import render_params
+
+            params = render_params(params, self.field)
         self.params = params
 
     def set_camera(self, cam: Camera):
