@@ -21,7 +21,6 @@ from instantvnr_tpu.models.metrics import decode_slab
 from instantvnr_tpu.render.camera import Camera
 from instantvnr_tpu.render.slabmarch import (
     SlabSettings,
-    eye_outside_slab_range,
     principal_axis,
     slab_occupancy_from_macrocell,
     slab_render,
@@ -100,7 +99,8 @@ class DecodedRenderer:
         # is the same gather-bound batched inference as the wavefront, and
         # the reference decodes through tcnn's fp16 inference params
         # (tcnn_network.h:142-156) — ~1.5× fewer gathered bytes
-        if self.field is not None and isinstance(params, dict)                 and "table" in params:
+        if (self.field is not None and isinstance(params, dict)
+                and "table" in params):
             from instantvnr_tpu.models.network import render_params
 
             params = render_params(params, self.field)
@@ -151,9 +151,14 @@ class DecodedRenderer:
         cam = self.camera
         scale_h = np.asarray(self.transform.scale)  # host copy (static axis)
         axis, flipped = principal_axis(cam, scale_h)
-        if not eye_outside_slab_range(cam, self.volume_dims, axis, scale_h):
-            # inside the volume: slab factorization is invalid — fall back
-            # to the masked-wavefront marcher over the decoded grid
+        from instantvnr_tpu.render.slabmarch import slab_path_valid
+
+        if not slab_path_valid(cam, self.volume_dims, axis, flipped, scale_h,
+                               aspect=self.width / float(self.height)):
+            # degenerate camera (frustum looks backward along the principal
+            # axis) — fall back to the masked-wavefront marcher; ordinary
+            # fly-through cameras inside the volume stay on the fast
+            # split-at-eye slab path
             return self._render_fallback(cam)
         cam_arrays = (
             jnp.asarray(cam.eye, jnp.float32),

@@ -291,8 +291,14 @@ def slab_render(
         clo = clo.at[2].set(clo_z)
         chi = chi.at[2].set(chi_z)
 
-    # slab planes at z_k = k + 0.5 (voxel centers); reference plane = slab 0
-    z_ref = 0.5
+    # slab planes at z_k = k + 0.5 (voxel centers); reference plane = the
+    # first slab IN FRONT of the eye — slab 0 for orbit cameras (e_z < 0
+    # after the permute/flip normalization), the eye's forward neighbor for
+    # fly-through cameras inside the volume (split-at-eye: slabs behind the
+    # eye are invisible to a forward frustum and are masked out below)
+    z_ref = jnp.clip(jnp.floor(e[2] + 0.5), 0.0, d_slab - 1.0) + 0.5
+    slab_zs = jnp.arange(d_slab, dtype=jnp.float32) + 0.5
+    in_front = slab_zs >= z_ref - 1e-3
 
     # intermediate image domain: union of slab projections onto the ref plane
     # σ_k ∈ (0,1] pulls toward the epipole, so the union is slab 0's own
@@ -313,6 +319,7 @@ def slab_render(
 
     if slab_occupancy is None:
         slab_occupancy = jnp.ones((d_slab,), bool)
+    slab_occupancy = slab_occupancy & in_front
 
     if settings.batched_compositor and not use_shading:
         shadow_perm = (_permute_volume(shadow_volume, axis, flipped)[0]
@@ -503,3 +510,36 @@ def eye_outside_slab_range(cam: Camera, dims, axis: int,
         eye = eye / np.asarray(scale, np.float32)
     eye = eye + np.asarray(dims, np.float32) / 2
     return not (0.0 <= eye[axis] <= float(dims[axis]))
+
+
+def slab_path_valid(cam: Camera, dims, axis: int, flipped: bool,
+                    scale=None, aspect: float = 1.0,
+                    margin: float = 0.05) -> bool:
+    """Host-side: can the shear-warp factorization render this camera?
+
+    Always true for eyes outside the principal-axis slab range (orbit
+    cameras, the v1 case). For fly-through cameras INSIDE the volume the
+    split-at-eye path is valid as long as the whole frustum looks forward
+    along the principal axis (every corner ray's permuted z-component
+    positive) — slabs behind the eye are then invisible and masked out in
+    slab_render. Degenerate wide-FOV/oblique cases fall back to the
+    wavefront marcher.
+    """
+    if eye_outside_slab_range(cam, dims, axis, scale):
+        return True
+    eye = np.asarray(cam.eye, np.float32)
+    direction = np.asarray(cam.center, np.float32) - eye
+    direction = direction / max(np.linalg.norm(direction), 1e-12)
+    up = np.asarray(cam.up, np.float32)
+    t2 = 2.0 * np.tan(float(cam.fovy) * np.pi / 360.0)
+    h = np.cross(direction, up)
+    h = t2 * aspect * h / max(np.linalg.norm(h), 1e-12)
+    v = np.cross(h, direction) / max(aspect, 1e-12)
+    corners = [direction + sx * h + sy * v
+               for sx in (-0.5, 0.5) for sy in (-0.5, 0.5)]
+    sgn = -1.0 if flipped else 1.0
+    for d in corners:
+        dv = d if scale is None else d / np.asarray(scale, np.float32)
+        if sgn * dv[axis] <= margin * np.linalg.norm(dv):
+            return False
+    return True
