@@ -181,6 +181,24 @@ def main(report=None):
     rays_per_s = fps * size * size
     log(f"render {size}x{size}: {fps:.2f} fps, {rays_per_s/1e6:.1f} Mrays/s")
 
+    # the reference's own benchmark frame size (batch_renderer.cpp:199)
+    try:
+        r768 = DecodedRenderer(768, 768, mc, tf, dims, field=field,
+                               params=state.params, settings=SlabSettings(),
+                               initial_volume=r.decoded)
+        r768.set_camera(cam)
+        for _ in range(3):
+            r768.render()
+        _ = float(r768._frame.ravel()[0])
+        t0 = time.time()
+        for _ in range(10):
+            r768.render()
+        _ = float(r768._frame.ravel()[0])
+        report["fps_768"] = 10 / (time.time() - t0)
+        log(f"render 768x768: {report['fps_768']:.2f} fps")
+    except Exception as e:  # noqa: BLE001
+        log(f"768 stage failed: {e!r}")
+
     print(json.dumps(_json_line(report)))
 
 
@@ -194,6 +212,8 @@ def _json_line(report):
     if "train_msps_full" in report:
         secondary["train_msamples_per_s_hash19_ref_schema"] = round(
             report["train_msps_full"], 3)
+    if "fps_768" in report:
+        secondary["slab_fps_768"] = round(report["fps_768"], 3)
     if "psnr" in report:
         secondary["psnr_db"] = round(report["psnr"], 2)
     return {
