@@ -95,7 +95,14 @@ def network_apply(params: Params, coords: jnp.ndarray,
     impl = field.cfg.grid_grad_impl
     if impl == "auto":
         impl = "splat" if jax.default_backend() == "tpu" else "scatter"
-    if impl == "splat":
+    if "packed" in params:
+        # inference fast path (render_params): corner-packed dense levels —
+        # one gather per dense level instead of 8 (hash_encoding.py notes)
+        from instantvnr_tpu.ops.hash_encoding import hash_encode_packed
+
+        feats = hash_encode_packed(params["table"], params["packed"], coords,
+                                   field.spec, compute_dtype=compute_dtype)
+    elif impl == "splat":
         from instantvnr_tpu.ops.hash_encoding import hash_encode_splat
 
         feats = hash_encode_splat(params["table"], coords, field.spec,
@@ -112,17 +119,36 @@ def network_apply(params: Params, coords: jnp.ndarray,
 
 
 def render_params(params: Params, field: NeuralField) -> Params:
-    """Precast parameters for the inference-only render path.
+    """Prepare parameters for the inference-only render path.
 
     The hash-table gather is the measured bottleneck of sample-streaming
-    rendering (~3 ns/lookup on v5e); gathering bf16 rows instead of f32 cuts
-    the gathered bytes in half (measured 3.1 vs 4.8 ns/lookup). Training
-    keeps the f32 master table; call this once per parameter update (the
-    reference equally re-uploads half-precision params to its inference
+    rendering; the fastest layout is schema-dependent (scratch/packed_e2e.py,
+    B=2^16 encode+MLP on v5e):
+      - small schemas (2^14: 0.95 M entries, 3.8 MB) gather FASTER in f32
+        than bf16 (13.1 vs 18.5 ms — the table is cache-resident and the
+        cast only adds conversion work), and corner-packing is neutral;
+      - big schemas (2^19 reference schema: 93 MB f32) are HBM-bound: bf16
+        halves the gathered bytes and corner-packed dense levels cut the
+        row count (29.2 ms f32-plain → 22.7 ms bf16+packed, 1.29×).
+    Training keeps the f32 master table; call this once per parameter update
+    (the reference equally re-uploads half-precision params to its inference
     pipeline after each training epoch, tcnn_network.h:142-156).
     """
-    return {"table": params["table"].astype(jnp.bfloat16),
-            "mlp": params["mlp"]}
+    spec = getattr(field, "spec", None)
+    if spec is None:  # non-hash-grid families (e.g. fV-SRN): plain bf16 cast
+        return {"table": params["table"].astype(jnp.bfloat16),
+                "mlp": params["mlp"]}
+    big = spec.n_params >= (1 << 22)  # crossover measured between 2^14/2^19
+    if not big:
+        return {"table": params["table"], "mlp": params["mlp"]}
+    from instantvnr_tpu.ops.hash_encoding import packed_dense_tables
+
+    table = params["table"].astype(jnp.bfloat16)
+    out = {"table": table, "mlp": params["mlp"]}
+    packed = packed_dense_tables(table, spec)
+    if packed:
+        out["packed"] = packed
+    return out
 
 
 def network_apply_chunked(params: Params, coords: jnp.ndarray,

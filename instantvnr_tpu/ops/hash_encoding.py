@@ -242,6 +242,73 @@ def hash_encode(table: jnp.ndarray, coords: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Inference fast path: corner-packed dense levels
+#
+# The per-row cost of an XLA gather on v5e is FLAT in row width (measured
+# 7.5-16 ns/row from 8 through 128 lanes, scratch/packed_gather.py), so for
+# DENSE levels — whose 8 trilinear corner rows sit at fixed linear offsets
+# {0,1,R,R+1,R²,R²+1,R²+R,R²+R+1} from the cell's min-corner index — packing
+# those 8 rows into ONE [size, 8F] row turns 8 gathers/sample/level into 1.
+# jnp.roll reproduces tcnn's `% size` wrap (including the out-of-row aliasing
+# of +1 corners at cell == R−1) exactly. Measured (B=2^16, encode+MLP):
+#   2^19 schema (3/8 levels dense): 29.2 → 22.7 ms bf16  (1.29×)
+#   2^14 schema (1/8 dense):        neutral (13.1 → 13.9 ms f32)
+# so the packed path is used only for big schemas (see render_params).
+# ---------------------------------------------------------------------------
+
+
+def packed_dense_tables(table: jnp.ndarray, spec: HashGridSpec) -> dict:
+    """Build [size, 8F] corner-packed companion tables for the dense levels.
+
+    Returns {str(level): array} (string keys keep the params pytree sortable).
+    Cheap (8 rolled copies per dense level — pure bandwidth); rebuild whenever
+    the master table changes (once per render-params refresh).
+    """
+    packed = {}
+    for l in range(spec.n_levels):
+        if not spec.level_is_dense[l]:
+            continue
+        res, size = spec.resolutions[l], spec.level_sizes[l]
+        sub = jax.lax.dynamic_slice_in_dim(table, spec.level_offsets[l], size)
+        offs = [int(c[0] + c[1] * res + c[2] * res * res) for c in _CORNERS]
+        packed[str(l)] = jnp.concatenate(
+            [jnp.roll(sub, -o, axis=0) for o in offs], axis=1)
+    return packed
+
+
+def hash_encode_packed(table: jnp.ndarray, packed: dict, coords: jnp.ndarray,
+                       spec: HashGridSpec,
+                       compute_dtype=jnp.float32) -> jnp.ndarray:
+    """`hash_encode` with corner-packed dense levels: one [size, 8F]-row
+    gather per dense level, one fused [B, H·8] gather for the hashed levels.
+    Forward-only (inference paths; training keeps `hash_encode_splat`).
+    Exactly equal to `hash_encode` up to summation order (tested)."""
+    b = coords.shape[0]
+    indices, weights = corner_indices_and_weights(spec, coords)
+    iw = indices.reshape(b, spec.n_levels, 8)
+    ww = weights.reshape(b, spec.n_levels, 8).astype(compute_dtype)
+    feats = [None] * spec.n_levels
+    hashed = [l for l in range(spec.n_levels) if str(l) not in packed]
+    for l in range(spec.n_levels):
+        if str(l) in packed:
+            # corner 0 is the min-corner: x,y,z ≤ R−1 ⇒ index < R³ ≤ size,
+            # so the base needs no wrap; the rolls carry the corner wraps
+            base = iw[:, l, 0] - spec.level_offsets[l]
+            f = packed[str(l)][base].reshape(
+                b, 8, spec.n_features).astype(compute_dtype)
+            feats[l] = (f * ww[:, l, :, None]).sum(1)
+    if hashed:
+        hsel = jnp.asarray(hashed, jnp.int32)
+        hi = iw[:, hsel, :].reshape(b, -1)
+        hw = ww[:, hsel, :].reshape(b, -1)
+        f = table[hi].astype(compute_dtype) * hw[..., None]
+        f = f.reshape(b, len(hashed), 8, spec.n_features).sum(2)
+        for j, l in enumerate(hashed):
+            feats[l] = f[:, j]
+    return jnp.concatenate(feats, axis=1)
+
+
+# ---------------------------------------------------------------------------
 # Training backward: dense-level separable splatting
 #
 # XLA's scatter-add on v5e costs ≈ ∝ (updates × table entries) — it is the

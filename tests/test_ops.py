@@ -270,3 +270,105 @@ class TestSplatBackward:
         np.testing.assert_array_equal(
             np.asarray(hash_encode_splat(table, coords, spec)),
             np.asarray(hash_encode(table, coords, spec)))
+
+
+class TestPackedEncode:
+    """Corner-packed dense-level inference gathers (hash_encoding.py notes):
+    one [size, 8F] row per dense-level lookup, rolls reproducing tcnn's
+    `% size` wrap — must match hash_encode exactly."""
+
+    def _spec(self, **kw):
+        from instantvnr_tpu.config import EncodingConfig
+        from instantvnr_tpu.ops.hash_encoding import HashGridSpec
+
+        base = dict(n_levels=4, n_features_per_level=2,
+                    log2_hashmap_size=9, base_resolution=4,
+                    per_level_scale=2.0)
+        base.update(kw)
+        return HashGridSpec.from_config(EncodingConfig(**base))
+
+    def test_matches_plain_encode(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from instantvnr_tpu.ops.hash_encoding import (
+            hash_encode, hash_encode_packed, init_hash_table,
+            packed_dense_tables)
+
+        # res 4,8,16,32 with cap 512: levels 0,1 dense (64, 512), 2,3 hashed
+        spec = self._spec()
+        assert spec.level_is_dense == (True, True, False, False)
+        key = jax.random.PRNGKey(0)
+        table = init_hash_table(key, spec)
+        packed = packed_dense_tables(table, spec)
+        assert set(packed) == {"0", "1"}
+        # include boundary coords (cell == R-1 → out-of-row +1 aliasing)
+        coords = jnp.concatenate([
+            jax.random.uniform(key, (200, 3), jnp.float32),
+            jnp.array([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0], [1.0, 0.0, 0.5]]),
+        ])
+        a = hash_encode(table, coords, spec)
+        b = hash_encode_packed(table, packed, coords, spec)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-6, rtol=1e-6)
+
+    def test_padded_dense_level_wrap(self):
+        """A dense level whose size is padded past R³ (next multiple of 8)
+        must wrap at SIZE, not R³ — roll length equals the padded size."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from instantvnr_tpu.ops.hash_encoding import (
+            hash_encode, hash_encode_packed, init_hash_table,
+            packed_dense_tables)
+
+        spec = self._spec(base_resolution=5, n_levels=2)  # 5³=125 → size 128
+        assert spec.level_sizes[0] == 128
+        key = jax.random.PRNGKey(1)
+        table = init_hash_table(key, spec)
+        packed = packed_dense_tables(table, spec)
+        coords = jax.random.uniform(key, (128, 3), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(hash_encode_packed(table, packed, coords, spec)),
+            np.asarray(hash_encode(table, coords, spec)),
+            atol=1e-6, rtol=1e-6)
+
+    def test_render_params_layouts(self):
+        """Schema-dependent inference layout: small schemas stay f32 with no
+        packed tables; big schemas (≥2^22 params) get bf16 + packed."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from instantvnr_tpu.config import ModelConfig
+        from instantvnr_tpu.models import NeuralField
+        from instantvnr_tpu.models.network import (
+            network_apply, render_params)
+
+        key = jax.random.PRNGKey(2)
+        coords = jax.random.uniform(key, (65, 3), jnp.float32)
+
+        small = NeuralField.from_config(dataclasses.replace(
+            ModelConfig(), encoding=dataclasses.replace(
+                ModelConfig().encoding, log2_hashmap_size=14)))
+        p = small.init(key)
+        rp = render_params(p, small)
+        assert "packed" not in rp
+        assert rp["table"].dtype == jnp.float32
+        np.testing.assert_array_equal(
+            np.asarray(network_apply(rp, coords, small)),
+            np.asarray(network_apply(p, coords, small)))
+
+        big = NeuralField.from_config(ModelConfig())  # 2^19 reference schema
+        p = big.init(key)
+        rp = render_params(p, big)
+        assert rp["table"].dtype == jnp.bfloat16
+        assert set(rp["packed"]) == {"0", "1", "2"}
+        # bf16 table quantization only (the packed gather itself is exact)
+        np.testing.assert_allclose(
+            np.asarray(network_apply(rp, coords, big)),
+            np.asarray(network_apply(p, coords, big)), atol=2e-2)
