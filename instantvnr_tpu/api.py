@@ -260,11 +260,18 @@ class NeuralVolume:
 
     # -- inference / decoding ----------------------------------------------
 
-    def get_decoder(self, width=512, height=512, tf=None, settings=None):
+    def get_decoder(self, width=None, height=None, tf=None, settings=None):
         """The progressive decode + slab render pipeline bound to this
-        network (lazily created; reuse across frames)."""
+        network (lazily created; reuse across frames). width/height default
+        to the cached decoder's size (512 on first creation) so that
+        size-agnostic calls like decode_progressive() never force a
+        rebuild out from under a renderer holding the cached pipeline."""
         from instantvnr_tpu.render.decoded import DecodedRenderer
 
+        if width is None:
+            width = self._decoder.width if self._decoder is not None else 512
+        if height is None:
+            height = self._decoder.height if self._decoder is not None else 512
         if self._decoder is not None and (
             self._decoder.width != width or self._decoder.height != height
         ):
@@ -607,6 +614,30 @@ class VNRenderer:
         assert self.mode == RenderMode.DECODED_SLAB
         self._impl.settings = _dc.replace(self._impl.settings,
                                           shading=shading)
+
+    def refresh_params(self):
+        """Rebind the render path to the neural volume's CURRENT parameters
+        without retracing — the online-training hook (training steps inside
+        the render loop, reference int_dual_volume.cpp:662-674). The
+        decoded-slab path re-reads params at render() time already; the
+        network-sampling paths swap their sample context here, and the
+        decoded path tracer re-decodes its grid."""
+        if self.neural is None:
+            return
+        from instantvnr_tpu.models.network import render_params
+
+        if self.mode in (RenderMode.NEURAL_WAVEFRONT,
+                         RenderMode.NEURAL_WAVEFRONT_GRADIENT,
+                         RenderMode.NEURAL_WAVEFRONT_SSH):
+            self._impl.set_sample_ctx(
+                render_params(self.neural.state.params, self.neural.field))
+        elif self.mode == RenderMode.PATHTRACE_NEURAL:
+            self._impl.sample_ctx = render_params(self.neural.state.params,
+                                                  self.neural.field)
+            self.reset_accumulation()
+        elif self.mode == RenderMode.PATHTRACE_DECODED:
+            self._impl.sample_ctx = self.neural.decode_volume()
+            self.reset_accumulation()
 
     def reset_accumulation(self):
         """vnrRendererResetAccumulation (api.h): restart progressive

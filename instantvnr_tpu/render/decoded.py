@@ -58,7 +58,10 @@ class DecodedRenderer:
         self.slab_blob = slab_blob
         self._next_blob = 0
         if initial_volume is not None:
-            self.decoded = jnp.asarray(initial_volume)
+            # copy, not alias: decode_progressive donates this buffer, and
+            # an aliased caller-held array would be deleted out from under
+            # whoever still renders from it
+            self.decoded = jnp.array(initial_volume, jnp.float32)
         else:
             self.decoded = jnp.zeros((dz, dy, dx), jnp.float32)
         self._frame = None

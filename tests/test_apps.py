@@ -61,3 +61,90 @@ class TestApps:
         assert RaymarchSettings().n_iters == 16
         monkeypatch.setenv("VNR_RM_N_ITERS", "4")
         assert RaymarchSettings().n_iters == 4
+
+
+class TestViewer:
+    """The interactive web viewer (vnr_int_viewer.py): start it on a tiny
+    online-training scene, drive the HTTP API like the browser does."""
+
+    def test_viewer_end_to_end(self):
+        import io
+        import json as jsonlib
+        import time
+        import urllib.request
+
+        env = dict(os.environ)
+        code = (
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "import sys; sys.argv = ['vnr_int_viewer.py', '--synthetic',"
+            " 'sphere', '--dims', '24', '--size', '48', '--batch', '512',"
+            " '--train-steps-per-frame', '2', '--infer-blobs-per-frame',"
+            " '1', '--port', '0'];"
+            f"sys.path.insert(0, '{APPS}'); sys.path.insert(0, '{REPO}');"
+            f"import runpy; runpy.run_path("
+            f"'{os.path.join(APPS, 'vnr_int_viewer.py')}',"
+            " run_name='__main__')"
+        )
+        proc = subprocess.Popen([sys.executable, "-c", code],
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, text=True, env=env)
+        try:
+            line = proc.stdout.readline()
+            assert "serving on http://" in line, line
+            base = line.split("serving on ")[1].strip().rstrip("/")
+
+            def get(path, timeout=240):
+                deadline = time.time() + timeout
+                while True:
+                    try:
+                        with urllib.request.urlopen(base + path,
+                                                    timeout=30) as r:
+                            if r.status == 200:
+                                return r.read()
+                    except Exception:
+                        pass
+                    assert time.time() < deadline, f"timed out on {path}"
+                    assert proc.poll() is None, proc.stderr.read()[-2000:]
+                    time.sleep(1.0)
+
+            page = get("/")
+            assert b"instantvnr-tpu viewer" in page
+
+            png = get("/frame.png")  # waits through jit compiles
+            from PIL import Image
+            img = Image.open(io.BytesIO(png))
+            assert img.size == (48, 48)
+
+            st = jsonlib.loads(get("/api/state"))
+            assert st["mode"] == "DECODED_SLAB"
+            assert "NEURAL_WAVEFRONT" in st["modes"]
+            assert st["training"] is True
+
+            # training advances inside the render loop (int_dual semantics)
+            deadline = time.time() + 240
+            while True:
+                st2 = jsonlib.loads(get("/api/state"))
+                if st2["step"] > 0:
+                    break
+                assert time.time() < deadline, "training never advanced"
+                time.sleep(1.0)
+
+            # camera edit is transactional and re-renders
+            frame0 = jsonlib.loads(get("/api/state"))["frame"]
+            assert get("/api/camera?yaw=2.5&dist=60") == b"ok"
+            deadline = time.time() + 240
+            while jsonlib.loads(get("/api/state"))["frame"] <= frame0:
+                assert time.time() < deadline, "no frame after camera edit"
+                time.sleep(0.5)
+            st3 = jsonlib.loads(get("/api/state"))
+            assert abs(st3["camera"]["yaw"] - 2.5) < 1e-6
+
+            # pause training, then quit
+            assert get("/api/training?on=0") == b"ok"
+            assert get("/api/quit") == b"bye"
+            proc.wait(timeout=120)
+            assert proc.returncode == 0
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait()
