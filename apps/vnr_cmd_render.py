@@ -21,8 +21,10 @@ def main():
     p.add_argument("--mode", default="decoded",
                    choices=["decoded", "neural", "reference", "gradient", "ssh",
                             "pathtrace", "pathtrace-neural",
-                            "pathtrace-reference"],
-                   help="render mode (reference api.h:36-60 matrix)")
+                            "pathtrace-reference", "isosurface",
+                            "isosurface-reference"],
+                   help="render mode (reference api.h:36-60 matrix; "
+                        "isosurface = int_isosurface.cu viewing capability)")
     p.add_argument("--size", type=int, default=768,
                    help="frame size (batch_renderer.cpp:199 default 768²)")
     p.add_argument("--num-frames", type=int, default=20)
@@ -47,6 +49,8 @@ def main():
                    "(batch_renderer.cpp:222-224)")
     p.add_argument("--camera", type=float, nargs=3, default=None,
                    help="eye position (default: auto-framed orbit)")
+    p.add_argument("--isovalue", type=float, default=0.5,
+                   help="isovalue for the isosurface modes")
     p.add_argument("--timestep", type=int, default=0,
                    help="time-series volumes: render this timestep "
                    "(vnrSimpleVolumeSetCurrentTimeStep, api.h:118)")
@@ -84,6 +88,9 @@ def main():
         if args.load else RenderMode.PATHTRACE_REFERENCE,
         "pathtrace-neural": RenderMode.PATHTRACE_NEURAL,
         "pathtrace-reference": RenderMode.PATHTRACE_REFERENCE,
+        "isosurface": RenderMode.ISOSURFACE_DECODED
+        if args.load else RenderMode.ISOSURFACE_REFERENCE,
+        "isosurface-reference": RenderMode.ISOSURFACE_REFERENCE,
     }[args.mode]
 
     if args.timestep and simple is not None:
@@ -96,6 +103,8 @@ def main():
     if args.density_scale != 1.0:
         r.set_volume_density_scale(args.density_scale)
     r.set_denoiser(args.denoise)
+    if args.isovalue != 0.5:
+        r.set_isovalue(args.isovalue)
     if mode == RenderMode.DECODED_SLAB:
         if args.slab_shading != "none":
             r.set_slab_shading(args.slab_shading)

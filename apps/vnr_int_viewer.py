@@ -47,6 +47,8 @@ _PAGE = """<!doctype html>
 <div id="bar">
  mode <select id="mode"></select>
  <label><input type="checkbox" id="train"> train</label>
+ iso <input type="range" id="iso" min="0" max="1" step="0.01" value="0.5"
+   style="vertical-align:middle">
  <span id="stats"></span>
 </div>
 <img id="view" draggable="false">
@@ -65,6 +67,8 @@ async function state() {
     sel.onchange = () => fetch('/api/mode?name=' + sel.value);
     const tr = document.getElementById('train');
     tr.onchange = () => fetch('/api/training?on=' + (tr.checked ? 1 : 0));
+    const iso = document.getElementById('iso');
+    iso.oninput = () => fetch('/api/iso?value=' + iso.value);
   }
   sel.value = s.mode;
   document.getElementById('train').checked = s.training;
@@ -146,9 +150,10 @@ class ViewerApp:
         self.modes = []
         for m in RenderMode:
             needs_neural = m.name.startswith(("DECODED", "NEURAL")) or \
-                m.name == "PATHTRACE_NEURAL" or m.name == "PATHTRACE_DECODED"
+                m.name in ("PATHTRACE_NEURAL", "PATHTRACE_DECODED",
+                           "ISOSURFACE_DECODED")
             needs_simple = m.name.startswith("REFERENCE") or \
-                m.name == "PATHTRACE_REFERENCE"
+                m.name in ("PATHTRACE_REFERENCE", "ISOSURFACE_REFERENCE")
             if needs_neural and nv is None:
                 continue
             if needs_simple and renderer.simple is None:
@@ -210,6 +215,7 @@ class ViewerApp:
                 "fps": self.fps,
                 "camera": {"yaw": self.orbit.yaw, "pitch": self.orbit.pitch,
                            "dist": self.orbit.dist},
+                "isovalue": self.renderer.isovalue,
                 "step": 0, "loss": 0.0,
             }
         if self.nv is not None:
@@ -275,6 +281,11 @@ def make_handler(app: ViewerApp, server_holder):
                     return self._send(400, b"unknown mode")
                 with app.lock:
                     app.pending_mode = name
+                return self._send(200, b"ok")
+            if url.path == "/api/iso":
+                with app.lock:
+                    app.renderer.set_isovalue(float(q.get("value", 0.5)))
+                    app.dirty = True
                 return self._send(200, b"ok")
             if url.path == "/api/training":
                 with app.lock:

@@ -62,12 +62,18 @@ class RenderMode(enum.IntEnum):
     PATHTRACE_NEURAL = 9  # network inference inside the tracking loop
     # (reference mode SAMPLE_STREAMING path tracing,
     # method_pathtracing.cu:679-813)
+    ISOSURFACE_DECODED = 10  # first-hit isosurface of the decoded network
+    ISOSURFACE_REFERENCE = 11  # first-hit isosurface of the GT grid
+    # (interactive half of the reference's vnr_int_isosurface app,
+    # apps/int_isosurface.cu — implicit slab-sweep instead of MC+OptiX mesh,
+    # render/isosurf.py; mesh extraction/OBJ export stays in ops/isosurface)
 
     @property
     def requires_decoding(self) -> bool:
         """vnrRequireDecoding (api.h:62-88): does the mode render from the
         decoded grid (and therefore need decode/infer before frames)?"""
-        return self in (RenderMode.DECODED_SLAB, RenderMode.PATHTRACE_DECODED)
+        return self in (RenderMode.DECODED_SLAB, RenderMode.PATHTRACE_DECODED,
+                        RenderMode.ISOSURFACE_DECODED)
 
 
 class SimpleVolume:
@@ -430,6 +436,7 @@ class VNRenderer:
         self.sampling_rate = 1.0
         self.density_scale = 1.0
         self.denoise = False
+        self.isovalue = 0.5  # for the ISOSURFACE_* modes
         self._tf_override = None  # renderer-level TF (vnrRendererSetTransferFunction)
         if isinstance(volume, NeuralVolume):
             self.neural = volume
@@ -511,6 +518,21 @@ class VNRenderer:
                                      self.neural.decode_volume(),
                                      transform=xf,
                                      settings=self._pt_settings())
+        elif mode in (RenderMode.ISOSURFACE_DECODED,
+                      RenderMode.ISOSURFACE_REFERENCE):
+            from instantvnr_tpu.render.isosurf import IsoRenderer, IsoSettings
+
+            if mode == RenderMode.ISOSURFACE_DECODED:
+                assert self.neural is not None
+                grid = self.neural.decode_volume()
+            else:
+                assert self.simple is not None
+                grid = self.simple.volume.data
+            impl = IsoRenderer(self.width, self.height, grid, tf,
+                               isovalue=self.isovalue,
+                               settings=IsoSettings(
+                                   sampling_rate=max(self.sampling_rate, 2.0)),
+                               transform=xf)
         elif mode == RenderMode.PATHTRACE_NEURAL:
             # network inference inside the tracking loop — the reference's
             # neural path tracing (method_pathtracing.cu:679-813)
@@ -575,6 +597,14 @@ class VNRenderer:
         self.density_scale = float(scale)
         self.set_mode(self.mode)
 
+    def set_isovalue(self, isovalue: float):
+        """Isovalue for the ISOSURFACE_* modes (the reference app's
+        interactive iso slider, int_isosurface.cu). Traced scalar — edits
+        never retrace the render program."""
+        self.isovalue = float(isovalue)
+        if hasattr(self._impl, "set_isovalue"):
+            self._impl.set_isovalue(self.isovalue)
+
     def set_denoiser(self, enabled: bool):
         """vnrRendererSetDenoiser (batch_renderer.cpp:201): applies the
         a-trous filter at mapframe time (renderer.cpp:117-121 hook)."""
@@ -638,6 +668,8 @@ class VNRenderer:
         elif self.mode == RenderMode.PATHTRACE_DECODED:
             self._impl.sample_ctx = self.neural.decode_volume()
             self.reset_accumulation()
+        elif self.mode == RenderMode.ISOSURFACE_DECODED:
+            self._impl.set_grid(self.neural.decode_volume())
 
     def reset_accumulation(self):
         """vnrRendererResetAccumulation (api.h): restart progressive

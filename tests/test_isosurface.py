@@ -98,3 +98,136 @@ class TestMarchingTets:
         text = p.read_text()
         assert text.count("\nv ") + text.startswith("v ") == len(verts)
         assert text.count("\nf ") == len(faces)
+
+
+class TestIsoRender:
+    """First-hit isosurface RENDERING (render/isosurf.py) — the interactive
+    half of the reference's vnr_int_isosurface app (int_isosurface.cu)."""
+
+    def _scene(self, n=48):
+        from instantvnr_tpu.config import TransferFunctionConfig
+        from instantvnr_tpu.data import synthetic_volume
+        from instantvnr_tpu.render.camera import Camera
+        from instantvnr_tpu.utils.tfn import bake_transfer_function
+
+        vol = synthetic_volume((n, n, n), kind="sphere")
+        tf = bake_transfer_function(TransferFunctionConfig())
+        cam = Camera(eye=(0, 0, -2.0 * n), center=(0, 0, 0), up=(0, 1, 0),
+                     fovy=45)
+        return vol, tf, cam
+
+    def test_slab_matches_brute(self):
+        """The MXU slab sweep and the gather-based exact marcher agree on
+        hit mask and shaded color (independent first-hit implementations)."""
+        from instantvnr_tpu.render.isosurf import (
+            IsoRenderer,
+            IsoSettings,
+            brute_iso_render,
+        )
+
+        vol, tf, cam = self._scene()
+        r = IsoRenderer(64, 64, vol.data, tf, isovalue=0.5)
+        r.set_camera(cam)
+        f = np.asarray(r.render()).reshape(64, 64, 4)
+        cam_arrays = (jnp.asarray(cam.eye, jnp.float32),
+                      jnp.asarray(cam.center, jnp.float32),
+                      jnp.asarray(cam.up, jnp.float32),
+                      jnp.float32(cam.fovy))
+        fb = np.asarray(brute_iso_render(
+            vol.data, tf, 64, 64, IsoSettings(), 200, cam_arrays,
+            jnp.float32(0.5), r.transform)).reshape(64, 64, 4)
+        hit_s, hit_b = f[..., 3] > 0.5, fb[..., 3] > 0.5
+        assert hit_s.sum() > 20
+        assert (hit_s == hit_b).mean() > 0.99
+        common = hit_s & hit_b
+        diff = np.abs(f[..., :3] - fb[..., :3])[common]
+        assert diff.mean() < 0.03, diff.mean()
+
+    def test_silhouette_radius_analytic(self):
+        """Projected sphere silhouette area matches the analytic disc. The
+        synthetic sphere (clip(1-r,0,1)^2) crosses iso at
+        r_norm = 1 - sqrt(iso)."""
+        from instantvnr_tpu.render.isosurf import IsoRenderer
+
+        n, size = 48, 96
+        vol, tf, cam = self._scene(n)
+        iso = 0.5
+        r = IsoRenderer(size, size, vol.data, tf, isovalue=iso)
+        r.set_camera(cam)
+        f = r.mapframe() if False else np.asarray(r.render()).reshape(
+            size, size, 4)
+        hits = (f[..., 3] > 0.5).sum()
+        r_world = (1.0 - np.sqrt(iso)) * (n / 2.0)  # voxels
+        dist = 2.0 * n
+        # pixel radius through a pinhole with fovy 45 at unit aspect
+        theta = np.arcsin(r_world / dist)
+        r_px = np.tan(theta) / np.tan(np.deg2rad(45 / 2)) * (size / 2.0)
+        expect = np.pi * r_px * r_px
+        assert abs(hits - expect) / expect < 0.15, (hits, expect)
+
+    def test_isovalue_traced_no_retrace(self):
+        """Higher iso → smaller silhouette, and the edit reuses the same
+        compiled program (isovalue is a traced scalar)."""
+        from instantvnr_tpu.render.isosurf import IsoRenderer
+
+        vol, tf, cam = self._scene()
+        r = IsoRenderer(64, 64, vol.data, tf, isovalue=0.3)
+        r.set_camera(cam)
+        lo = (np.asarray(r.render()).reshape(-1, 4)[:, 3] > 0.5).sum()
+        r.set_isovalue(0.8)
+        hi = (np.asarray(r.render()).reshape(-1, 4)[:, 3] > 0.5).sum()
+        assert hi < lo and hi > 0
+
+    def test_api_modes_and_clipping(self):
+        """VNRenderer ISOSURFACE_* modes render; the clip box removes the
+        clipped half of the silhouette (api.cpp:322-338 semantics)."""
+        from instantvnr_tpu.api import RenderMode, SimpleVolume, VNRenderer
+        from instantvnr_tpu.render.camera import Camera
+
+        vol, tf, cam = self._scene(32)
+        simple = SimpleVolume(vol)
+        r = VNRenderer(simple, 48, 48, mode=RenderMode.ISOSURFACE_REFERENCE)
+        r.set_camera(Camera(eye=(0, 0, -64), center=(0, 0, 0), up=(0, 1, 0),
+                            fovy=45))
+        r.render()
+        full = r.mapframe()
+        assert np.isfinite(full).all()
+        n_full = (full[..., 3] > 0.5).sum()
+        assert n_full > 10
+        # clip away the +x half (voxel coords [0, dims])
+        r.set_clipping_box((0, 0, 0), (16, 32, 32))
+        r.render()
+        half = r.mapframe()
+        n_half = (half[..., 3] > 0.5).sum()
+        assert 0 < n_half < 0.75 * n_full
+
+    def test_api_neural_mode(self):
+        """ISOSURFACE_DECODED renders from the decoded network and
+        refresh_params rebinds after training steps."""
+        import dataclasses
+
+        from instantvnr_tpu.api import (
+            NeuralVolume,
+            RenderMode,
+            SimpleVolume,
+            VNRenderer,
+        )
+        from instantvnr_tpu.config import ModelConfig
+
+        vol, tf, cam = self._scene(32)
+        simple = SimpleVolume(vol)
+        cfg = ModelConfig()
+        cfg = dataclasses.replace(cfg, encoding=dataclasses.replace(
+            cfg.encoding, n_levels=4, log2_hashmap_size=12))
+        nv = NeuralVolume(cfg, simple=simple, train_batch=512)
+        nv.train(20)
+        r = VNRenderer(nv, 32, 32, mode=RenderMode.ISOSURFACE_DECODED)
+        r.set_camera(cam)
+        r.render()
+        f0 = r.mapframe()
+        assert np.isfinite(f0).all()
+        nv.train(5)
+        r.refresh_params()
+        r.render()
+        f1 = r.mapframe()
+        assert np.isfinite(f1).all()
