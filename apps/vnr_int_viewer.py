@@ -49,6 +49,8 @@ _PAGE = """<!doctype html>
  <label><input type="checkbox" id="train"> train</label>
  iso <input type="range" id="iso" min="0" max="1" step="0.01" value="0.5"
    style="vertical-align:middle">
+ density <input type="range" id="den" min="-1" max="1" step="0.05" value="0"
+   style="vertical-align:middle">
  <span id="stats"></span>
 </div>
 <img id="view" draggable="false">
@@ -69,6 +71,9 @@ async function state() {
     tr.onchange = () => fetch('/api/training?on=' + (tr.checked ? 1 : 0));
     const iso = document.getElementById('iso');
     iso.oninput = () => fetch('/api/iso?value=' + iso.value);
+    const den = document.getElementById('den');
+    den.onchange = () =>
+      fetch('/api/density?value=' + Math.pow(10, den.value));
   }
   sel.value = s.mode;
   document.getElementById('train').checked = s.training;
@@ -142,6 +147,8 @@ class ViewerApp:
             (renderer.neural or renderer.simple).dims)
         self.training = training and nv is not None
         self.pending_mode = None
+        self.pending_tf = None  # TF spec dict (the GUI TF-editor edit)
+        self.pending_density = None
         self.dirty = True
         self.stop_event = threading.Event()
         self.png = b""
@@ -171,12 +178,33 @@ class ViewerApp:
             with self.lock:
                 dirty, self.dirty = self.dirty, False
                 mode, self.pending_mode = self.pending_mode, None
+                tf_spec, self.pending_tf = self.pending_tf, None
+                density, self.pending_density = self.pending_density, None
                 cam = self.orbit.to_camera()
                 training = self.training
             if mode is not None:
                 from instantvnr_tpu.api import RenderMode
 
                 self.renderer.set_mode(RenderMode[mode])
+                dirty = True
+            if tf_spec is not None:
+                # interactive TF edit (the reference GUI's TF editor path:
+                # per-change macrocell max-opacity refresh via
+                # set_transfer_function, int_volume.cpp:389-427)
+                from instantvnr_tpu.config import TransferFunctionConfig
+
+                base = TransferFunctionConfig()
+                cfg = TransferFunctionConfig(
+                    colors=tuple(tuple(c) for c in
+                                 tf_spec.get("colors", base.colors)),
+                    alphas=tuple(tuple(a) for a in
+                                 tf_spec.get("alphas", base.alphas)),
+                    range=tuple(tf_spec.get("range", base.range)),
+                )
+                self.renderer.set_transfer_function(cfg)
+                dirty = True
+            if density is not None:
+                self.renderer.set_volume_density_scale(density)
                 dirty = True
             trained = False
             if training and self.nv is not None:
@@ -249,6 +277,8 @@ def make_handler(app: ViewerApp, server_holder):
             self.wfile.write(body)
 
         def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            self._body = self.rfile.read(length) if length else b""
             self.do_GET()
 
         def do_GET(self):
@@ -286,6 +316,19 @@ def make_handler(app: ViewerApp, server_holder):
                 with app.lock:
                     app.renderer.set_isovalue(float(q.get("value", 0.5)))
                     app.dirty = True
+                return self._send(200, b"ok")
+            if url.path == "/api/tf":
+                try:
+                    spec = json.loads(getattr(self, "_body", b"")
+                                      or q.get("spec", ""))
+                except Exception:
+                    return self._send(400, b"bad tf json")
+                with app.lock:
+                    app.pending_tf = spec
+                return self._send(200, b"ok")
+            if url.path == "/api/density":
+                with app.lock:
+                    app.pending_density = float(q.get("value", 1.0))
                 return self._send(200, b"ok")
             if url.path == "/api/training":
                 with app.lock:

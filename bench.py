@@ -199,6 +199,25 @@ def main(report=None):
     except Exception as e:  # noqa: BLE001
         log(f"768 stage failed: {e!r}")
 
+    # first-hit isosurface of the decoded network (the int_isosurface app's
+    # interactive viewing, render/isosurf.py slab sweep)
+    try:
+        from instantvnr_tpu.render.isosurf import IsoRenderer
+
+        ri = IsoRenderer(size, size, r.decoded, tf, isovalue=0.5)
+        ri.set_camera(cam)
+        for _ in range(3):
+            ri.render()
+        _ = float(ri._frame.ravel()[0])
+        t0 = time.time()
+        for _ in range(10):
+            ri.render()
+        _ = float(ri._frame.ravel()[0])
+        report["iso_fps"] = 10 / (time.time() - t0)
+        log(f"isosurface {size}x{size}: {report['iso_fps']:.2f} fps")
+    except Exception as e:  # noqa: BLE001
+        log(f"isosurface stage failed: {e!r}")
+
     print(json.dumps(_json_line(report)))
 
 
@@ -214,6 +233,8 @@ def _json_line(report):
             report["train_msps_full"], 3)
     if "fps_768" in report:
         secondary["slab_fps_768"] = round(report["fps_768"], 3)
+    if "iso_fps" in report:
+        secondary["isosurface_fps_512"] = round(report["iso_fps"], 3)
     if "psnr" in report:
         secondary["psnr_db"] = round(report["psnr"], 2)
     return {

@@ -40,7 +40,8 @@ def decode_volume(field: NeuralField, params, dims: tuple[int, int, int],
     (the reference's m_num_slices_per_blob=16 decode blobs).
     """
     dx, dy, dz = dims
-    assert dz % slab == 0 or dz < slab, "pad dz to a slab multiple"
+    # non-multiple dz: the last blob decodes past the grid (coords > 1 are
+    # harmless — XLA gathers clamp) and the overhang is trimmed below
     slab = min(slab, dz)
     n_slabs = (dz + slab - 1) // slab
 

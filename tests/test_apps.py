@@ -141,6 +141,33 @@ class TestViewer:
 
             # pause training, then quit
             assert get("/api/training?on=0") == b"ok"
+
+            # isosurface mode switch + traced iso edit (int_isosurface
+            # interactivity) — frame keeps advancing in the new mode
+            assert get("/api/mode?name=ISOSURFACE_DECODED") == b"ok"
+            assert get("/api/iso?value=0.35") == b"ok"
+            deadline = time.time() + 240
+            while True:
+                st4 = jsonlib.loads(get("/api/state"))
+                if st4["mode"] == "ISOSURFACE_DECODED" and \
+                        abs(st4["isovalue"] - 0.35) < 1e-6:
+                    break
+                assert time.time() < deadline, st4
+                time.sleep(1.0)
+
+            # TF edit (the GUI TF-editor path) and density slider
+            spec = jsonlib.dumps({"alphas": [[0.0, 0.1], [1.0, 0.9]]})
+            req = urllib.request.Request(base + "/api/tf",
+                                         data=spec.encode(), method="POST")
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                assert resp.read() == b"ok"
+            assert get("/api/density?value=1.5") == b"ok"
+            frame_tf = jsonlib.loads(get("/api/state"))["frame"]
+            deadline = time.time() + 240
+            while jsonlib.loads(get("/api/state"))["frame"] <= frame_tf:
+                assert time.time() < deadline, "no frame after TF edit"
+                time.sleep(1.0)
+
             assert get("/api/quit") == b"bye"
             proc.wait(timeout=120)
             assert proc.returncode == 0
