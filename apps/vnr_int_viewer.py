@@ -361,6 +361,8 @@ def main():
     p.add_argument("--train-steps-per-frame", type=int, default=10)
     p.add_argument("--infer-blobs-per-frame", type=int, default=2)
     p.add_argument("--pause-training", action="store_true")
+    p.add_argument("--view-only", action="store_true",
+                   help="view the ground-truth volume without a network")
     args = p.parse_args()
 
     from instantvnr_tpu.api import NeuralVolume, RenderMode, VNRenderer
@@ -369,6 +371,11 @@ def main():
     if args.load:
         nv = NeuralVolume.from_checkpoint(args.load)
         volume = nv
+        training = False
+    elif (args.synthetic or args.scene) and args.view_only:
+        # ground-truth-only interactive viewing (no network): the
+        # REFERENCE_* / PATHTRACE_REFERENCE / ISOSURFACE_REFERENCE modes
+        volume = load_simple_volume(args)
         training = False
     elif args.synthetic or args.scene:
         simple = load_simple_volume(args)
@@ -387,7 +394,8 @@ def main():
         p.error("need --load, --synthetic, or --scene")
 
     mode = (RenderMode[args.mode] if args.mode
-            else RenderMode.DECODED_SLAB)
+            else (RenderMode.DECODED_SLAB if nv is not None
+                  else RenderMode.REFERENCE_RAYMARCH))
     renderer = VNRenderer(volume, args.size, args.size, mode=mode)
     app = ViewerApp(renderer, nv=nv,
                     train_steps=args.train_steps_per_frame,

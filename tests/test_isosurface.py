@@ -231,3 +231,26 @@ class TestIsoRender:
         r.render()
         f1 = r.mapframe()
         assert np.isfinite(f1).all()
+
+    def test_brute_fallback_inside_volume(self):
+        """A camera inside the volume looking obliquely (slab path invalid)
+        routes through the brute marcher and still finds the surface."""
+        from instantvnr_tpu.render.camera import Camera
+        from instantvnr_tpu.render.isosurf import IsoRenderer
+        from instantvnr_tpu.render.slabmarch import (
+            principal_axis,
+            slab_path_valid,
+        )
+
+        vol, tf, _ = self._scene(32)
+        # eye inside the volume, view diagonal with a wide fov → degenerate
+        cam = Camera(eye=(2.0, 1.0, 0.0), center=(14, 13, 12), up=(0, 1, 0),
+                     fovy=120)
+        axis, flipped = principal_axis(cam)
+        assert not slab_path_valid(cam, (32, 32, 32), axis, flipped,
+                                   None, aspect=1.0)
+        r = IsoRenderer(48, 48, vol.data, tf, isovalue=0.6)
+        r.set_camera(cam)
+        f = np.asarray(r.render()).reshape(48, 48, 4)
+        assert np.isfinite(f).all()
+        assert (f[..., 3] > 0.5).sum() > 20  # surface visible from inside
