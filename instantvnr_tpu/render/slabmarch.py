@@ -66,11 +66,17 @@ class SlabSettings:
     shading_scale: float = 0.95  # scivis_shading_scale lerp
     light_dir: tuple = (0.7, 0.9, 0.4)  # instantvnr_types.h:148
     shadow_ambient: float = 0.35  # floor when a shadow volume is attached
-    # Alternative compositor: batch-resample all slabs + associative_scan
-    # `over`. MEASURED SLOWER on v5e (45 ms vs 25 ms at 512²×128: batched
-    # small matmuls are latency-bound and the scan doubles compositing
-    # traffic) — kept for bigger-volume/other-chip experiments.
+    # Alternative compositor: batch-resample all slabs, then blend.
+    # MEASURED SLOWER on v5e either way (scratch/slab_hybrid.py @512²×128:
+    # sequential per-slab scan 17.8 ms; batched+associative_scan 39.0 ms —
+    # log D full passes over [D,4,hi,wi]; batched+sequential blend 23.0 ms
+    # — the [D,hi,wi] premultiplied intermediate costs more HBM traffic
+    # than the per-slab matmuls it hoists). Kept for bigger-volume/
+    # other-chip experiments.
     batched_compositor: bool = False
+    # batched-compositor blend: "assoc" = associative_scan over; "seq" =
+    # one sequential lax.scan that only blends (each slice read once)
+    blend_mode: str = "assoc"
 
 
 def compute_gradient_volumes(volume: jnp.ndarray) -> jnp.ndarray:
@@ -167,7 +173,7 @@ def _pixel_dt(xs, ys, e, z_ref, s_perm=None):
 
 def _composite_batched(vol, tf, e, z_ref, xs, ys, corr_exp,
                        slab_occupancy, shadow_perm, shadow_ambient,
-                       clo=None, chi=None):
+                       clo=None, chi=None, blend_mode="assoc"):
     """Batched slab pipeline: resample ALL slabs with two batched matmuls,
     classify/correct in one VPU pass, and combine with ONE associative_scan
     of the (associative!) premultiplied `over` operator — turns the
@@ -229,11 +235,20 @@ def _composite_batched(vol, tf, e, z_ref, xs, ys, corr_exp,
         axis=1,
     )  # [D, 4, hi, wi]
 
-    def over(a, b):
-        ta = 1.0 - a[:, 3:4]
-        return a + ta * b
+    if blend_mode == "seq":
+        # one front-to-back pass: each premultiplied slice is read once
+        def step(carry, b):
+            ta = 1.0 - carry[3:4]
+            return carry + ta * b, None
 
-    out = jax.lax.associative_scan(over, prem, axis=0)[-1]  # [4, hi, wi]
+        out, _ = jax.lax.scan(step, jnp.zeros_like(prem[0]), prem,
+                              unroll=8)
+    else:
+        def over(a, b):
+            ta = 1.0 - a[:, 3:4]
+            return a + ta * b
+
+        out = jax.lax.associative_scan(over, prem, axis=0)[-1]  # [4, hi, wi]
     return jnp.moveaxis(out[:3], 0, -1), out[3]
 
 
@@ -327,6 +342,7 @@ def slab_render(
         color, alpha_img = _composite_batched(
             vol, tf, e, z_ref, xs, ys, corr_exp, slab_occupancy,
             shadow_perm, settings.shadow_ambient, clo, chi,
+            blend_mode=settings.blend_mode,
         )
         return _final_warp(color, alpha_img, cam_arrays, width, height,
                            perm, flipped, e, z_ref, x_lo, x_hi, y_lo, y_hi,

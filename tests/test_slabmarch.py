@@ -172,6 +172,12 @@ class TestBatchedCompositor:
         b.set_camera(cam)
         b.render()
         np.testing.assert_allclose(a.mapframe(), b.mapframe(), atol=2e-3)
+        c = DecodedRenderer(24, 24, mc, tf, vol.dims, initial_volume=vol.data,
+                            settings=SlabSettings(batched_compositor=True,
+                                                  blend_mode="seq"))
+        c.set_camera(cam)
+        c.render()
+        np.testing.assert_allclose(a.mapframe(), c.mapframe(), atol=2e-3)
 
 
 class TestGradientLightParity:
