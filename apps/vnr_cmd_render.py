@@ -122,7 +122,8 @@ def main():
           f"device {jax.devices()[0]}")
     for _ in range(args.warmup):
         r.render()
-    _ = float(r._impl._frame.ravel()[0])  # device fence (scalar xfer)
+    if getattr(r._impl, "_frame", None) is not None:
+        _ = float(r._impl._frame.ravel()[0])  # device fence (scalar xfer)
 
     logger = CsvLogger(args.fps_log, ["frame", "fps"])
     t_total = 0.0

@@ -280,8 +280,11 @@ def slab_render(
     d_slab, ay_n, ax_n = vol.shape
     use_shading = settings.shading == "gradient" and grad_volumes is not None
     if use_shading:
-        gvols = [_permute_volume(grad_volumes[i], axis, flipped)[0]
-                 for i in range(3)]
+        # stack value + 3 gradient components so each slab resamples with
+        # ONE batched einsum instead of 4 separate matmul chains
+        fields = jnp.stack(
+            [vol] + [_permute_volume(grad_volumes[i], axis, flipped)[0]
+                     for i in range(3)])  # [4, D, ay, ax]
     use_shadow = shadow_volume is not None
     if use_shadow:
         svol = _permute_volume(shadow_volume, axis, flipped)[0]
@@ -363,8 +366,16 @@ def slab_render(
         def do_slab(color, trans):
             mx = _interp_matrix(wi, ax_n, scale_x, off_x)  # [wi, ax]
             my = _interp_matrix(hi, ay_n, scale_y, off_y)  # [hi, ay]
-            slab = jax.lax.dynamic_index_in_dim(vol, k, 0, keepdims=False)
-            vals = my @ slab @ mx.T  # [hi, wi]  (MXU)
+            if use_shading:
+                fk = jax.lax.dynamic_index_in_dim(fields, k, 1, False)
+                tmp = jnp.einsum("ha,fax->fhx", my, fk,
+                                 preferred_element_type=jnp.float32)
+                rs = jnp.einsum("fhx,wx->fhw", tmp, mx,
+                                preferred_element_type=jnp.float32)
+                vals = rs[0]  # [hi, wi]
+            else:
+                slab = jax.lax.dynamic_index_in_dim(vol, k, 0, keepdims=False)
+                vals = my @ slab @ mx.T  # [hi, wi]  (MXU)
             # coverage: zero-weight rows mean "outside the volume";
             # clip box masks out in-slab samples outside [clo, chi]
             x_src = off_x + jnp.arange(wi, dtype=jnp.float32) * scale_x
@@ -375,14 +386,11 @@ def slab_render(
                 & in_clip
             rgb, alpha = classify_controls(tf, vals)
             if use_shading:
-                # resample the 3 world-component gradients with the same
-                # matrices; shade with the scivis model per slab
+                # the 3 world-component gradients came out of the same
+                # batched resample; shade with the scivis model per slab
                 from instantvnr_tpu.render.raymarch import _shade_scivis
 
-                g = jnp.stack([
-                    my @ jax.lax.dynamic_index_in_dim(gv, k, 0, False) @ mx.T
-                    for gv in gvols
-                ], axis=-1)  # [hi, wi, 3] voxel-space components
+                g = jnp.moveaxis(rs[1:], 0, -1)  # [hi, wi, 3]
                 # world-space normal: diagonal xfmNormal = divide by scale
                 normal = -g / xform.scale
                 # per-pixel world position on this slab → view direction

@@ -47,6 +47,12 @@ class TestApps:
         assert "fps average" in r.stdout
         assert os.path.exists(png) or os.path.exists(png + ".npy")
 
+        r = run_app("vnr_cmd_render.py", "--load", ckpt, "--mode",
+                    "isosurface", "--isovalue", "0.4", "--size", "32",
+                    "--num-frames", "1", "--warmup", "0", "--output", png)
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+        assert "fps average" in r.stdout
+
     def test_isosurface_app(self, tmp_path):
         obj = str(tmp_path / "iso.obj")
         r = run_app("vnr_cmd_isosurface.py", "--synthetic", "sphere",
