@@ -13,6 +13,31 @@ checkpoint / train / decode / metrics / renderer lifecycle) maps 1:1:
   vnrNeuralVolumeGetNumberOfBlobs → NeuralVolume.n_blobs
   vnrCreateRenderer/vnrRender/vnrRendererMapFrame → VNRenderer.render()/mapframe()
   vnrMemoryQuery                 → memory_query()
+
+Full api.h symbol table (api.h:91-188 → here):
+  vnrCreateJsonText/Binary, vnrLoadJsonText/Binary → load_json()
+  vnrSaveJsonText/Binary         → save_json(doc, path, binary=...)
+  vnrCreateCamera                → Camera(...) / Camera.from_scene(path)
+  vnrCameraSet                   → Camera.set(eye, center, up) (new handle)
+  vnrCameraGet{Position,Focus,UpVec} → Camera.{position,focus,up_vec}
+  vnrCreateTransferFunction      → TransferFunctionObject(cfg?)
+  vnrTransferFunctionSet{Color,Alpha,ValueRange} → .set_color/.set_alpha/.set_value_range
+  vnrTransferFunctionGet{Color,Alpha,ValueRange} → .get_color/.get_alpha/.get_value_range
+  vnrVolumeGetValueRange         → SimpleVolume.value_range
+  vnrVolumeSetClippingBox/SetScaling → {Simple,Neural}Volume.set_clipping_box/set_scaling
+  vnrSimpleVolumeSetCurrentTimeStep/GetNumberOfTimeSteps
+                                 → SimpleVolume.set_current_timestep/.num_timesteps
+  vnrNeuralVolumeSetModel        → NeuralVolume.set_model(cfg | path | dict)
+  vnrNeuralVolumeSetParams       → NeuralVolume.set_params(path | doc)
+  vnrNeuralVolumeGetTrainingLoss/GetTrainingStep
+                                 → NeuralVolume.get_training_loss()/get_training_step()
+  vnrNeuralVolumeDecode{Inference,Reference} → save_inference_volume/save_reference_volume
+  vnrRendererSet{Mode,Camera,TransferFunction,FramebufferSize,Denoiser,
+    VolumeSamplingRate,VolumeDensityScale} → VNRenderer.set_* methods
+  vnrRendererResetAccumulation   → VNRenderer.reset_accumulation()
+  vnrRequireDecoding             → RenderMode.requires_decoding
+  vnrRelease                     → Python GC (+ free_temporary_memory())
+  vnrMemoryQueryPrint            → memory_query() (caller prints)
 """
 from __future__ import annotations
 
@@ -76,6 +101,84 @@ class RenderMode(enum.IntEnum):
                         RenderMode.ISOSURFACE_DECODED)
 
 
+class TransferFunctionObject:
+    """Mutable transfer-function handle (vnrCreateTransferFunction /
+    vnrTransferFunctionSet{Color,Alpha,ValueRange} and the Get* trio,
+    api.h:127-137). Wraps the immutable TransferFunctionConfig; pass the
+    handle straight to SimpleVolume/VNRenderer.set_transfer_function."""
+
+    def __init__(self, cfg: TransferFunctionConfig | None = None):
+        self.cfg = cfg or TransferFunctionConfig()
+
+    def set_color(self, points):
+        """points: iterable of (position, r, g, b), positions in [0,1]."""
+        import dataclasses
+
+        self.cfg = dataclasses.replace(
+            self.cfg, colors=tuple(tuple(float(v) for v in p) for p in points))
+
+    def set_alpha(self, points):
+        """points: iterable of (position, alpha)."""
+        import dataclasses
+
+        self.cfg = dataclasses.replace(
+            self.cfg, alphas=tuple(tuple(float(v) for v in p) for p in points))
+
+    def set_value_range(self, lo: float, hi: float):
+        import dataclasses
+
+        self.cfg = dataclasses.replace(self.cfg, range=(float(lo), float(hi)))
+
+    def get_color(self):
+        return self.cfg.colors
+
+    def get_alpha(self):
+        return self.cfg.alphas
+
+    def get_value_range(self):
+        return self.cfg.range
+
+
+def _tf_config(tfn_cfg):
+    """Accept a TransferFunctionConfig or a TransferFunctionObject handle."""
+    if isinstance(tfn_cfg, TransferFunctionObject):
+        return tfn_cfg.cfg
+    return tfn_cfg
+
+
+def load_json(path: str):
+    """vnrCreateJsonText/Binary + vnrLoadJsonText/Binary (api.cpp:17-61):
+    one loader for both encodings — sniffs BSON (leading int32 doc length)
+    vs relaxed JSON text (// comments allowed)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    if len(raw) >= 5 and int.from_bytes(raw[:4], "little") == len(raw) \
+            and raw[-1] == 0:
+        from instantvnr_tpu.utils import bson
+
+        return bson.decode(raw)
+    from instantvnr_tpu.config import loads_relaxed_json
+
+    return loads_relaxed_json(raw.decode("utf-8"))
+
+
+def save_json(doc: dict, path: str, binary: bool | None = None):
+    """vnrSaveJsonText (api.cpp:34-39, indent-4 dump) / vnrSaveJsonBinary
+    (api.cpp:41-48, nlohmann to_bson). binary=None infers from extension."""
+    if binary is None:
+        binary = path.endswith((".bson", ".bin", ".params"))
+    if binary:
+        from instantvnr_tpu.utils import bson
+
+        with open(path, "wb") as f:
+            f.write(bson.encode(doc))
+    else:
+        import json
+
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=4)
+
+
 class SimpleVolume:
     """Ground-truth volume + macrocell (reference SimpleVolumeContext,
     api_internal.h:17-24; SimpleVolume, core/sampler.h:66-94)."""
@@ -123,7 +226,8 @@ class SimpleVolume:
         """vnrVolumeGetValueRange (api.h): (min, max) in data units."""
         return self.volume.original_range
 
-    def set_transfer_function(self, tfn_cfg: TransferFunctionConfig):
+    def set_transfer_function(self, tfn_cfg):
+        tfn_cfg = _tf_config(tfn_cfg)
         self.tfn_cfg = tfn_cfg
         self.tf = bake_transfer_function(tfn_cfg)
         self.macrocell = mcmod.update_max_opacity(self.macrocell, self.tf)
@@ -263,6 +367,50 @@ class NeuralVolume:
 
     def statistics(self) -> TrainingStatistics:
         return TrainingStatistics(step=self.step, loss=float(self.state.loss))
+
+    def get_training_loss(self) -> float:
+        """vnrNeuralVolumeGetTrainingLoss (api.cpp:300-305)."""
+        return float(self.state.loss)
+
+    def get_training_step(self) -> int:
+        """vnrNeuralVolumeGetTrainingStep (api.cpp:307-312)."""
+        return self.step
+
+    def set_model(self, model_config):
+        """vnrNeuralVolumeSetModel (api.cpp:258-267): swap the network
+        architecture (path, dict, or ModelConfig) and reset training state."""
+        if not isinstance(model_config, ModelConfig):
+            model_config = load_model_config(model_config)
+        self.cfg = model_config
+        self.field = NeuralField.from_config(model_config)
+        self.state = create_train_state(jax.random.PRNGKey(0), self.field)
+        self.step = 0
+        self._decoder = None
+
+    def set_params(self, params):
+        """vnrNeuralVolumeSetParams (api.cpp:269-278): load parameters into
+        THIS volume from a checkpoint path or an already-decoded doc. The
+        optimizer restarts fresh, like the reference's deserialize_params
+        (Adam moments are not in the interchange format)."""
+        from instantvnr_tpu.models.optimizer import adam_init
+        from instantvnr_tpu.serializer import load_checkpoint, load_checkpoint_doc
+
+        if isinstance(params, str):
+            field, p, mc, dims, meta = load_checkpoint(params)
+        else:
+            field, p, mc, dims, meta = load_checkpoint_doc(params)
+        if field.cfg.encoding != self.cfg.encoding or \
+                field.cfg.network != self.cfg.network:
+            # the checkpoint carries its own model section — honor it
+            self.cfg = field.cfg
+            self.field = field
+            self._decoder = None
+        self.state = self.state._replace(params=p, opt=adam_init(p))
+        self.step = int(meta.get("step", 0))
+        if mc is not None:
+            tf = self.simple.tf if self.simple is not None else \
+                bake_transfer_function(TransferFunctionConfig())
+            self.macrocell = mcmod.update_max_opacity(mc, tf)
 
     # -- inference / decoding ----------------------------------------------
 
@@ -615,11 +763,12 @@ class VNRenderer:
         self.width, self.height = int(width), int(height)
         self.set_mode(self.mode)
 
-    def set_transfer_function(self, tfn_cfg: TransferFunctionConfig):
+    def set_transfer_function(self, tfn_cfg):
         """vnrRendererSetTransferFunction (batch_renderer.cpp:197):
         renderer-level TF; updates the volume's macrocell opacity when a
         ground-truth volume is attached (SimpleVolume::set_transfer_function
         semantics), then rebinds the render path."""
+        tfn_cfg = _tf_config(tfn_cfg)
         if self.simple is not None:
             self.simple.set_transfer_function(tfn_cfg)
             self._tf_override = None

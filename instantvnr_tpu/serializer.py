@@ -136,7 +136,13 @@ def load_checkpoint(path: str):
     """
     with open(path, "rb") as f:
         root = bson.decode(f.read())
+    return load_checkpoint_doc(root)
 
+
+def load_checkpoint_doc(root: dict):
+    """load_checkpoint on an already-decoded document — the in-memory half
+    of vnrNeuralVolumeSetParams, which accepts a filename OR a json doc
+    (api.cpp:269-278 → load_params / load_params_from_json)."""
     model_cfg: ModelConfig = load_model_config(root["model"]) if "model" in root \
         else ModelConfig()
     field = NeuralField.from_config(model_cfg)

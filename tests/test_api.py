@@ -324,3 +324,103 @@ def test_renderer_level_tf_reaches_cached_decoder(trained):
     hit = f1[..., 3] > 0.05
     assert hit.any()
     assert np.abs(f1[..., 1][hit]).max() < 0.15  # green gone under red TF
+
+
+class TestApiSymbolParity:
+    """The api.h symbols beyond the core lifecycle (api.h:91-188) — camera
+    and TF handle accessors, json doc helpers, set_model/set_params,
+    training-stat getters."""
+
+    def test_camera_handle(self, tmp_path):
+        from instantvnr_tpu.render.camera import Camera
+
+        cam = Camera.default_for_dims((32, 32, 32))
+        cam2 = cam.set(eye=(1, 2, 3), center=(0, 0, 0), up=(0, 1, 0))
+        assert cam2.position == (1.0, 2.0, 3.0)
+        assert cam2.focus == (0.0, 0.0, 0.0)
+        assert cam2.up_vec == (0.0, 1.0, 0.0)
+        assert cam2.fovy == cam.fovy  # unchanged fields carry over
+        scene = tmp_path / "scene.json"
+        scene.write_text("""{
+          "version": "1.0",
+          "dataSource": [{"fileName": "missing.raw", "dimensions":
+            {"x": 4, "y": 4, "z": 4}, "type": "FLOAT32", "endian": "LITTLE",
+            "fileUpperLeft": false, "offset": 0}],
+          "view": {"camera": {"eye": {"x": 5, "y": 6, "z": 7},
+            "center": {"x": 0, "y": 0, "z": 0}, "up": {"x": 0, "y": 1, "z": 0},
+            "fovy": 30}}
+        }""")
+        c3 = Camera.from_scene(str(scene))
+        assert c3.position == (5.0, 6.0, 7.0) and c3.fovy == 30
+
+    def test_tf_object_handle(self, trained):
+        from instantvnr_tpu.api import TransferFunctionObject
+
+        simple, nv = trained
+        tf = TransferFunctionObject()
+        tf.set_color([(0.0, 1.0, 0.0, 0.0), (1.0, 1.0, 0.0, 0.0)])
+        tf.set_alpha([(0.0, 0.0), (1.0, 0.9)])
+        tf.set_value_range(0.0, 1.0)
+        assert tf.get_color()[0] == (0.0, 1.0, 0.0, 0.0)
+        assert tf.get_alpha()[-1] == (1.0, 0.9)
+        assert tf.get_value_range() == (0.0, 1.0)
+        r = VNRenderer(nv, width=12, height=12, mode=RenderMode.DECODED_SLAB)
+        f0 = np.asarray(r.render())
+        r.set_transfer_function(tf)  # the handle, not the config
+        f1 = np.asarray(r.render())
+        assert np.isfinite(f1).all() and not np.allclose(f0, f1)
+
+    def test_json_doc_helpers(self, tmp_path):
+        from instantvnr_tpu.api import load_json, save_json
+
+        doc = {"a": 1, "nested": {"b": [1.5, 2.5], "s": "x"}}
+        tpath, bpath = str(tmp_path / "d.json"), str(tmp_path / "d.bson")
+        save_json(doc, tpath)
+        save_json(doc, bpath)  # extension infers binary
+        assert load_json(tpath) == doc
+        got = load_json(bpath)
+        assert got["a"] == 1 and got["nested"]["s"] == "x"
+        # relaxed text: // comments (the reference model files carry them)
+        cpath = tmp_path / "c.json"
+        cpath.write_text('{\n  // comment\n  "k": 2\n}')
+        assert load_json(str(cpath))["k"] == 2
+
+    def test_training_stat_getters(self, trained):
+        _, nv = trained
+        assert nv.get_training_step() == nv.statistics().step
+        assert nv.get_training_loss() == pytest.approx(nv.statistics().loss)
+
+    def test_set_params_existing_volume(self, trained, tmp_path):
+        """vnrNeuralVolumeSetParams: load a checkpoint into an EXISTING
+        neural volume (path and doc forms) without recreating it."""
+        from instantvnr_tpu.api import load_json
+
+        simple, nv = trained
+        p = str(tmp_path / "m.bson")
+        nv.save_params(p)
+        fresh = NeuralVolume(nv.cfg, simple=simple, train_batch=4096)
+        psnr_untrained = fresh.get_psnr()
+        fresh.set_params(p)
+        assert fresh.get_training_step() == nv.get_training_step()
+        assert fresh.get_psnr() > max(psnr_untrained, 20)
+        # doc form (the reference accepts a vnrJson)
+        fresh2 = NeuralVolume(nv.cfg, simple=simple, train_batch=4096)
+        fresh2.set_params(load_json(p))
+        assert fresh2.get_psnr() > 20
+
+    def test_set_model_resets(self, trained, small_model):
+        import dataclasses
+
+        simple, nv = trained
+        keep_step = nv.get_training_step()
+        other = dataclasses.replace(
+            small_model,
+            network=dataclasses.replace(small_model.network, n_neurons=16))
+        nv2 = NeuralVolume(small_model, simple=simple, train_batch=4096)
+        nv2.train(10)
+        nv2.set_model(other)
+        assert nv2.get_training_step() == 0
+        assert nv2.cfg.network.n_neurons == 16
+        nv2.train(5)
+        assert nv2.get_training_step() == 5
+        assert keep_step == nv.get_training_step()  # original untouched
