@@ -101,6 +101,60 @@ def _unpermute(perm, color, alpha, best_w, best_pos, best_rgb):
     return out_c, out_a, out_bw, out_bp, out_bc
 
 
+def bucket_sizes(r: int) -> list[int]:
+    """All bucket sizes the compacted marcher can dispatch for frame size r:
+    {r} ∪ {powers of two in [_MIN_BUCKET, r)}, descending."""
+    sizes = [r]
+    m = _MIN_BUCKET
+    while m < r:
+        sizes.append(m)
+        m *= 2
+    return sorted(set(sizes), reverse=True)
+
+
+def warmup_programs(sample_fn, settings: RaymarchSettings, mc, tf, r: int,
+                    sample_ctx=None, scale=None, parallel: bool = True,
+                    max_workers: int = 8) -> int:
+    """Pre-compile the whole bucket-program family for frame size `r`.
+
+    Cold-start is dominated by the SERIAL compilation of the ~2·log2(r/8192)
+    distinct (superstep, compact) programs the first frames trigger one by
+    one (~230 s measured at 512² through a remote-compile link). Tracing is
+    cheap host Python; XLA compilation releases the GIL — so one thread per
+    bucket compiles the family concurrently, and real frames then hit the
+    jit cache. Executions here are trivial (t_far=0 ⇒ every ray dead).
+
+    Returns the number of bucket sizes warmed.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    dirn = jnp.zeros((r, 3), jnp.float32).at[:, 2].set(1.0)
+    zeros = jnp.zeros((r,), jnp.float32)
+    rays = (jnp.zeros((r, 3), jnp.float32), dirn, zeros, zeros)
+    light = jnp.asarray(settings.light_dir, jnp.float32)
+    sizes = bucket_sizes(r)
+
+    def warm_one(m: int):
+        # fresh state/rays per call: the programs donate their buffers
+        st = init_ray_state(zeros + 0.0, zeros + 0.0)
+        st, _ = _superstep_prefix(sample_fn, settings, m, mc, tf, light,
+                                  rays, st, sample_ctx, scale)
+        rr = tuple(x + 0.0 for x in rays)
+        _compact_prefix(m, rr, st, jnp.arange(r, dtype=jnp.int32))
+
+    if parallel:
+        with ThreadPoolExecutor(max_workers=min(max_workers,
+                                                len(sizes))) as ex:
+            list(ex.map(warm_one, sizes))
+    else:
+        for m in sizes:
+            warm_one(m)
+    st = init_ray_state(zeros, zeros)
+    _unpermute(jnp.arange(r, dtype=jnp.int32), st.color, st.alpha,
+               st.best_w, st.best_pos, st.best_rgb)
+    return len(sizes)
+
+
 def raymarch_compacted(
     sample_fn,
     org: jnp.ndarray,  # [R,3] voxel-space ray origins

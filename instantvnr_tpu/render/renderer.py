@@ -174,6 +174,23 @@ class Renderer:
     def reset_accumulation(self):
         self.frame_index = 0
 
+    def warmup(self, parallel: bool = True):
+        """Pre-compile this renderer's programs before the first timed frame.
+        For the compacted wavefront that means the whole bucket-program
+        family IN PARALLEL (compaction.warmup_programs — cold-compile there
+        is the dominant startup cost); other paths just render one frame.
+        Accumulation state is left untouched."""
+        if self.settings.compact and not self.settings.fixed_steps:
+            from instantvnr_tpu.render.compaction import warmup_programs
+
+            return warmup_programs(
+                self.sample_fn, self.settings, self.mc, self.tf,
+                self.width * self.height, sample_ctx=self.sample_ctx,
+                scale=self.transform.scale, parallel=parallel)
+        self.render()
+        self.reset_accumulation()
+        return 1
+
     # -- frame loop ---------------------------------------------------------
 
     def render(self):

@@ -81,3 +81,24 @@ def test_renderer_compact_flag(scene):
         r.render()
         frames.append(r.mapframe())
     np.testing.assert_allclose(frames[1], frames[0], rtol=1e-4, atol=1e-5)
+
+
+def test_warmup_precompiles_and_matches(scene):
+    """Renderer.warmup() compiles the bucket family without disturbing
+    output: a warmed renderer's frame equals an unwarmed one's."""
+    vol, tf, mc = scene
+    kw = dict(sample_fn=reference_sample_fn, sample_ctx=vol.data,
+              settings=RaymarchSettings(n_iters=4, compact=True))
+    cam = Camera.default_for_dims(vol.dims)
+    r1 = Renderer(96, 96, mc, tf, **kw)  # r=9216 > MIN_BUCKET → 2 buckets
+    r1.set_camera(cam)
+    from instantvnr_tpu.render.compaction import bucket_sizes
+
+    n = r1.warmup(parallel=True)
+    assert n == len(bucket_sizes(96 * 96)) >= 2
+    assert r1.frame_index == 0  # accumulation untouched
+    f1 = np.asarray(r1.render())
+    r2 = Renderer(96, 96, mc, tf, **kw)
+    r2.set_camera(cam)
+    f2 = np.asarray(r2.render())
+    np.testing.assert_allclose(f1, f2, atol=1e-6)
