@@ -77,6 +77,11 @@ class SlabSettings:
     # batched-compositor blend: "assoc" = associative_scan over; "seq" =
     # one sequential lax.scan that only blends (each slice read once)
     blend_mode: str = "assoc"
+    # Fused Pallas compositor (ops/pallas/slab_composite.py): the whole
+    # slab loop as one kernel, carry resident in VMEM. "auto" = on TPU for
+    # the unshaded/unshadowed path; True forces it (interpret on CPU —
+    # tests); False keeps the XLA scan. Default pending on-chip validation.
+    pallas_compositor: bool | str = False
 
 
 def compute_gradient_volumes(volume: jnp.ndarray) -> jnp.ndarray:
@@ -347,6 +352,49 @@ def slab_render(
             shadow_perm, settings.shadow_ambient, clo, chi,
             blend_mode=settings.blend_mode,
         )
+        return _final_warp(color, alpha_img, cam_arrays, width, height,
+                           perm, flipped, e, z_ref, x_lo, x_hi, y_lo, y_hi,
+                           wi, hi, xform.scale)
+
+    # fused Pallas compositor: carry resident in VMEM across the slab loop
+    # (ops/pallas/slab_composite.py); unshaded/unshadowed path only
+    use_pallas = not use_shading and not use_shadow
+    if settings.pallas_compositor == "auto":
+        use_pallas &= jax.default_backend() == "tpu"
+    elif not settings.pallas_compositor:
+        use_pallas = False
+    if use_pallas:
+        from instantvnr_tpu.ops.pallas.slab_composite import (
+            composite_slabs, pack_controls, pick_tile_h)
+        from instantvnr_tpu.utils.tfn import _CONTROLS_CROSSOVER
+
+        tile_h = pick_tile_h(hi, wi)
+        use_pallas = (tile_h is not None
+                      and tf.ctrl_x.shape[0] - 1 <= _CONTROLS_CROSSOVER)
+    if use_pallas:
+        ks = jnp.arange(d_slab, dtype=jnp.float32)
+        z_ks = ks + 0.5
+        inv_s = (z_ks - e[2]) / (z_ref - e[2])  # 1/σ_k
+        off_xs = e[0] + (xs[0] - e[0]) * inv_s
+        scale_xs = (xs[1] - xs[0]) * inv_s
+        off_ys = e[1] + (ys[0] - e[1]) * inv_s
+        scale_ys = (ys[1] - ys[0]) * inv_s
+        mx_all = jax.vmap(lambda sc, of: _interp_matrix(wi, ax_n, sc, of))(
+            scale_xs, off_xs)  # [D, wi, ax]
+        my_all = jax.vmap(lambda sc, of: _interp_matrix(hi, ay_n, sc, of))(
+            scale_ys, off_ys)  # [D, hi, ay]
+        x_src = off_xs[:, None] + jnp.arange(wi, dtype=jnp.float32)[None, :] \
+            * scale_xs[:, None]  # [D, wi]
+        y_src = off_ys[:, None] + jnp.arange(hi, dtype=jnp.float32)[None, :] \
+            * scale_ys[:, None]  # [D, hi]
+        keep = slab_occupancy & (z_ks >= clo[2]) & (z_ks <= chi[2])
+        covx = ((mx_all.sum(2) > 0) & (x_src >= clo[0]) & (x_src <= chi[0])
+                & keep[:, None]).astype(jnp.float32)
+        covy = ((my_all.sum(2) > 0) & (y_src >= clo[1])
+                & (y_src <= chi[1])).astype(jnp.float32)
+        color, alpha_img = composite_slabs(
+            vol, my_all, mx_all, covy, covx, corr_exp, pack_controls(tf),
+            tile_h, jax.default_backend() != "tpu")
         return _final_warp(color, alpha_img, cam_arrays, width, height,
                            perm, flipped, e, z_ref, x_lo, x_hi, y_lo, y_hi,
                            wi, hi, xform.scale)

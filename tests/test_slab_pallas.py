@@ -1,0 +1,94 @@
+"""Fused Pallas slab compositor == the XLA sequential scan
+(ops/pallas/slab_composite.py vs render/slabmarch.py `body`).
+
+Runs the kernel in interpret mode on the CPU backend; the numerics are the
+same code path the real TPU kernel runs, so any semantic divergence
+(classification, opacity correction, coverage/clip masks, blend order,
+early termination) shows up here.
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from instantvnr_tpu.accel import macrocell as mcmod
+from instantvnr_tpu.config import TransferFunctionConfig
+from instantvnr_tpu.data import synthetic_volume
+from instantvnr_tpu.render.camera import Camera
+from instantvnr_tpu.render.decoded import DecodedRenderer
+from instantvnr_tpu.render.slabmarch import SlabSettings
+from instantvnr_tpu.utils.tfn import bake_transfer_function
+
+
+@pytest.fixture(scope="module")
+def scene():
+    vol = synthetic_volume((32, 32, 32), kind="vorts")
+    tf = bake_transfer_function(TransferFunctionConfig())
+    mc = mcmod.build(vol.data, vol.dims, tf)
+    return vol, tf, mc
+
+
+def _frame(vol, tf, mc, cam, use_pallas, w=40, h=40, xform=None):
+    s = SlabSettings(pallas_compositor=use_pallas)
+    dr = DecodedRenderer(w, h, mc, tf, vol.dims, initial_volume=vol.data,
+                         settings=s)
+    dr.set_camera(cam)
+    if xform is not None:
+        dr.set_transform(xform)
+    dr.render()
+    return dr.mapframe()
+
+
+@pytest.mark.parametrize("eye", [(0, 0, -70), (60, 9, 7), (-4, 66, 3)])
+def test_pallas_matches_scan(scene, eye):
+    vol, tf, mc = scene
+    cam = Camera(eye=eye, center=(0, 0, 0), up=(0, 1, 0), fovy=40)
+    ref = _frame(vol, tf, mc, cam, False)
+    got = _frame(vol, tf, mc, cam, True)
+    assert np.isfinite(got).all()
+    assert ref[..., 3].max() > 0.05  # scene actually visible
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_pallas_matches_scan_clipped_scaled(scene):
+    vol, tf, mc = scene
+    from instantvnr_tpu.render.transform import default_transform
+    import jax.numpy as jnp
+
+    cam = Camera(eye=(8, -6, -75), center=(0, 0, 0), up=(0, 1, 0), fovy=38)
+    xf = default_transform(vol.dims)._replace(
+        clip_lower=jnp.array([4.0, 0.0, 6.0]),
+        clip_upper=jnp.array([28.0, 25.0, 30.0]),
+        scale=jnp.array([1.0, 1.4, 0.8]))
+    ref = _frame(vol, tf, mc, cam, False, xform=xf)
+    got = _frame(vol, tf, mc, cam, True, xform=xf)
+    assert ref[..., 3].max() > 0.05
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_pallas_respects_custom_tf(scene):
+    vol, _, _ = scene
+    tfc = TransferFunctionConfig(
+        colors=((0.0, 1.0, 0.1, 0.1), (0.5, 0.1, 1.0, 0.1),
+                (1.0, 0.1, 0.1, 1.0)),
+        alphas=((0.0, 0.0), (0.3, 0.05), (0.7, 0.6), (1.0, 1.0)),
+        range=(0.1, 0.9))
+    tf = bake_transfer_function(tfc)
+    mc = mcmod.build(vol.data, vol.dims, tf)
+    cam = Camera(eye=(0, 0, -70), center=(0, 0, 0), up=(0, 1, 0), fovy=40)
+    ref = _frame(vol, tf, mc, cam, False)
+    got = _frame(vol, tf, mc, cam, True)
+    assert ref[..., 3].max() > 0.05
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_pallas_auto_off_on_cpu(scene):
+    """'auto' must resolve to the XLA scan on non-TPU backends."""
+    import jax
+
+    assert jax.default_backend() == "cpu"
+    vol, tf, mc = scene
+    cam = Camera(eye=(0, 0, -70), center=(0, 0, 0), up=(0, 1, 0), fovy=40)
+    a = _frame(vol, tf, mc, cam, "auto")
+    b = _frame(vol, tf, mc, cam, False)
+    np.testing.assert_array_equal(a, b)
