@@ -357,15 +357,15 @@ def slab_render(
                            wi, hi, xform.scale)
 
     # fused Pallas compositor: carry resident in VMEM across the slab loop
-    # (ops/pallas/slab_composite.py); unshaded/unshadowed path only
-    use_pallas = not use_shading and not use_shadow
+    # (ops/pallas/slab_composite.py); shading/shadow run in the extended
+    # kernel variant
+    use_pallas = bool(settings.pallas_compositor)
     if settings.pallas_compositor == "auto":
-        use_pallas &= jax.default_backend() == "tpu"
-    elif not settings.pallas_compositor:
-        use_pallas = False
+        use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         from instantvnr_tpu.ops.pallas.slab_composite import (
-            composite_slabs, pack_controls, pick_tile_h)
+            composite_slabs, composite_slabs_ext, pack_controls, pack_misc,
+            pick_tile_h)
         from instantvnr_tpu.utils.tfn import _CONTROLS_CROSSOVER
 
         tile_h = pick_tile_h(hi, wi)
@@ -392,9 +392,26 @@ def slab_render(
                 & keep[:, None]).astype(jnp.float32)
         covy = ((my_all.sum(2) > 0) & (y_src >= clo[1])
                 & (y_src <= chi[1])).astype(jnp.float32)
-        color, alpha_img = composite_slabs(
-            vol, my_all, mx_all, covy, covx, corr_exp, pack_controls(tf),
-            tile_h, jax.default_backend() != "tpu")
+        interp = jax.default_backend() != "tpu"
+        if use_shading or use_shadow:
+            f_all = (jnp.moveaxis(fields, 0, 1) if use_shading
+                     else vol[:, None])  # [D, C, ay, ax]
+            light = jnp.asarray(settings.light_dir, jnp.float32)
+            cam_fwd = cam_arrays[1] - cam_arrays[0]
+            light = jnp.where(jnp.dot(cam_fwd, light) > 0, -light, light)
+            light = light / jnp.linalg.norm(light)
+            zw = size_z - z_ks if flipped else z_ks
+            misc = pack_misc(settings.shadow_ambient,
+                             settings.shading_scale, light, eye_w,
+                             xform.scale)
+            color, alpha_img = composite_slabs_ext(
+                f_all, svol if use_shadow else None, my_all, mx_all,
+                covy, covx, corr_exp, x_src, y_src, zw, pack_controls(tf),
+                misc, tile_h, perm, use_shading, use_shadow, interp)
+        else:
+            color, alpha_img = composite_slabs(
+                vol, my_all, mx_all, covy, covx, corr_exp,
+                pack_controls(tf), tile_h, interp)
         return _final_warp(color, alpha_img, cam_arrays, width, height,
                            perm, flipped, e, z_ref, x_lo, x_hi, y_lo, y_hi,
                            wi, hi, xform.scale)

@@ -28,13 +28,16 @@ def scene():
     return vol, tf, mc
 
 
-def _frame(vol, tf, mc, cam, use_pallas, w=40, h=40, xform=None):
-    s = SlabSettings(pallas_compositor=use_pallas)
+def _frame(vol, tf, mc, cam, use_pallas, w=40, h=40, xform=None,
+           shading="none", shadows=False):
+    s = SlabSettings(pallas_compositor=use_pallas, shading=shading)
     dr = DecodedRenderer(w, h, mc, tf, vol.dims, initial_volume=vol.data,
                          settings=s)
     dr.set_camera(cam)
     if xform is not None:
         dr.set_transform(xform)
+    if shadows:
+        dr.enable_shadows()
     dr.render()
     return dr.mapframe()
 
@@ -80,6 +83,36 @@ def test_pallas_respects_custom_tf(scene):
     got = _frame(vol, tf, mc, cam, True)
     assert ref[..., 3].max() > 0.05
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("shading,shadows", [
+    ("gradient", False), ("none", True), ("gradient", True)])
+def test_pallas_ext_matches_scan(scene, shading, shadows):
+    """Extended kernel (gradient shading and/or shadow modulation) == the
+    XLA scan body for the same settings."""
+    vol, tf, mc = scene
+    cam = Camera(eye=(25, -18, -62), center=(0, 0, 0), up=(0, 1, 0), fovy=42)
+    ref = _frame(vol, tf, mc, cam, False, shading=shading, shadows=shadows)
+    got = _frame(vol, tf, mc, cam, True, shading=shading, shadows=shadows)
+    assert np.isfinite(got).all()
+    assert ref[..., 3].max() > 0.05
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_pallas_ext_matches_scan_clipped_scaled_shaded(scene):
+    vol, tf, mc = scene
+    from instantvnr_tpu.render.transform import default_transform
+    import jax.numpy as jnp
+
+    cam = Camera(eye=(8, -6, -75), center=(0, 0, 0), up=(0, 1, 0), fovy=38)
+    xf = default_transform(vol.dims)._replace(
+        clip_lower=jnp.array([4.0, 0.0, 6.0]),
+        clip_upper=jnp.array([28.0, 25.0, 30.0]),
+        scale=jnp.array([1.0, 1.4, 0.8]))
+    ref = _frame(vol, tf, mc, cam, False, xform=xf, shading="gradient")
+    got = _frame(vol, tf, mc, cam, True, xform=xf, shading="gradient")
+    assert ref[..., 3].max() > 0.05
+    np.testing.assert_allclose(got, ref, atol=2e-4)
 
 
 def test_pallas_auto_off_on_cpu(scene):
