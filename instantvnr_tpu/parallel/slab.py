@@ -1,0 +1,114 @@
+"""Slab-sharded rendering: the flagship compositor over a device mesh.
+
+The slab compositor (render/slabmarch.py) is a front-to-back `over` fold of
+per-slab premultiplied RGBA layers — and `over` is ASSOCIATIVE, so the fold
+splits exactly across devices: shard the volume over its (permuted) slab
+axis, let every device resample + classify + composite ITS contiguous slab
+chunk into one premultiplied [4, hi, wi] partial, then combine the n
+partials front-to-back with one `all_gather` (the frame's only collective:
+n·4·hi·wi floats over ICI). Because the volume itself is sharded, this also
+scales volume MEMORY — a 2048³ grid (32 GB f32) fits an 8-chip v5e slice at
+4 GB/chip, which is how the reference's "terascale decoded rendering" role
+maps onto a pod slice.
+
+Equivalence: the per-chunk compositor is `_composite_batched` (the batched
+variant of the slab scan, parity-tested against the sequential path), with
+the chunk's z-offset threaded through. The chunked combine reproduces the
+batched compositor's numbers exactly up to float reassociation — verified
+against the single-device renderer in tests/test_parallel_slab.py.
+
+Scope: value rendering (no gradient-shading/shadow variants — those follow
+the same pattern but stream 4× the fields; use the single-device paths).
+The reference has no multi-GPU analog of any of this (SURVEY.md §2.9).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from instantvnr_tpu.render.slabmarch import (
+    SlabSettings,
+    _composite_batched,
+    _final_warp,
+    _permute_volume,
+    frame_geometry,
+)
+
+
+def shard_volume_slabs(volume, mesh: Mesh, axis: int, flipped: bool):
+    """Place a [dz, dy, dx] volume sharded over its PERMUTED slab axis.
+
+    Returns the permuted, device-sharded [D, ay, ax] array (leading axis
+    split over "data") plus the perm map — the layout
+    `sharded_slab_render` consumes. Use once per principal-axis change.
+    """
+    vol, perm = _permute_volume(volume, axis, flipped)
+    spec = NamedSharding(mesh, P("data", None, None))
+    return jax.device_put(vol, spec), perm
+
+
+def make_sharded_slab_render(mesh: Mesh, width: int, height: int,
+                             settings: SlabSettings, axis: int,
+                             flipped: bool, d_slab: int):
+    """Build the jitted slab-sharded frame function for one principal axis.
+
+    Returned fn(vol_perm [D, ay, ax] sharded over "data", tf, cam_arrays,
+    slab_occupancy [D] bool, xform) → rgba [H·W, 4] (replicated).
+    d_slab must divide the data-axis size.
+    """
+    n = mesh.shape["data"]
+    if d_slab % n != 0:
+        raise ValueError(f"d_slab {d_slab} must divide data axis size {n}")
+    chunk = d_slab // n
+
+    def frame(vol_perm, tf, cam_arrays, slab_occupancy, xform):
+        d, ay_n, ax_n = vol_perm.shape
+        # permuted dims → world dims (perm maps world → permuted axes)
+        if axis == 2:
+            dims_w = jnp.array([ax_n, ay_n, d], jnp.float32)
+        elif axis == 1:
+            dims_w = jnp.array([ax_n, d, ay_n], jnp.float32)
+        else:
+            dims_w = jnp.array([d, ax_n, ay_n], jnp.float32)
+        perm = {2: (0, 1, 2), 1: (0, 2, 1), 0: (1, 2, 0)}[axis]
+
+        geo = frame_geometry(dims_w, d, ax_n, ay_n, cam_arrays, xform,
+                             perm, flipped, settings, width, height)
+        e, _, clo, chi, z_ref, in_front = geo[:6]
+        (x_lo, x_hi, y_lo, y_hi), xs, ys, corr_exp = geo[6:]
+        occ = slab_occupancy & in_front
+
+        @partial(
+            shard_map, mesh=mesh,
+            in_specs=(P("data"), P("data"), P(), P(), P(), P(), P(), P(),
+                      P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        def composite(vol_c, occ_c, tf_, e_, z_ref_, xs_, ys_, corr_, clo_,
+                      chi_):
+            z0 = (jax.lax.axis_index("data") * chunk).astype(jnp.float32)
+            part = _composite_batched(
+                vol_c, tf_, e_, z_ref_, xs_, ys_, corr_, occ_c, None,
+                settings.shadow_ambient, clo_, chi_, blend_mode="seq",
+                z0=z0, return_premult=True)  # [4, hi, wi] premultiplied
+            g = jax.lax.all_gather(part, "data")  # [n, 4, hi, wi]
+            out = g[0]
+            for i in range(1, n):  # front-to-back `over` of the n chunks
+                out = out + (1.0 - out[3:4]) * g[i]
+            return out
+
+        out = composite(vol_perm, occ, tf, e, z_ref, xs, ys, corr_exp,
+                        clo, chi)
+        color = jnp.moveaxis(out[:3], 0, -1)
+        wi = xs.shape[0]
+        hi = ys.shape[0]
+        return _final_warp(color, out[3], cam_arrays, width, height, perm,
+                           flipped, e, z_ref, x_lo, x_hi, y_lo, y_hi,
+                           wi, hi, xform.scale)
+
+    return jax.jit(frame)

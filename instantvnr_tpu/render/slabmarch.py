@@ -178,7 +178,8 @@ def _pixel_dt(xs, ys, e, z_ref, s_perm=None):
 
 def _composite_batched(vol, tf, e, z_ref, xs, ys, corr_exp,
                        slab_occupancy, shadow_perm, shadow_ambient,
-                       clo=None, chi=None, blend_mode="assoc"):
+                       clo=None, chi=None, blend_mode="assoc",
+                       z0=0.0, return_premult=False):
     """Batched slab pipeline: resample ALL slabs with two batched matmuls,
     classify/correct in one VPU pass, and combine with ONE associative_scan
     of the (associative!) premultiplied `over` operator — turns the
@@ -191,7 +192,7 @@ def _composite_batched(vol, tf, e, z_ref, xs, ys, corr_exp,
     wi = xs.shape[0]
 
     ks = jnp.arange(d_slab, dtype=jnp.float32)
-    z_k = ks + 0.5
+    z_k = z0 + ks + 0.5  # z0 ≠ 0 for slab-sharded chunks (parallel/slab.py)
     sigma = (z_ref - e[2]) / (z_k - e[2])  # [D]
     inv_s = 1.0 / sigma
     off_x = e[0] + (xs[0] - e[0]) * inv_s
@@ -254,7 +255,70 @@ def _composite_batched(vol, tf, e, z_ref, xs, ys, corr_exp,
             return a + ta * b
 
         out = jax.lax.associative_scan(over, prem, axis=0)[-1]  # [4, hi, wi]
+    if return_premult:
+        return out
     return jnp.moveaxis(out[:3], 0, -1), out[3]
+
+
+class _FrameGeometry(tuple):
+    """(e, s_perm, clo, chi, z_ref, in_front, bounds, xs, ys, corr_exp) —
+    the camera-derived per-frame quantities of the shear-warp factorization,
+    shared by slab_render and the sharded compositor (parallel/slab.py)."""
+    __slots__ = ()
+    e = property(lambda s: s[0])
+    s_perm = property(lambda s: s[1])
+    clo = property(lambda s: s[2])
+    chi = property(lambda s: s[3])
+    z_ref = property(lambda s: s[4])
+    in_front = property(lambda s: s[5])
+    bounds = property(lambda s: s[6])  # (x_lo, x_hi, y_lo, y_hi)
+    xs = property(lambda s: s[7])
+    ys = property(lambda s: s[8])
+    corr_exp = property(lambda s: s[9])
+
+
+def frame_geometry(dims_w, d_slab: int, ax_n: int, ay_n: int, cam_arrays,
+                   xform, perm, flipped: bool, settings: SlabSettings,
+                   width: int, height: int) -> _FrameGeometry:
+    """Camera/clip-derived frame state in PERMUTED voxel space (see
+    slab_render's inline commentary for the geometry derivation)."""
+    from instantvnr_tpu.render.transform import clip_bounds
+
+    eye_w = cam_arrays[0] / xform.scale + 0.5 * dims_w
+    e = jnp.stack([eye_w[perm[0]], eye_w[perm[1]], eye_w[perm[2]]])
+    s_perm = jnp.stack([xform.scale[perm[0]], xform.scale[perm[1]],
+                        xform.scale[perm[2]]])
+    size_z = dims_w[perm[2]]
+    clip_lo_w, clip_hi_w = clip_bounds(xform, dims_w)
+    clo = jnp.stack([clip_lo_w[perm[0]], clip_lo_w[perm[1]],
+                     clip_lo_w[perm[2]]])
+    chi = jnp.stack([clip_hi_w[perm[0]], clip_hi_w[perm[1]],
+                     clip_hi_w[perm[2]]])
+    if flipped:
+        e = e.at[2].set(size_z - e[2])
+        clo_z, chi_z = size_z - chi[2], size_z - clo[2]
+        clo = clo.at[2].set(clo_z)
+        chi = chi.at[2].set(chi_z)
+
+    z_ref = jnp.clip(jnp.floor(e[2] + 0.5), 0.0, d_slab - 1.0) + 0.5
+    slab_zs = jnp.arange(d_slab, dtype=jnp.float32) + 0.5
+    in_front = slab_zs >= z_ref - 1e-3
+
+    sigma_far = (z_ref - e[2]) / (d_slab - 0.5 - e[2])
+    x_lo = jnp.minimum(0.0, e[0] + sigma_far * (0.0 - e[0]))
+    x_hi = jnp.maximum(ax_n, e[0] + sigma_far * (ax_n - e[0]))
+    y_lo = jnp.minimum(0.0, e[1] + sigma_far * (0.0 - e[1]))
+    y_hi = jnp.maximum(ay_n, e[1] + sigma_far * (ay_n - e[1]))
+
+    wi = int(width * settings.supersample)
+    hi = int(height * settings.supersample)
+    xs = x_lo + (jnp.arange(wi, dtype=jnp.float32) + 0.5) * (x_hi - x_lo) / wi
+    ys = y_lo + (jnp.arange(hi, dtype=jnp.float32) + 0.5) * (y_hi - y_lo) / hi
+
+    dt = _pixel_dt(xs, ys, e, z_ref, s_perm)
+    corr_exp = settings.sampling_rate * settings.density_scale * dt
+    return _FrameGeometry((e, s_perm, clo, chi, z_ref, in_front,
+                           (x_lo, x_hi, y_lo, y_hi), xs, ys, corr_exp))
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
@@ -274,7 +338,7 @@ def slab_render(
 ) -> jnp.ndarray:
     """Render one frame → rgba [height·width, 4] (row-major, bottom-left
     origin, same layout as render/renderer.py)."""
-    from instantvnr_tpu.render.transform import clip_bounds, default_transform
+    from instantvnr_tpu.render.transform import default_transform
 
     dz, dy, dx = volume.shape
     dims_w = jnp.array([dx, dy, dz], jnp.float32)
@@ -294,51 +358,18 @@ def slab_render(
     if use_shadow:
         svol = _permute_volume(shadow_volume, axis, flipped)[0]
 
-    # eye in voxel space of the PERMUTED volume (world → voxel through S⁻¹)
+    # camera-derived frame state in permuted voxel space: eye + clip box
+    # (flip-normalized), reference plane (split-at-eye for fly-through
+    # cameras), intermediate image domain, per-pixel opacity-correction
+    # exponents — see frame_geometry
     eye_w = cam_arrays[0] / xform.scale + 0.5 * dims_w
-    sizes = jnp.array([dx, dy, dz], jnp.float32)
-    e = jnp.stack([eye_w[perm[0]], eye_w[perm[1]], eye_w[perm[2]]])
-    s_perm = jnp.stack([xform.scale[perm[0]], xform.scale[perm[1]],
-                        xform.scale[perm[2]]])
-    size_z = sizes[perm[2]]
-    # clip box in permuted voxel coords (point-in-box masks below — the
-    # slab-sampling analog of the reference's clipped ray-box range)
-    clip_lo_w, clip_hi_w = clip_bounds(xform, dims_w)
-    clo = jnp.stack([clip_lo_w[perm[0]], clip_lo_w[perm[1]],
-                     clip_lo_w[perm[2]]])
-    chi = jnp.stack([clip_hi_w[perm[0]], clip_hi_w[perm[1]],
-                     clip_hi_w[perm[2]]])
-    if flipped:
-        e = e.at[2].set(size_z - e[2])
-        clo_z, chi_z = size_z - chi[2], size_z - clo[2]
-        clo = clo.at[2].set(clo_z)
-        chi = chi.at[2].set(chi_z)
-
-    # slab planes at z_k = k + 0.5 (voxel centers); reference plane = the
-    # first slab IN FRONT of the eye — slab 0 for orbit cameras (e_z < 0
-    # after the permute/flip normalization), the eye's forward neighbor for
-    # fly-through cameras inside the volume (split-at-eye: slabs behind the
-    # eye are invisible to a forward frustum and are masked out below)
-    z_ref = jnp.clip(jnp.floor(e[2] + 0.5), 0.0, d_slab - 1.0) + 0.5
-    slab_zs = jnp.arange(d_slab, dtype=jnp.float32) + 0.5
-    in_front = slab_zs >= z_ref - 1e-3
-
-    # intermediate image domain: union of slab projections onto the ref plane
-    # σ_k ∈ (0,1] pulls toward the epipole, so the union is slab 0's own
-    # extent expanded to include the epipole-pulled far-slab projection.
-    sigma_far = (z_ref - e[2]) / (d_slab - 0.5 - e[2])
-    x_lo = jnp.minimum(0.0, e[0] + sigma_far * (0.0 - e[0]))
-    x_hi = jnp.maximum(ax_n, e[0] + sigma_far * (ax_n - e[0]))
-    y_lo = jnp.minimum(0.0, e[1] + sigma_far * (0.0 - e[1]))
-    y_hi = jnp.maximum(ay_n, e[1] + sigma_far * (ay_n - e[1]))
-
+    size_z = dims_w[perm[2]]
+    geo = frame_geometry(dims_w, d_slab, ax_n, ay_n, cam_arrays, xform,
+                         perm, flipped, settings, width, height)
+    e, s_perm, clo, chi, z_ref, in_front = geo[:6]
+    (x_lo, x_hi, y_lo, y_hi), xs, ys, corr_exp = geo[6:]
     wi = int(width * settings.supersample)
     hi = int(height * settings.supersample)
-    xs = x_lo + (jnp.arange(wi, dtype=jnp.float32) + 0.5) * (x_hi - x_lo) / wi
-    ys = y_lo + (jnp.arange(hi, dtype=jnp.float32) + 0.5) * (y_hi - y_lo) / hi
-
-    dt = _pixel_dt(xs, ys, e, z_ref, s_perm)  # [hi, wi] world-metric
-    corr_exp = settings.sampling_rate * settings.density_scale * dt
 
     if slab_occupancy is None:
         slab_occupancy = jnp.ones((d_slab,), bool)
