@@ -213,6 +213,26 @@ def main(report=None):
     rays_per_s = fps * size * size
     log(f"render {size}x{size}: {fps:.2f} fps, {rays_per_s/1e6:.1f} Mrays/s")
 
+    # gradient-shaded variant (mode 4/SCIVIS-style shading of the same grid)
+    try:
+        rsh = DecodedRenderer(size, size, mc, tf, dims, field=field,
+                              params=state.params,
+                              settings=SlabSettings(shading="gradient"),
+                              initial_volume=r.decoded)
+        rsh.set_camera(cam)
+        for _ in range(3):
+            rsh.render()
+        _ = float(rsh._frame.ravel()[0])
+        t0 = time.time()
+        for _ in range(10):
+            rsh.render()
+        _ = float(rsh._frame.ravel()[0])
+        report["fps_shaded"] = 10 / (time.time() - t0)
+        log(f"render shaded {size}x{size}: {report['fps_shaded']:.2f} fps")
+        del rsh
+    except Exception as e:  # noqa: BLE001
+        log(f"shaded stage failed: {e!r}")
+
     # the reference's own benchmark frame size (batch_renderer.cpp:199)
     try:
         r768 = DecodedRenderer(768, 768, mc, tf, dims, field=field,
@@ -265,6 +285,8 @@ def _json_line(report):
             report["train_msps_full"], 3)
     if "fps_768" in report:
         secondary["slab_fps_768"] = round(report["fps_768"], 3)
+    if "fps_shaded" in report:
+        secondary["slab_fps_512_shaded"] = round(report["fps_shaded"], 3)
     if "iso_fps" in report:
         secondary["isosurface_fps_512"] = round(report["iso_fps"], 3)
     if "psnr" in report:
