@@ -53,6 +53,10 @@ class IsoSettings:
     # brute-path knobs
     sampling_rate: float = 2.0  # steps per voxel along the ray
     n_refine: int = 8  # bisection iterations after the crossing
+    # fused Pallas sweep (ops/pallas/iso_sweep.py): the whole first-hit
+    # scan as one kernel, state resident in VMEM. "auto" = on TPU; True
+    # forces it (interpret mode off-TPU — tests); False keeps the XLA scan
+    pallas_sweep: bool | str = False
 
 
 def _albedo(tf: TransferFunction, isovalue, settings: IsoSettings):
@@ -129,6 +133,47 @@ def slab_iso_render(
 
     iso = jnp.asarray(isovalue, jnp.float32)
 
+    use_pallas = bool(settings.pallas_sweep)
+    if settings.pallas_sweep == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from instantvnr_tpu.ops.pallas.iso_sweep import iso_sweep
+        from instantvnr_tpu.ops.pallas.slab_composite import pick_tile_h
+
+        tile_h = pick_tile_h(hi, wi)
+        use_pallas = tile_h is not None
+    if use_pallas:
+        ks = jnp.arange(d_slab, dtype=jnp.float32)
+        z_ks = ks + 0.5
+        inv_s = (z_ks - e[2]) / (z_ref - e[2])
+        off_xs = e[0] + (xs[0] - e[0]) * inv_s
+        scale_xs = (xs[1] - xs[0]) * inv_s
+        off_ys = e[1] + (ys[0] - e[1]) * inv_s
+        scale_ys = (ys[1] - ys[0]) * inv_s
+        mx_all = jax.vmap(lambda sc, of: _interp_matrix(wi, ax_n, sc, of))(
+            scale_xs, off_xs)
+        my_all = jax.vmap(lambda sc, of: _interp_matrix(hi, ay_n, sc, of))(
+            scale_ys, off_ys)
+        x_src = off_xs[:, None] + jnp.arange(wi, dtype=jnp.float32)[None, :] \
+            * scale_xs[:, None]
+        y_src = off_ys[:, None] + jnp.arange(hi, dtype=jnp.float32)[None, :] \
+            * scale_ys[:, None]
+        keep = in_front & (z_ks >= clo[2]) & (z_ks <= chi[2])
+        covx = ((mx_all.sum(2) > 0) & (x_src >= clo[0]) & (x_src <= chi[0])
+                & keep[:, None]).astype(jnp.float32)
+        covy = ((my_all.sum(2) > 0) & (y_src >= clo[1])
+                & (y_src <= chi[1])).astype(jnp.float32)
+        f_all = jnp.concatenate([vol[:, None], jnp.moveaxis(gvols, 0, 1)],
+                                axis=1)  # [D, 4, ay, ax]
+        found_f, hit_z, hit_g = iso_sweep(
+            f_all, my_all, mx_all, covy, covx, iso, tile_h,
+            jax.default_backend() != "tpu")
+        found = found_f > 0.5
+        return _shade_and_warp(found, hit_z, hit_g, tf, iso, settings,
+                               cam_arrays, width, height, perm, flipped, e,
+                               eye_w, size_z, z_ref, x_lo, x_hi, y_lo, y_hi,
+                               xs, ys, wi, hi, xform)
+
     def body(carry, k):
         prev_v, prev_ok, prev_g, found, hit_z, hit_g = carry
         z_k = k.astype(jnp.float32) + 0.5
@@ -172,7 +217,17 @@ def slab_iso_render(
             jnp.zeros((hi, wi), bool), zero, jnp.zeros((hi, wi, 3)))
     (_, _, _, found, hit_z, hit_g), _ = jax.lax.scan(
         body, init, jnp.arange(d_slab), unroll=4)
+    return _shade_and_warp(found, hit_z, hit_g, tf, iso, settings,
+                           cam_arrays, width, height, perm, flipped, e,
+                           eye_w, size_z, z_ref, x_lo, x_hi, y_lo, y_hi,
+                           xs, ys, wi, hi, xform)
 
+
+def _shade_and_warp(found, hit_z, hit_g, tf, iso, settings, cam_arrays,
+                    width, height, perm, flipped, e, eye_w, size_z, z_ref,
+                    x_lo, x_hi, y_lo, y_hi, xs, ys, wi, hi, xform):
+    """Shade the first-hit state and warp to the screen (shared by the XLA
+    scan and the fused Pallas sweep)."""
     # hit position: the intermediate-pixel ray's intersection with the
     # plane z = hit_z (same mapping the resampling used)
     ratio = (hit_z - e[2]) / (z_ref - e[2])

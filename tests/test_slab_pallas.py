@@ -125,3 +125,53 @@ def test_pallas_auto_off_on_cpu(scene):
     a = _frame(vol, tf, mc, cam, "auto")
     b = _frame(vol, tf, mc, cam, False)
     np.testing.assert_array_equal(a, b)
+
+
+class TestIsoSweepPallas:
+    """Fused Pallas first-hit sweep == the XLA scan
+    (ops/pallas/iso_sweep.py vs render/isosurf.py slab_iso_render body)."""
+
+    def _frame(self, scene, cam, use_pallas, iso=0.5, xform=None):
+        from instantvnr_tpu.render.isosurf import IsoRenderer, IsoSettings
+
+        vol, tf, _ = scene
+        ir = IsoRenderer(40, 40, vol.data, tf, isovalue=iso,
+                         settings=IsoSettings(pallas_sweep=use_pallas),
+                         transform=xform)
+        ir.set_camera(cam)
+        ir.render()
+        return np.asarray(ir._frame)
+
+    @pytest.mark.parametrize("eye", [(0, 0, -70), (60, 9, 7)])
+    def test_matches_scan(self, scene, eye):
+        cam = Camera(eye=eye, center=(0, 0, 0), up=(0, 1, 0), fovy=40)
+        ref = self._frame(scene, cam, False)
+        got = self._frame(scene, cam, True)
+        assert np.isfinite(got).all()
+        assert ref[:, 3].max() > 0.5  # surface visible
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    def test_matches_scan_clipped_scaled(self, scene):
+        from instantvnr_tpu.render.transform import default_transform
+        import jax.numpy as jnp
+
+        vol = scene[0]
+        cam = Camera(eye=(8, -6, -75), center=(0, 0, 0), up=(0, 1, 0),
+                     fovy=38)
+        xf = default_transform(vol.dims)._replace(
+            clip_lower=jnp.array([4.0, 0.0, 6.0]),
+            clip_upper=jnp.array([28.0, 25.0, 30.0]),
+            scale=jnp.array([1.0, 1.4, 0.8]))
+        ref = self._frame(scene, cam, False, xform=xf)
+        got = self._frame(scene, cam, True, xform=xf)
+        assert ref[:, 3].max() > 0.5
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    def test_traced_isovalue(self, scene):
+        """Iso edits reuse the same program in both paths."""
+        cam = Camera(eye=(0, 0, -70), center=(0, 0, 0), up=(0, 1, 0),
+                     fovy=40)
+        for iso in (0.3, 0.62):
+            ref = self._frame(scene, cam, False, iso=iso)
+            got = self._frame(scene, cam, True, iso=iso)
+            np.testing.assert_allclose(got, ref, atol=2e-5)
