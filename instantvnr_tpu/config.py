@@ -134,6 +134,13 @@ class ModelConfig:
     # backends, scatter elsewhere (CPU scatter is cheap, CPU matmuls of the
     # R=64 dense level are not)
     grid_grad_impl: str = "auto"
+    # training FORWARD gather layout: "packed" gathers dense levels from
+    # corner-packed [size, 8F] companion tables rebuilt each step (one row
+    # per dense level per sample instead of 8 — hash_encoding.py packed
+    # notes); "plain" keeps the single fused gather; "auto" (default) →
+    # packed on TPU for big schemas (≥2^22 params, where the forward gather
+    # is HBM/issue-bound), plain elsewhere
+    grid_fwd_impl: str = "auto"
 
     def to_json(self) -> dict:
         """Serialize back to the tcnn-compatible schema (for checkpoints)."""

@@ -105,8 +105,14 @@ def network_apply(params: Params, coords: jnp.ndarray,
     elif impl == "splat":
         from instantvnr_tpu.ops.hash_encoding import hash_encode_splat
 
+        fwd = field.cfg.grid_fwd_impl
+        packed_fwd = fwd == "packed" or (
+            fwd == "auto" and jax.default_backend() == "tpu"
+            and field.spec.n_params >= (1 << 22)
+            and any(field.spec.level_is_dense))
         feats = hash_encode_splat(params["table"], coords, field.spec,
-                                  compute_dtype=compute_dtype)
+                                  compute_dtype=compute_dtype,
+                                  packed_fwd=packed_fwd)
     else:
         feats = hash_encode(params["table"], coords, field.spec,
                             compute_dtype=compute_dtype)

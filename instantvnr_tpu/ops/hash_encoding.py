@@ -400,13 +400,22 @@ def _dense_level_grad_splat(spec: HashGridSpec, lvl: int, coords: jnp.ndarray,
         [fold2, jnp.zeros((size - out_len, f_), fold2.dtype)])
 
 
-def _make_splat_encode(spec: HashGridSpec, compute_dtype):
+def _make_splat_encode(spec: HashGridSpec, compute_dtype,
+                       packed_fwd: bool = False):
     dense_lvls = [l for l in range(spec.n_levels) if spec.level_is_dense[l]]
     hashed_lvls = [l for l in range(spec.n_levels)
                    if not spec.level_is_dense[l]]
 
     @jax.custom_vjp
     def encode(table, coords):
+        if packed_fwd and dense_lvls:
+            # corner-packed dense-level gathers in the TRAINING forward:
+            # the pack (8 rolled copies per dense level) is pure bandwidth
+            # and rebuilt each step; the backward stays the analytic
+            # splat+scatter below, so no gradient flows through the pack
+            packed = packed_dense_tables(table, spec)
+            return hash_encode_packed(table, packed, coords, spec,
+                                      compute_dtype)
         return hash_encode(table, coords, spec, compute_dtype)
 
     def fwd(table, coords):
@@ -460,15 +469,18 @@ _SPLAT_CACHE: dict = {}
 
 def hash_encode_splat(table: jnp.ndarray, coords: jnp.ndarray,
                       spec: HashGridSpec,
-                      compute_dtype=jnp.float32) -> jnp.ndarray:
+                      compute_dtype=jnp.float32,
+                      packed_fwd: bool = False) -> jnp.ndarray:
     """`hash_encode` with the splatting training backward (see above).
 
-    Forward-identical to `hash_encode`; backward differs only in f32
-    accumulation order. No gradient w.r.t. coords (nothing in the framework
-    differentiates through sample positions).
+    Forward-identical to `hash_encode` (up to summation order when
+    packed_fwd routes dense levels through corner-packed gathers); backward
+    differs only in f32 accumulation order. No gradient w.r.t. coords
+    (nothing in the framework differentiates through sample positions).
     """
-    key = (spec, jnp.dtype(compute_dtype).name)
+    key = (spec, jnp.dtype(compute_dtype).name, packed_fwd)
     fn = _SPLAT_CACHE.get(key)
     if fn is None:
-        fn = _SPLAT_CACHE[key] = _make_splat_encode(spec, compute_dtype)
+        fn = _SPLAT_CACHE[key] = _make_splat_encode(spec, compute_dtype,
+                                                    packed_fwd)
     return fn(table, coords)

@@ -372,3 +372,68 @@ class TestPackedEncode:
         np.testing.assert_allclose(
             np.asarray(network_apply(rp, coords, big)),
             np.asarray(network_apply(p, coords, big)), atol=2e-2)
+
+
+class TestPackedTrainingForward:
+    """grid_fwd_impl="packed": the training forward gathers dense levels
+    from corner-packed tables while the backward stays the analytic
+    splat+scatter — outputs and gradients must match the plain path."""
+
+    def test_fwd_and_grad_match_plain(self):
+        from instantvnr_tpu.config import EncodingConfig
+        from instantvnr_tpu.ops.hash_encoding import (
+            HashGridSpec,
+            hash_encode_splat,
+            init_hash_table,
+        )
+
+        spec = HashGridSpec.from_config(
+            EncodingConfig(n_levels=4, n_features_per_level=2,
+                           log2_hashmap_size=10, base_resolution=4))
+        assert any(spec.level_is_dense) and not all(spec.level_is_dense)
+        key = jax.random.PRNGKey(7)
+        table = init_hash_table(key, spec)
+        coords = jax.random.uniform(key, (301, 3), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(8),
+                              (301, spec.n_output_dims))
+
+        def loss(packed):
+            return lambda t: jnp.sum(
+                hash_encode_splat(t, coords, spec, packed_fwd=packed) * w)
+
+        out_p = hash_encode_splat(table, coords, spec, packed_fwd=True)
+        out_r = hash_encode_splat(table, coords, spec, packed_fwd=False)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r),
+                                   atol=1e-6)
+        g_p = jax.grad(loss(True))(table)
+        g_r = jax.grad(loss(False))(table)
+        np.testing.assert_array_equal(np.asarray(g_p), np.asarray(g_r))
+
+    def test_train_step_matches_plain(self):
+        import dataclasses
+
+        from instantvnr_tpu.config import EncodingConfig, ModelConfig
+        from instantvnr_tpu.data import synthetic_volume
+        from instantvnr_tpu.models import (
+            NeuralField,
+            create_train_state,
+            train_steps,
+        )
+
+        vol = synthetic_volume((16, 16, 16), kind="sphere")
+        # f32 compute: in bf16 the packed path's different summation order
+        # amplifies chaotically through Adam steps (same effect as any
+        # numerically-equivalent training variant, NOTES_ROUND2.md)
+        base = ModelConfig(encoding=EncodingConfig(
+            n_levels=3, n_features_per_level=2, log2_hashmap_size=9,
+            base_resolution=4), compute_dtype="float32")
+        outs = {}
+        for fwd in ("plain", "packed"):
+            cfg = dataclasses.replace(base, grid_grad_impl="splat",
+                                      grid_fwd_impl=fwd)
+            field = NeuralField.from_config(cfg)
+            state = create_train_state(jax.random.PRNGKey(0), field)
+            state = train_steps(field, vol.data, state, 3, 512)
+            outs[fwd] = np.asarray(state.params["table"])
+        np.testing.assert_allclose(outs["packed"], outs["plain"],
+                                   atol=1e-5, rtol=1e-4)
