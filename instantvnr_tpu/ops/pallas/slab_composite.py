@@ -192,12 +192,17 @@ def _kernel_ext(kc: int, perm: tuple, shade: bool, shadow: bool,
 
 
 def pick_tile_h(hi: int, wi: int, max_tile: int = 256) -> int | None:
-    """Largest divisor of hi that is ≤ max_tile (VMEM sizing); None when no
-    tiling keeps the working set sane (caller falls back to the XLA scan)."""
+    """Largest divisor of hi that is ≤ max_tile (VMEM sizing), preferring
+    sublane-aligned (multiple-of-8) tiles; None when no tiling keeps the
+    working set sane (caller falls back to the XLA scan)."""
+    best = None
     for th in range(min(hi, max_tile), 0, -1):
         if hi % th == 0:
-            return th
-    return None
+            if th % 8 == 0 or th == hi:
+                return th
+            if best is None:
+                best = th
+    return best
 
 
 @partial(jax.jit, static_argnums=(7, 8))
