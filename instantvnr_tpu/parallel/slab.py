@@ -48,7 +48,14 @@ def shard_volume_slabs(volume, mesh: Mesh, axis: int, flipped: bool):
     """
     vol, perm = _permute_volume(volume, axis, flipped)
     spec = NamedSharding(mesh, P("data", None, None))
-    return jax.device_put(vol, spec), perm
+    if jax.process_count() > 1:
+        # multihost: every process holds the full (or at least its own
+        # slabs of the) volume; assemble the global array shard by shard
+        vol = jax.make_array_from_callback(vol.shape, spec,
+                                           lambda idx: vol[idx])
+    else:
+        vol = jax.device_put(vol, spec)
+    return vol, perm
 
 
 def make_sharded_slab_render(mesh: Mesh, width: int, height: int,

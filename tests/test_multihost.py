@@ -322,3 +322,87 @@ def test_two_process_ep_training(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"host {pid} failed:\n{out[-2000:]}"
         assert f"HOST{pid} OK" in out
+
+
+_SLAB_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(f"localhost:{port}", num_processes=2,
+                           process_id=pid)
+import numpy as np
+import jax.numpy as jnp
+from instantvnr_tpu.config import TransferFunctionConfig
+from instantvnr_tpu.data import synthetic_volume
+from instantvnr_tpu.parallel import make_mesh
+from instantvnr_tpu.parallel.slab import (make_sharded_slab_render,
+                                          shard_volume_slabs)
+from instantvnr_tpu.render.camera import Camera
+from instantvnr_tpu.render.slabmarch import (SlabSettings, principal_axis,
+                                             slab_render)
+from instantvnr_tpu.render.transform import default_transform
+from instantvnr_tpu.utils.tfn import bake_transfer_function
+
+vol = synthetic_volume((32, 32, 32), kind="vorts")
+tf = bake_transfer_function(TransferFunctionConfig())
+cam = Camera(eye=(8, 6, -70), center=(0, 0, 0), up=(0, 1, 0), fovy=40)
+cam_arrays = (jnp.asarray(cam.eye, jnp.float32),
+              jnp.asarray(cam.center, jnp.float32),
+              jnp.asarray(cam.up, jnp.float32), jnp.float32(cam.fovy))
+axis, flipped = principal_axis(cam)
+xform = default_transform(vol.dims)
+mesh = make_mesh()  # 8 global devices over 2 processes
+vol_sh, _ = shard_volume_slabs(vol.data, mesh, axis, flipped)
+fn = make_sharded_slab_render(mesh, 32, 32, SlabSettings(), axis, flipped, 32)
+got = np.asarray(fn(vol_sh, tf, cam_arrays, jnp.ones((32,), bool), xform))
+# local single-device reference from the host-resident full volume
+ref = np.asarray(slab_render(vol.data, tf, cam_arrays, 32, 32,
+                             SlabSettings(), axis, flipped, None, None,
+                             None, xform))
+assert np.isfinite(got).all()
+assert ref[:, 3].max() > 0.05
+np.testing.assert_allclose(got, ref, atol=1e-3)
+print(f"HOST{pid} OK frame={got.sum():.4f}", flush=True)
+"""
+
+
+@pytest.mark.skipif(os.environ.get("VNR_SKIP_MULTIHOST") == "1",
+                    reason="multihost disabled")
+def test_two_process_slab_sharded_render(tmp_path):
+    """Slab-sharded compositing across a process boundary: the volume's
+    slab chunks live on both hosts and the frame assembles through one
+    cross-process all_gather."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = tmp_path / "worker_slab.py"
+    worker.write_text(_SLAB_WORKER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))) + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out.decode())
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"host {pid} failed:\n{out[-2000:]}"
+        assert f"HOST{pid} OK" in out
+    f0 = outs[0].split("frame=")[1].split()[0]
+    f1 = outs[1].split("frame=")[1].split()[0]
+    assert f0 == f1, (f0, f1)
