@@ -191,13 +191,27 @@ def _kernel_ext(kc: int, perm: tuple, shade: bool, shadow: bool,
     _blend(out_ref, covy_ref, covx_ref, corr_ref, rgb, acc_a)
 
 
-def pick_tile_h(hi: int, wi: int, max_tile: int = 256) -> int | None:
-    """Largest divisor of hi that is ≤ max_tile (VMEM sizing), preferring
-    sublane-aligned (multiple-of-8) tiles; None when no tiling keeps the
-    working set sane (caller falls back to the XLA scan)."""
+def pick_tile_h(hi: int, wi: int, ay: int = 0, ax: int = 0,
+                n_fields: int = 1, out_planes: int = 4,
+                max_tile: int = 256,
+                budget_bytes: int = 12 << 20) -> int | None:
+    """Largest divisor of hi ≤ max_tile whose kernel working set fits VMEM,
+    preferring sublane-aligned (multiple-of-8) tiles; None when no tile
+    height fits (caller falls back to the XLA scan).
+
+    Working-set estimate per grid step (f32): double-buffered input blocks
+    (n_fields slab planes [ay, ax], interpolation matrices [th, ay] /
+    [wi, ax], coverage rows, the [th, wi] correction block) + the
+    [out_planes, th, wi] VMEM-resident carry."""
+
+    def fits(th: int) -> bool:
+        inputs = n_fields * ay * ax + th * ay + wi * ax + th + 2 * wi \
+            + th * wi
+        return 4 * (2 * inputs + out_planes * th * wi) <= budget_bytes
+
     best = None
     for th in range(min(hi, max_tile), 0, -1):
-        if hi % th == 0:
+        if hi % th == 0 and fits(th):
             if th % 8 == 0 or th == hi:
                 return th
             if best is None:

@@ -15,7 +15,8 @@ Equivalence: the per-chunk compositor is `_composite_batched` (the batched
 variant of the slab scan, parity-tested against the sequential path), with
 the chunk's z-offset threaded through. The chunked combine reproduces the
 batched compositor's numbers exactly up to float reassociation — verified
-against the single-device renderer in tests/test_parallel_slab.py.
+against the single-device renderer in tests/test_parallel.py
+(TestSlabSharded) and across a 2-process boundary in tests/test_multihost.py.
 
 Scope: value rendering (no gradient-shading/shadow variants — those follow
 the same pattern but stream 4× the fields; use the single-device paths).
@@ -69,7 +70,8 @@ def make_sharded_slab_render(mesh: Mesh, width: int, height: int,
     """
     n = mesh.shape["data"]
     if d_slab % n != 0:
-        raise ValueError(f"d_slab {d_slab} must divide data axis size {n}")
+        raise ValueError(
+            f"data axis size {n} must divide d_slab {d_slab}")
     chunk = d_slab // n
 
     def frame(vol_perm, tf, cam_arrays, slab_occupancy, xform):

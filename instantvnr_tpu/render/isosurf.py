@@ -140,29 +140,19 @@ def slab_iso_render(
         from instantvnr_tpu.ops.pallas.iso_sweep import iso_sweep
         from instantvnr_tpu.ops.pallas.slab_composite import pick_tile_h
 
-        tile_h = pick_tile_h(hi, wi)
+        tile_h = pick_tile_h(hi, wi, ay_n, ax_n, n_fields=4, out_planes=10)
         use_pallas = tile_h is not None
     if use_pallas:
-        ks = jnp.arange(d_slab, dtype=jnp.float32)
-        z_ks = ks + 0.5
-        inv_s = (z_ks - e[2]) / (z_ref - e[2])
-        off_xs = e[0] + (xs[0] - e[0]) * inv_s
-        scale_xs = (xs[1] - xs[0]) * inv_s
-        off_ys = e[1] + (ys[0] - e[1]) * inv_s
-        scale_ys = (ys[1] - ys[0]) * inv_s
-        mx_all = jax.vmap(lambda sc, of: _interp_matrix(wi, ax_n, sc, of))(
-            scale_xs, off_xs)
-        my_all = jax.vmap(lambda sc, of: _interp_matrix(hi, ay_n, sc, of))(
-            scale_ys, off_ys)
-        x_src = off_xs[:, None] + jnp.arange(wi, dtype=jnp.float32)[None, :] \
-            * scale_xs[:, None]
-        y_src = off_ys[:, None] + jnp.arange(hi, dtype=jnp.float32)[None, :] \
-            * scale_ys[:, None]
+        from instantvnr_tpu.render.slabmarch import (
+            _coverage_masks,
+            _per_slab_state,
+        )
+
+        z_ks, my_all, mx_all, x_src, y_src = _per_slab_state(
+            e, z_ref, xs, ys, d_slab, ax_n, ay_n)
         keep = in_front & (z_ks >= clo[2]) & (z_ks <= chi[2])
-        covx = ((mx_all.sum(2) > 0) & (x_src >= clo[0]) & (x_src <= chi[0])
-                & keep[:, None]).astype(jnp.float32)
-        covy = ((my_all.sum(2) > 0) & (y_src >= clo[1])
-                & (y_src <= chi[1])).astype(jnp.float32)
+        covy, covx = _coverage_masks(my_all, mx_all, x_src, y_src, clo, chi,
+                                     keep)
         f_all = jnp.concatenate([vol[:, None], jnp.moveaxis(gvols, 0, 1)],
                                 axis=1)  # [D, 4, ay, ax]
         found_f, hit_z, hit_g = iso_sweep(

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -176,6 +177,46 @@ def _pixel_dt(xs, ys, e, z_ref, s_perm=None):
                     + s_perm[2] ** 2)
 
 
+def _per_slab_state(e, z_ref, xs, ys, d_slab: int, ax_n: int, ay_n: int,
+                    z0=0.0):
+    """Per-slab separable resampling state — the shear-warp address math
+    shared by the batched compositor and the Pallas kernel branches.
+
+    Returns (z_k [D], my_all [D, hi, ay], mx_all [D, wi, ax],
+    x_src [D, wi], y_src [D, hi]): slab k's projection onto the reference
+    plane is a uniform scale about the epipole, so every slab resamples
+    with one banded matrix per axis; x_src/y_src are the permuted-voxel
+    source coordinates of each intermediate pixel (coverage/clip masks)."""
+    wi = xs.shape[0]
+    hi = ys.shape[0]
+    z_k = z0 + jnp.arange(d_slab, dtype=jnp.float32) + 0.5
+    inv_s = (z_k - e[2]) / (z_ref - e[2])  # 1/σ_k
+    off_x = e[0] + (xs[0] - e[0]) * inv_s
+    scale_x = (xs[1] - xs[0]) * inv_s
+    off_y = e[1] + (ys[0] - e[1]) * inv_s
+    scale_y = (ys[1] - ys[0]) * inv_s
+    mx_all = jax.vmap(lambda sc, of: _interp_matrix(wi, ax_n, sc, of))(
+        scale_x, off_x)  # [D, wi, ax]
+    my_all = jax.vmap(lambda sc, of: _interp_matrix(hi, ay_n, sc, of))(
+        scale_y, off_y)  # [D, hi, ay]
+    x_src = off_x[:, None] + jnp.arange(wi, dtype=jnp.float32)[None, :] \
+        * scale_x[:, None]  # [D, wi]
+    y_src = off_y[:, None] + jnp.arange(hi, dtype=jnp.float32)[None, :] \
+        * scale_y[:, None]  # [D, hi]
+    return z_k, my_all, mx_all, x_src, y_src
+
+
+def _coverage_masks(my_all, mx_all, x_src, y_src, clo, chi, keep):
+    """Separable coverage/clip masks for the Pallas kernels: covx [D, wi]
+    folds in the per-slab keep mask (occupancy/in-front/z-clip), covy
+    [D, hi] carries the row terms; the kernel multiplies them."""
+    covx = ((mx_all.sum(2) > 0) & (x_src >= clo[0]) & (x_src <= chi[0])
+            & keep[:, None]).astype(jnp.float32)
+    covy = ((my_all.sum(2) > 0) & (y_src >= clo[1])
+            & (y_src <= chi[1])).astype(jnp.float32)
+    return covy, covx
+
+
 def _composite_batched(vol, tf, e, z_ref, xs, ys, corr_exp,
                        slab_occupancy, shadow_perm, shadow_ambient,
                        clo=None, chi=None, blend_mode="assoc",
@@ -188,22 +229,10 @@ def _composite_batched(vol, tf, e, z_ref, xs, ys, corr_exp,
     shading keeps the sequential scan (per-slab view-dir tensors would be
     too large batched)."""
     d_slab, ay_n, ax_n = vol.shape
-    hi = ys.shape[0]
-    wi = xs.shape[0]
 
-    ks = jnp.arange(d_slab, dtype=jnp.float32)
-    z_k = z0 + ks + 0.5  # z0 ≠ 0 for slab-sharded chunks (parallel/slab.py)
-    sigma = (z_ref - e[2]) / (z_k - e[2])  # [D]
-    inv_s = 1.0 / sigma
-    off_x = e[0] + (xs[0] - e[0]) * inv_s
-    scale_x = (xs[1] - xs[0]) * inv_s
-    off_y = e[1] + (ys[0] - e[1]) * inv_s
-    scale_y = (ys[1] - ys[0]) * inv_s
-
-    mx = jax.vmap(lambda sc, of: _interp_matrix(wi, ax_n, sc, of))(
-        scale_x * 0 + scale_x, off_x)  # [D, wi, ax]
-    my = jax.vmap(lambda sc, of: _interp_matrix(hi, ay_n, sc, of))(
-        scale_y * 0 + scale_y, off_y)  # [D, hi, ay]
+    # z0 ≠ 0 for slab-sharded chunks (parallel/slab.py)
+    z_k, my, mx, x_src, y_src = _per_slab_state(e, z_ref, xs, ys, d_slab,
+                                                ax_n, ay_n, z0)
 
     def resample(field3d):
         tmp = jnp.einsum("dha,dax->dhx", my, field3d,
@@ -216,10 +245,6 @@ def _composite_batched(vol, tf, e, z_ref, xs, ys, corr_exp,
     if clo is not None:
         # clip box masks (permuted voxel coords): per-slab z plus the
         # per-pixel source coordinates along the in-slab axes
-        x_src = off_x[:, None] + jnp.arange(wi, dtype=jnp.float32)[None, :] \
-            * scale_x[:, None]  # [D, wi]
-        y_src = off_y[:, None] + jnp.arange(hi, dtype=jnp.float32)[None, :] \
-            * scale_y[:, None]  # [D, hi]
         in_clip = (((x_src >= clo[0]) & (x_src <= chi[0]))[:, None, :]
                    & ((y_src >= clo[1]) & (y_src <= chi[1]))[:, :, None]
                    & ((z_k >= clo[2]) & (z_k <= chi[2]))[:, None, None])
@@ -260,21 +285,20 @@ def _composite_batched(vol, tf, e, z_ref, xs, ys, corr_exp,
     return jnp.moveaxis(out[:3], 0, -1), out[3]
 
 
-class _FrameGeometry(tuple):
-    """(e, s_perm, clo, chi, z_ref, in_front, bounds, xs, ys, corr_exp) —
-    the camera-derived per-frame quantities of the shear-warp factorization,
+class _FrameGeometry(NamedTuple):
+    """Camera-derived per-frame state of the shear-warp factorization,
     shared by slab_render and the sharded compositor (parallel/slab.py)."""
-    __slots__ = ()
-    e = property(lambda s: s[0])
-    s_perm = property(lambda s: s[1])
-    clo = property(lambda s: s[2])
-    chi = property(lambda s: s[3])
-    z_ref = property(lambda s: s[4])
-    in_front = property(lambda s: s[5])
-    bounds = property(lambda s: s[6])  # (x_lo, x_hi, y_lo, y_hi)
-    xs = property(lambda s: s[7])
-    ys = property(lambda s: s[8])
-    corr_exp = property(lambda s: s[9])
+
+    e: jnp.ndarray        # eye, permuted voxel space (flip-normalized)
+    s_perm: jnp.ndarray   # permuted voxel→world scale
+    clo: jnp.ndarray      # clip box, permuted voxel coords
+    chi: jnp.ndarray
+    z_ref: jnp.ndarray    # reference slab plane
+    in_front: jnp.ndarray  # [D] slabs in front of the eye
+    bounds: tuple         # (x_lo, x_hi, y_lo, y_hi) intermediate domain
+    xs: jnp.ndarray       # [wi] intermediate pixel centers
+    ys: jnp.ndarray       # [hi]
+    corr_exp: jnp.ndarray  # [hi, wi] opacity-correction exponent
 
 
 def frame_geometry(dims_w, d_slab: int, ax_n: int, ay_n: int, cam_arrays,
@@ -317,8 +341,8 @@ def frame_geometry(dims_w, d_slab: int, ax_n: int, ay_n: int, cam_arrays,
 
     dt = _pixel_dt(xs, ys, e, z_ref, s_perm)
     corr_exp = settings.sampling_rate * settings.density_scale * dt
-    return _FrameGeometry((e, s_perm, clo, chi, z_ref, in_front,
-                           (x_lo, x_hi, y_lo, y_hi), xs, ys, corr_exp))
+    return _FrameGeometry(e, s_perm, clo, chi, z_ref, in_front,
+                          (x_lo, x_hi, y_lo, y_hi), xs, ys, corr_exp)
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
@@ -399,30 +423,16 @@ def slab_render(
             pick_tile_h)
         from instantvnr_tpu.utils.tfn import _CONTROLS_CROSSOVER
 
-        tile_h = pick_tile_h(hi, wi)
+        n_fields = (4 if use_shading else 1) + (1 if use_shadow else 0)
+        tile_h = pick_tile_h(hi, wi, ay_n, ax_n, n_fields=n_fields)
         use_pallas = (tile_h is not None
                       and tf.ctrl_x.shape[0] - 1 <= _CONTROLS_CROSSOVER)
     if use_pallas:
-        ks = jnp.arange(d_slab, dtype=jnp.float32)
-        z_ks = ks + 0.5
-        inv_s = (z_ks - e[2]) / (z_ref - e[2])  # 1/σ_k
-        off_xs = e[0] + (xs[0] - e[0]) * inv_s
-        scale_xs = (xs[1] - xs[0]) * inv_s
-        off_ys = e[1] + (ys[0] - e[1]) * inv_s
-        scale_ys = (ys[1] - ys[0]) * inv_s
-        mx_all = jax.vmap(lambda sc, of: _interp_matrix(wi, ax_n, sc, of))(
-            scale_xs, off_xs)  # [D, wi, ax]
-        my_all = jax.vmap(lambda sc, of: _interp_matrix(hi, ay_n, sc, of))(
-            scale_ys, off_ys)  # [D, hi, ay]
-        x_src = off_xs[:, None] + jnp.arange(wi, dtype=jnp.float32)[None, :] \
-            * scale_xs[:, None]  # [D, wi]
-        y_src = off_ys[:, None] + jnp.arange(hi, dtype=jnp.float32)[None, :] \
-            * scale_ys[:, None]  # [D, hi]
+        z_ks, my_all, mx_all, x_src, y_src = _per_slab_state(
+            e, z_ref, xs, ys, d_slab, ax_n, ay_n)
         keep = slab_occupancy & (z_ks >= clo[2]) & (z_ks <= chi[2])
-        covx = ((mx_all.sum(2) > 0) & (x_src >= clo[0]) & (x_src <= chi[0])
-                & keep[:, None]).astype(jnp.float32)
-        covy = ((my_all.sum(2) > 0) & (y_src >= clo[1])
-                & (y_src <= chi[1])).astype(jnp.float32)
+        covy, covx = _coverage_masks(my_all, mx_all, x_src, y_src, clo, chi,
+                                     keep)
         interp = jax.default_backend() != "tpu"
         if use_shading or use_shadow:
             f_all = (jnp.moveaxis(fields, 0, 1) if use_shading

@@ -175,3 +175,56 @@ class TestIsoSweepPallas:
             ref = self._frame(scene, cam, False, iso=iso)
             got = self._frame(scene, cam, True, iso=iso)
             np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_pallas_multi_tile_grid(scene, monkeypatch):
+    """Force n_tiles > 1 (tile_h < hi) so the i-indexed block maps and the
+    per-tile k==0 carry re-init are exercised in interpret mode (real
+    frames tile at 512² → tile_h 256 × 2 tiles)."""
+    import instantvnr_tpu.ops.pallas.slab_composite as sc
+
+    orig = sc.pick_tile_h
+    monkeypatch.setattr(
+        sc, "pick_tile_h",
+        lambda hi, wi, *a, **kw: orig(hi, wi, *a, max_tile=hi // 2, **kw))
+    vol, tf, mc = scene
+    cam = Camera(eye=(14, -9, -66), center=(0, 0, 0), up=(0, 1, 0), fovy=41)
+    ref = _frame(vol, tf, mc, cam, False)
+    got = _frame(vol, tf, mc, cam, True)
+    got_sh = _frame(vol, tf, mc, cam, True, shading="gradient")
+    ref_sh = _frame(vol, tf, mc, cam, False, shading="gradient")
+    assert ref[..., 3].max() > 0.05
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    np.testing.assert_allclose(got_sh, ref_sh, atol=2e-4)
+
+
+def test_iso_pallas_multi_tile_grid(scene, monkeypatch):
+    import instantvnr_tpu.ops.pallas.slab_composite as sc
+    from instantvnr_tpu.render.isosurf import IsoRenderer, IsoSettings
+
+    orig = sc.pick_tile_h
+    monkeypatch.setattr(
+        sc, "pick_tile_h",
+        lambda hi, wi, *a, **kw: orig(hi, wi, *a, max_tile=hi // 2, **kw))
+    vol, tf, _ = scene
+    cam = Camera(eye=(0, 0, -70), center=(0, 0, 0), up=(0, 1, 0), fovy=40)
+    frames = {}
+    for mode in (False, True):
+        ir = IsoRenderer(40, 40, vol.data, tf, isovalue=0.5,
+                         settings=IsoSettings(pallas_sweep=mode))
+        ir.set_camera(cam)
+        ir.render()
+        frames[mode] = np.asarray(ir._frame)
+    assert frames[False][:, 3].max() > 0.5
+    np.testing.assert_allclose(frames[True], frames[False], atol=2e-5)
+
+
+def test_pick_tile_h_vmem_fallback():
+    """A working set no tile height can fit must return None (the promised
+    XLA-scan fallback), and normal frame shapes must tile aligned."""
+    from instantvnr_tpu.ops.pallas.slab_composite import pick_tile_h
+
+    assert pick_tile_h(512, 512, 128, 128) == 256
+    assert pick_tile_h(768, 768, 128, 128) == 256
+    # a 2048² permuted slab plane alone exceeds the VMEM budget
+    assert pick_tile_h(512, 512, 2048, 2048) is None
