@@ -65,8 +65,10 @@ def make_sharded_slab_render(mesh: Mesh, width: int, height: int,
     """Build the jitted slab-sharded frame function for one principal axis.
 
     Returned fn(vol_perm [D, ay, ax] sharded over "data", tf, cam_arrays,
-    slab_occupancy [D] bool, xform) → rgba [H·W, 4] (replicated).
-    d_slab must divide the data-axis size.
+    slab_occupancy [D] bool, xform, shadow_perm=None) → rgba [H·W, 4]
+    (replicated). shadow_perm is a shadow-transmittance volume sharded
+    exactly like vol_perm (shard_volume_slabs). The data-axis size must
+    divide d_slab.
     """
     n = mesh.shape["data"]
     if d_slab % n != 0:
@@ -74,7 +76,8 @@ def make_sharded_slab_render(mesh: Mesh, width: int, height: int,
             f"data axis size {n} must divide d_slab {d_slab}")
     chunk = d_slab // n
 
-    def frame(vol_perm, tf, cam_arrays, slab_occupancy, xform):
+    def frame(vol_perm, tf, cam_arrays, slab_occupancy, xform,
+              shadow_perm=None):
         d, ay_n, ax_n = vol_perm.shape
         # permuted dims → world dims (perm maps world → permuted axes)
         if axis == 2:
@@ -91,18 +94,22 @@ def make_sharded_slab_render(mesh: Mesh, width: int, height: int,
         (x_lo, x_hi, y_lo, y_hi), xs, ys, corr_exp = geo[6:]
         occ = slab_occupancy & in_front
 
+        with_shadow = shadow_perm is not None
+
         @partial(
             shard_map, mesh=mesh,
-            in_specs=(P("data"), P("data"), P(), P(), P(), P(), P(), P(),
-                      P(), P()),
+            in_specs=(P("data"), P("data"),
+                      P("data") if with_shadow else P(),
+                      P(), P(), P(), P(), P(), P(), P(), P()),
             out_specs=P(),
             check_vma=False,
         )
-        def composite(vol_c, occ_c, tf_, e_, z_ref_, xs_, ys_, corr_, clo_,
-                      chi_):
+        def composite(vol_c, occ_c, sh_c, tf_, e_, z_ref_, xs_, ys_, corr_,
+                      clo_, chi_):
             z0 = (jax.lax.axis_index("data") * chunk).astype(jnp.float32)
             part = _composite_batched(
-                vol_c, tf_, e_, z_ref_, xs_, ys_, corr_, occ_c, None,
+                vol_c, tf_, e_, z_ref_, xs_, ys_, corr_, occ_c,
+                sh_c if with_shadow else None,
                 settings.shadow_ambient, clo_, chi_, blend_mode="seq",
                 z0=z0, return_premult=True)  # [4, hi, wi] premultiplied
             g = jax.lax.all_gather(part, "data")  # [n, 4, hi, wi]
@@ -111,8 +118,9 @@ def make_sharded_slab_render(mesh: Mesh, width: int, height: int,
                 out = out + (1.0 - out[3:4]) * g[i]
             return out
 
-        out = composite(vol_perm, occ, tf, e, z_ref, xs, ys, corr_exp,
-                        clo, chi)
+        out = composite(vol_perm, occ,
+                        shadow_perm if with_shadow else jnp.zeros((), jnp.float32),
+                        tf, e, z_ref, xs, ys, corr_exp, clo, chi)
         color = jnp.moveaxis(out[:3], 0, -1)
         wi = xs.shape[0]
         hi = ys.shape[0]

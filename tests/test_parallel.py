@@ -371,3 +371,35 @@ class TestSlabSharded:
                             xform))
         assert ref[:, 3].max() > 0.05
         np.testing.assert_allclose(got, ref, atol=1e-3)
+
+    def test_shadowed(self):
+        from instantvnr_tpu.parallel.slab import (
+            make_sharded_slab_render,
+            shard_volume_slabs,
+        )
+        from instantvnr_tpu.render.shadow import shadow_volume_for
+        from instantvnr_tpu.render.slabmarch import (
+            SlabSettings,
+            principal_axis,
+            slab_render,
+        )
+        from instantvnr_tpu.render.transform import default_transform
+
+        vol, tf, cam, cam_arrays = self._scene((6, 9, -66))
+        mesh = make_mesh()
+        axis, flipped = principal_axis(cam)
+        xform = default_transform(vol.dims)
+        s = SlabSettings()
+        sv = shadow_volume_for(vol.data, tf, s.light_dir, 1.0)
+        ref = np.asarray(slab_render(vol.data, tf, cam_arrays, 40, 40, s,
+                                     axis, flipped, None, None, sv, xform))
+        vol_sh, _ = shard_volume_slabs(vol.data, mesh, axis, flipped)
+        sv_sh, _ = shard_volume_slabs(sv, mesh, axis, flipped)
+        fn = make_sharded_slab_render(mesh, 40, 40, s, axis, flipped, 32)
+        got = np.asarray(fn(vol_sh, tf, cam_arrays, jnp.ones((32,), bool),
+                            xform, sv_sh))
+        unshadowed = np.asarray(fn(vol_sh, tf, cam_arrays,
+                                   jnp.ones((32,), bool), xform))
+        assert ref[:, 3].max() > 0.05
+        np.testing.assert_allclose(got, ref, atol=1e-3)
+        assert np.abs(got - unshadowed).max() > 1e-3  # shadows do something
