@@ -172,64 +172,74 @@ class ViewerApp:
 
     def loop(self):
         import numpy as np
+        import traceback
 
         while not self.stop_event.is_set():
-            t0 = time.time()
-            with self.lock:
-                dirty, self.dirty = self.dirty, False
-                mode, self.pending_mode = self.pending_mode, None
-                tf_spec, self.pending_tf = self.pending_tf, None
-                density, self.pending_density = self.pending_density, None
-                cam = self.orbit.to_camera()
-                training = self.training
-            if mode is not None:
-                from instantvnr_tpu.api import RenderMode
+            try:
+                self._loop_once(np)
+            except Exception:  # noqa: BLE001 — a bad edit (e.g. malformed
+                # TF spec) must not kill the render thread; log and keep
+                # serving (the edit is already consumed, state stays clean)
+                traceback.print_exc()
+                time.sleep(0.1)
 
-                self.renderer.set_mode(RenderMode[mode])
-                dirty = True
-            if tf_spec is not None:
-                # interactive TF edit (the reference GUI's TF editor path:
-                # per-change macrocell max-opacity refresh via
-                # set_transfer_function, int_volume.cpp:389-427)
-                from instantvnr_tpu.config import TransferFunctionConfig
+    def _loop_once(self, np):
+        t0 = time.time()
+        with self.lock:
+            dirty, self.dirty = self.dirty, False
+            mode, self.pending_mode = self.pending_mode, None
+            tf_spec, self.pending_tf = self.pending_tf, None
+            density, self.pending_density = self.pending_density, None
+            cam = self.orbit.to_camera()
+            training = self.training
+        if mode is not None:
+            from instantvnr_tpu.api import RenderMode
 
-                base = TransferFunctionConfig()
-                cfg = TransferFunctionConfig(
-                    colors=tuple(tuple(c) for c in
-                                 tf_spec.get("colors", base.colors)),
-                    alphas=tuple(tuple(a) for a in
-                                 tf_spec.get("alphas", base.alphas)),
-                    range=tuple(tf_spec.get("range", base.range)),
-                )
-                self.renderer.set_transfer_function(cfg)
-                dirty = True
-            if density is not None:
-                self.renderer.set_volume_density_scale(density)
-                dirty = True
-            trained = False
-            if training and self.nv is not None:
-                # int_dual_volume.cpp:662-674 training slice
-                self.nv.train(self.train_steps, fast_mode=False)
-                self.nv.decode_progressive(self.blobs)
-                trained = True
-            if dirty:
-                self.renderer.set_camera(cam)
-                self._accum_left = self.MAX_ACCUM
-            if trained:
-                self.renderer.refresh_params()
-                self.renderer.reset_accumulation()
-                self._accum_left = self.MAX_ACCUM
-            if self._accum_left <= 0:
-                time.sleep(0.03)
-                continue
-            self._accum_left -= 1
-            self.renderer.render()
-            frame = self.renderer.mapframe()
-            png = _encode_png(np.asarray(frame))
-            with self.lock:
-                self.png = png
-                self.frame_id += 1
-                self.fps = 1.0 / max(time.time() - t0, 1e-9)
+            self.renderer.set_mode(RenderMode[mode])
+            dirty = True
+        if tf_spec is not None:
+            # interactive TF edit (the reference GUI's TF editor path:
+            # per-change macrocell max-opacity refresh via
+            # set_transfer_function, int_volume.cpp:389-427)
+            from instantvnr_tpu.config import TransferFunctionConfig
+
+            base = TransferFunctionConfig()
+            cfg = TransferFunctionConfig(
+                colors=tuple(tuple(c) for c in
+                             tf_spec.get("colors", base.colors)),
+                alphas=tuple(tuple(a) for a in
+                             tf_spec.get("alphas", base.alphas)),
+                range=tuple(tf_spec.get("range", base.range)),
+            )
+            self.renderer.set_transfer_function(cfg)
+            dirty = True
+        if density is not None:
+            self.renderer.set_volume_density_scale(density)
+            dirty = True
+        trained = False
+        if training and self.nv is not None:
+            # int_dual_volume.cpp:662-674 training slice
+            self.nv.train(self.train_steps, fast_mode=False)
+            self.nv.decode_progressive(self.blobs)
+            trained = True
+        if dirty:
+            self.renderer.set_camera(cam)
+            self._accum_left = self.MAX_ACCUM
+        if trained:
+            self.renderer.refresh_params()
+            self.renderer.reset_accumulation()
+            self._accum_left = self.MAX_ACCUM
+        if self._accum_left <= 0:
+            time.sleep(0.03)
+            return
+        self._accum_left -= 1
+        self.renderer.render()
+        frame = self.renderer.mapframe()
+        png = _encode_png(np.asarray(frame))
+        with self.lock:
+            self.png = png
+            self.frame_id += 1
+            self.fps = 1.0 / max(time.time() - t0, 1e-9)
 
     # ---- state for /api/state ------------------------------------------
 

@@ -310,6 +310,8 @@ class NeuralVolume:
         # (reference m_macrocell; fresh unless aliasing the GT one)
         self.macrocell = mcmod.allocate(self.dims)
         self._decoder = None
+        self._full_decode_params = None  # params identity at last decode_all
+        self._decode_cache = None  # (params, grid) of last decode_volume
         from instantvnr_tpu.render.transform import default_transform
 
         self.transform = default_transform(self.dims)
@@ -461,11 +463,20 @@ class NeuralVolume:
                 self._decoder.set_transfer_function(tf)
         return self._decoder
 
+    def ensure_decoded(self, width=None, height=None, tf=None):
+        """get_decoder + full decode ONLY when params changed since the
+        last full decode — knob-only renderer rebinds (sampling rate, TF,
+        density, frame size) skip the multi-second re-decode."""
+        dec = self.get_decoder(width, height, tf=tf)
+        if self._full_decode_params is not self.state.params:
+            dec.decode_all()
+            self._full_decode_params = self.state.params
+        return dec
+
     def decode_progressive(self, n_blobs: int = 1):
-        """vnrNeuralVolumeDecodeProgressive (api.cpp:228)."""
-        dec = self.get_decoder()
-        dec.set_params(self.state.params)
-        dec.decode_progressive(n_blobs)
+        """vnrNeuralVolumeDecodeProgressive (api.cpp:228); get_decoder
+        already rebinds the current params (identity-cached)."""
+        self.get_decoder().decode_progressive(n_blobs)
 
     @property
     def n_blobs(self) -> int:
@@ -474,7 +485,15 @@ class NeuralVolume:
     def decode_volume(self) -> jnp.ndarray:
         from instantvnr_tpu.models.metrics import decode_volume
 
-        return decode_volume(self.field, self.state.params, self.dims)
+        # identity-cached on params: renderer knob changes rebuild their
+        # impl through set_mode, which must not re-decode an unchanged
+        # network (0.4 s at 128³, seconds at larger dims)
+        if (self._decode_cache is not None
+                and self._decode_cache[0] is self.state.params):
+            return self._decode_cache[1]
+        grid = decode_volume(self.field, self.state.params, self.dims)
+        self._decode_cache = (self.state.params, grid)
+        return grid
 
     def save_inference_volume(self, path: str):
         """Decode the network over the full grid and dump raw float32
@@ -614,11 +633,10 @@ class VNRenderer:
 
         if mode == RenderMode.DECODED_SLAB:
             assert self.neural is not None
-            impl = self.neural.get_decoder(self.width, self.height, tf=tf)
+            impl = self.neural.ensure_decoded(self.width, self.height, tf=tf)
             impl.settings = _dc.replace(
                 impl.settings, sampling_rate=self.sampling_rate,
                 density_scale=self.density_scale)
-            impl.decode_all()
         elif mode in (RenderMode.NEURAL_WAVEFRONT,
                       RenderMode.NEURAL_WAVEFRONT_GRADIENT,
                       RenderMode.NEURAL_WAVEFRONT_SSH):

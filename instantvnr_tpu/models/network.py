@@ -139,18 +139,24 @@ def render_params(params: Params, field: NeuralField) -> Params:
     Training keeps the f32 master table; call this once per parameter update
     (the reference equally re-uploads half-precision params to its inference
     pipeline after each training epoch, tcnn_network.h:142-156).
+
+    The returned arrays are always FRESH (never aliases of `params`): the
+    training step donates its state buffers (trainer.py donate_argnums), so
+    an aliased render ctx would be deleted out from under a live renderer by
+    the very next train call.
     """
+    fresh = lambda t: jax.tree_util.tree_map(jnp.copy, t)  # noqa: E731
     spec = getattr(field, "spec", None)
     if spec is None:  # non-hash-grid families (e.g. fV-SRN): plain bf16 cast
         return {"table": params["table"].astype(jnp.bfloat16),
-                "mlp": params["mlp"]}
+                "mlp": fresh(params["mlp"])}
     big = spec.n_params >= (1 << 22)  # crossover measured between 2^14/2^19
     if not big:
-        return {"table": params["table"], "mlp": params["mlp"]}
+        return {"table": fresh(params["table"]), "mlp": fresh(params["mlp"])}
     from instantvnr_tpu.ops.hash_encoding import packed_dense_tables
 
     table = params["table"].astype(jnp.bfloat16)
-    out = {"table": table, "mlp": params["mlp"]}
+    out = {"table": table, "mlp": fresh(params["mlp"])}
     packed = packed_dense_tables(table, spec)
     if packed:
         out["packed"] = packed

@@ -49,10 +49,11 @@ class DecodedRenderer:
         self.tf = tf
         self.volume_dims = (dx, dy, dz)
         self.settings = settings or SlabSettings()
-        self.transform = transform or default_transform(volume_dims)
         self.camera = Camera.default_for_dims(self.volume_dims)
         self.field = field
         self.params = None
+        self._raw_params = None
+        self.set_transform(transform or default_transform(volume_dims))
         if params is not None:
             self.set_params(params)
         self.slab_blob = slab_blob
@@ -101,7 +102,12 @@ class DecodedRenderer:
         # bf16-table inference cast (models.network.render_params): decoding
         # is the same gather-bound batched inference as the wavefront, and
         # the reference decodes through tcnn's fp16 inference params
-        # (tcnn_network.h:142-156) — ~1.5× fewer gathered bytes
+        # (tcnn_network.h:142-156) — ~1.5× fewer gathered bytes.
+        # Identity-cached: rebinding the SAME params object (every cached
+        # get_decoder() call) must not redo the 93 MB cast + corner packing.
+        if params is not None and params is self._raw_params:
+            return
+        self._raw_params = params
         if (self.field is not None and isinstance(params, dict)
                 and "table" in params):
             from instantvnr_tpu.models.network import render_params
@@ -116,6 +122,9 @@ class DecodedRenderer:
         """Clipping box / scaling update (vnrVolumeSetClippingBox /
         vnrVolumeSetScaling, api.cpp:322-351)."""
         self.transform = transform
+        # host copy for the per-frame static principal-axis pick — reading
+        # a device array every frame costs a tunnel round trip (~1 ms)
+        self._scale_h = np.asarray(transform.scale)
 
     def set_transfer_function(self, tf: TransferFunction):
         """Interactive TF edit (the reference GUI's per-change pipeline:
@@ -152,7 +161,7 @@ class DecodedRenderer:
 
     def render(self):
         cam = self.camera
-        scale_h = np.asarray(self.transform.scale)  # host copy (static axis)
+        scale_h = self._scale_h  # cached host copy (static axis pick)
         axis, flipped = principal_axis(cam, scale_h)
         from instantvnr_tpu.render.slabmarch import slab_path_valid
 

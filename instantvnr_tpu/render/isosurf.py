@@ -245,7 +245,53 @@ def _shade_and_warp(found, hit_z, hit_g, tf, iso, settings, cam_arrays,
                        xform.scale)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(2, 3))
+def _brute_init(volume, cam_arrays, width: int, height: int, xform=None):
+    """Ray setup for the brute marcher: voxel-space rays + clipped t range."""
+    from instantvnr_tpu.render.transform import clip_bounds, rays_to_voxel
+
+    dz, dy, dx = volume.shape
+    dims_w = jnp.array([dx, dy, dz], jnp.float32)
+    cam = Camera(eye=cam_arrays[0], center=cam_arrays[1], up=cam_arrays[2],
+                 fovy=cam_arrays[3])
+    org_w, dir_w = camera_rays(cam, width, height)
+    org, dirn = rays_to_voxel(xform, dims_w, org_w, dir_w)  # t world-metric
+    lo, hi = clip_bounds(xform, dims_w)
+    t0, t1, hit = ray_box_intersect(org, dirn, lo, hi)
+    t0 = jnp.where(hit, jnp.maximum(t0, 0.0), 1.0)
+    t1 = jnp.where(hit, t1, 0.0)
+    return org, dirn, dir_w, t0, t1
+
+
+@partial(jax.jit, static_argnums=(8,))
+def _brute_march_chunk(volume, org, dirn, t0, t1, iso, step, carry,
+                       chunk: int, i0, n_steps):
+    """One bounded scan of `chunk` fixed steps starting at global step i0
+    (the march is host-chunked: CLAUDE.md caps device scans at ~10-16
+    steps — a 512³ oblique camera needs ~1800 total)."""
+    from instantvnr_tpu.ops.trilinear import sample_volume_voxel
+
+    def value_at(t):
+        return sample_volume_voxel(volume, org + t[:, None] * dirn)
+
+    def body(carry, i):
+        prev_t, prev_v, found, ta, tb, va, vb = carry
+        gi = i0 + i
+        t = t0 + (gi.astype(jnp.float32) + 1.0) * step
+        ok = (t <= t1) & (gi < n_steps)
+        v = value_at(jnp.minimum(t, t1))
+        cross = ok & ~found & ((prev_v - iso) * (v - iso) <= 0.0)
+        ta = jnp.where(cross, prev_t, ta)
+        tb = jnp.where(cross, jnp.minimum(t, t1), tb)
+        va = jnp.where(cross, prev_v, va)
+        vb = jnp.where(cross, v, vb)
+        found = found | cross
+        return (jnp.minimum(t, t1), v, found, ta, tb, va, vb), None
+
+    carry, _ = jax.lax.scan(body, carry, jnp.arange(chunk))
+    return carry
+
+
 def brute_iso_render(
     volume: jnp.ndarray,
     tf: TransferFunction,
@@ -256,57 +302,48 @@ def brute_iso_render(
     cam_arrays=None,
     isovalue=None,
     xform=None,
+    chunk: int = 16,
 ) -> jnp.ndarray:
     """Exact fallback: per-pixel fixed-step first-hit march + bisection.
     Gather-bound (8 taps/step/ray) — the slab sweep is the fast path; this
-    covers degenerate cameras and serves as the oracle-equivalent path."""
+    covers degenerate cameras and serves as the oracle-equivalent path.
+    Host-chunked (one jitted `chunk`-step scan per dispatch, all chunks one
+    traced program): must be called OUTSIDE jit."""
     from instantvnr_tpu.ops.trilinear import sample_volume_voxel
-    from instantvnr_tpu.render.transform import (
-        clip_bounds,
-        default_transform,
-        rays_to_voxel,
-    )
+    from instantvnr_tpu.render.transform import default_transform
 
     dz, dy, dx = volume.shape
     dims_w = jnp.array([dx, dy, dz], jnp.float32)
     if xform is None:
         xform = default_transform(dims_w)
-    cam = Camera(eye=cam_arrays[0], center=cam_arrays[1], up=cam_arrays[2],
-                 fovy=cam_arrays[3])
-    org_w, dir_w = camera_rays(cam, width, height)
-    org, dirn = rays_to_voxel(xform, dims_w, org_w, dir_w)  # t world-metric
-    lo, hi = clip_bounds(xform, dims_w)
-    t0, t1, hit = ray_box_intersect(org, dirn, lo, hi)
-    t0 = jnp.where(hit, jnp.maximum(t0, 0.0), 1.0)
-    t1 = jnp.where(hit, t1, 0.0)
+    org, dirn, dir_w, t0, t1 = _brute_init(volume, cam_arrays, width,
+                                           height, xform)
 
     iso = jnp.asarray(isovalue, jnp.float32)
     step = (jnp.float32(1.0) * jnp.min(xform.scale)
             / jnp.float32(settings.sampling_rate))
 
-    def value_at(t):
-        return sample_volume_voxel(volume, org + t[:, None] * dirn)
-
-    v0 = value_at(t0)
-
-    def body(carry, i):
-        prev_t, prev_v, found, ta, tb, va, vb = carry
-        t = t0 + (i.astype(jnp.float32) + 1.0) * step
-        ok = t <= t1
-        v = value_at(jnp.minimum(t, t1))
-        cross = ok & ~found & ((prev_v - iso) * (v - iso) <= 0.0)
-        ta = jnp.where(cross, prev_t, ta)
-        tb = jnp.where(cross, jnp.minimum(t, t1), tb)
-        va = jnp.where(cross, prev_v, va)
-        vb = jnp.where(cross, v, vb)
-        found = found | cross
-        return (jnp.minimum(t, t1), v, found, ta, tb, va, vb), None
-
     r = org.shape[0]
     zeros = jnp.zeros((r,), jnp.float32)
+    v0 = sample_volume_voxel(volume, org + t0[:, None] * dirn)
     carry = (t0, v0, jnp.zeros((r,), bool), zeros, zeros, zeros, zeros)
-    (_, _, found, ta, tb, va, vb), _ = jax.lax.scan(
-        body, carry, jnp.arange(n_steps))
+    for c in range(-(-n_steps // chunk)):
+        carry = _brute_march_chunk(volume, org, dirn, t0, t1, iso, step,
+                                   carry, chunk, jnp.int32(c * chunk),
+                                   jnp.int32(n_steps))
+    _, _, found, ta, tb, va, vb = carry
+    return _brute_finish(volume, tf, settings, found, ta, tb, va, vb,
+                         org, dirn, dir_w, iso, cam_arrays, xform)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _brute_finish(volume, tf, settings: IsoSettings, found, ta, tb, va, vb,
+                  org, dirn, dir_w, iso, cam_arrays, xform):
+    """Bisection refinement + shading of the brute march's crossings."""
+    from instantvnr_tpu.ops.trilinear import sample_volume_voxel
+
+    def value_at(t):
+        return sample_volume_voxel(volume, org + t[:, None] * dirn)
 
     def refine(carry, _):
         ta, tb, va, vb = carry
@@ -335,7 +372,7 @@ def brute_iso_render(
     g = jnp.stack([cd((1, 0, 0)), cd((0, 1, 0)), cd((0, 0, 1))], axis=-1)
     normal = -g / xform.scale
     light = _flip_light(settings, cam_arrays)
-    base = jnp.broadcast_to(_albedo(tf, iso, settings), (r, 3))
+    base = jnp.broadcast_to(_albedo(tf, iso, settings), (org.shape[0], 3))
     view = dir_w / jnp.maximum(
         jnp.linalg.norm(dir_w, axis=-1, keepdims=True), 1e-9)
     shaded = _shade_scivis(view, normal, base, light_dir=light)
@@ -361,10 +398,10 @@ class IsoRenderer:
         self.isovalue = float(isovalue)
         dz, dy, dx = self.grid.shape
         self.volume_dims = (dx, dy, dz)
-        self.transform = transform or default_transform(self.volume_dims)
         self.camera = Camera.default_for_dims(self.volume_dims)
         self._grads = None
         self._frame = None
+        self.set_transform(transform or default_transform(self.volume_dims))
 
     def set_camera(self, cam: Camera):
         self.camera = cam
@@ -379,6 +416,8 @@ class IsoRenderer:
 
     def set_transform(self, transform):
         self.transform = transform
+        # host copy: the per-frame axis pick must not read a device array
+        self._scale_h = np.asarray(transform.scale)
 
     def render(self):
         cam = self.camera
@@ -388,7 +427,7 @@ class IsoRenderer:
             jnp.asarray(cam.up, jnp.float32),
             jnp.float32(cam.fovy),
         )
-        scale_h = np.asarray(self.transform.scale)
+        scale_h = self._scale_h  # cached host copy
         axis, flipped = principal_axis(cam, scale_h)
         if slab_path_valid(cam, self.volume_dims, axis, flipped, scale_h,
                            aspect=self.width / float(self.height)):

@@ -310,6 +310,12 @@ class PathTraceRenderer:
         self.camera = cam
         self.frame_index = 0
 
+    def set_transform(self, transform):
+        """Clipping box / scaling update (vnrVolumeSetClippingBox /
+        vnrVolumeSetScaling through the facade); restarts accumulation."""
+        self.transform = transform
+        self.frame_index = 0
+
     def render(self):
         self.frame_index += 1
         self._key, sub = jax.random.split(self._key)

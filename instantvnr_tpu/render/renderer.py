@@ -245,6 +245,9 @@ def reference_sample_fn(volume: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     return sample_volume(volume, p)
 
 
+_NEURAL_SAMPLE_FN_CACHE: dict = {}
+
+
 def make_neural_sample_fn(field, chunk: int = 1 << 18):
     """Neural sample function factory: batched network inference — the
     reference's sample-streaming mode (`NeuralVolume::inference`,
@@ -254,10 +257,20 @@ def make_neural_sample_fn(field, chunk: int = 1 << 18):
     Inference is chunked to `chunk` samples (bounds the 16x-padded gather
     temp that would otherwise OOM at 512²+ wavefronts — see
     network_apply_chunked). Pass the ctx through models.network.render_params
-    for the bf16-table fast path."""
+    for the bf16-table fast path.
+
+    Memoized per (field, chunk): downstream jit caches (the frame program,
+    the whole compaction bucket family) key on sample_fn IDENTITY, so a
+    fresh closure per call would recompile minutes of programs on every
+    facade knob change."""
+    key = (field, chunk)
+    fn = _NEURAL_SAMPLE_FN_CACHE.get(key)
+    if fn is not None:
+        return fn
     from instantvnr_tpu.models.network import network_apply_chunked
 
     def fn(params, p):
         return network_apply_chunked(params, p, field, chunk=chunk)[:, 0]
 
+    _NEURAL_SAMPLE_FN_CACHE[key] = fn
     return fn

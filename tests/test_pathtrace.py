@@ -144,3 +144,31 @@ def test_pathtrace_clip_and_scale():
     # clipping removes volume → strictly less accumulated opacity
     assert clipped[..., 3].sum() < full[..., 3].sum()
     assert not np.allclose(scaled, full)  # scaling changes the image
+
+
+def test_facade_clipping_on_pathtrace_mode():
+    """set_clipping_box/set_scaling must work in PATHTRACE_* modes
+    (PathTraceRenderer.set_transform; regression: AttributeError)."""
+    import numpy as np
+
+    from instantvnr_tpu.api import RenderMode, SimpleVolume, VNRenderer
+    from instantvnr_tpu.data import synthetic_volume
+    from instantvnr_tpu.render.camera import Camera
+
+    vol = synthetic_volume((16, 16, 16), kind="sphere")
+    simple = SimpleVolume(vol)
+    r = VNRenderer(simple, 24, 24, mode=RenderMode.PATHTRACE_REFERENCE)
+    r.set_camera(Camera(eye=(0, 0, -40), center=(0, 0, 0), up=(0, 1, 0),
+                        fovy=45))
+    for _ in range(3):
+        r.render()
+    full = r.mapframe()
+    n_full = (full[..., 3] > 0.2).sum()
+    assert n_full > 5
+    r.set_clipping_box((0, 0, 0), (8, 16, 16))
+    r.set_scaling((1.0, 1.0, 1.0))
+    for _ in range(3):
+        r.render()
+    half = r.mapframe()
+    assert np.isfinite(half).all()
+    assert 0 < (half[..., 3] > 0.2).sum() < n_full
