@@ -47,6 +47,8 @@ _PAGE = """<!doctype html>
 <div id="bar">
  mode <select id="mode"></select>
  <label><input type="checkbox" id="train"> train</label>
+ <label><input type="checkbox" id="shade"> shading</label>
+ <label><input type="checkbox" id="shadow"> shadows</label>
  iso <input type="range" id="iso" min="0" max="1" step="0.01" value="0.5"
    style="vertical-align:middle">
  density <input type="range" id="den" min="-1" max="1" step="0.05" value="0"
@@ -74,6 +76,10 @@ async function state() {
     const den = document.getElementById('den');
     den.onchange = () =>
       fetch('/api/density?value=' + Math.pow(10, den.value));
+    const sh = document.getElementById('shade');
+    sh.onchange = () => fetch('/api/shading?on=' + (sh.checked ? 1 : 0));
+    const sv = document.getElementById('shadow');
+    sv.onchange = () => fetch('/api/shadows?on=' + (sv.checked ? 1 : 0));
   }
   sel.value = s.mode;
   document.getElementById('train').checked = s.training;
@@ -149,6 +155,8 @@ class ViewerApp:
         self.pending_mode = None
         self.pending_tf = None  # TF spec dict (the GUI TF-editor edit)
         self.pending_density = None
+        self.pending_shading = None  # "none" | "gradient"
+        self.pending_shadows = None  # bool
         self.dirty = True
         self.stop_event = threading.Event()
         self.png = b""
@@ -190,6 +198,8 @@ class ViewerApp:
             mode, self.pending_mode = self.pending_mode, None
             tf_spec, self.pending_tf = self.pending_tf, None
             density, self.pending_density = self.pending_density, None
+            shading, self.pending_shading = self.pending_shading, None
+            shadows, self.pending_shadows = self.pending_shadows, None
             cam = self.orbit.to_camera()
             training = self.training
         if mode is not None:
@@ -215,6 +225,20 @@ class ViewerApp:
             dirty = True
         if density is not None:
             self.renderer.set_volume_density_scale(density)
+            dirty = True
+        from instantvnr_tpu.api import RenderMode
+
+        decoded = self.renderer.mode == RenderMode.DECODED_SLAB
+        if shading is not None and decoded:
+            # decoded-path gradient shading toggle (the reference GUI's
+            # shading combo, int_volume.cpp:389-427)
+            self.renderer.set_slab_shading(shading)
+            dirty = True
+        if shadows is not None and decoded:
+            if shadows:
+                self.renderer.enable_shadows()
+            else:
+                self.renderer._impl.disable_shadows()
             dirty = True
         trained = False
         if training and self.nv is not None:
@@ -339,6 +363,16 @@ def make_handler(app: ViewerApp, server_holder):
             if url.path == "/api/density":
                 with app.lock:
                     app.pending_density = float(q.get("value", 1.0))
+                return self._send(200, b"ok")
+            if url.path == "/api/shading":
+                with app.lock:
+                    app.pending_shading = ("gradient"
+                                           if q.get("on", "0") == "1"
+                                           else "none")
+                return self._send(200, b"ok")
+            if url.path == "/api/shadows":
+                with app.lock:
+                    app.pending_shadows = q.get("on", "0") == "1"
                 return self._send(200, b"ok")
             if url.path == "/api/training":
                 with app.lock:
