@@ -39,6 +39,8 @@ from instantvnr_tpu.render.raymarch import (
     _RayState,
     _superstep,
     init_ray_state,
+    ssh_deferred_shade,
+    ssh_shadow_settings,
 )
 
 _MIN_BUCKET = 8192
@@ -152,7 +154,15 @@ def warmup_programs(sample_fn, settings: RaymarchSettings, mc, tf, r: int,
     st = init_ray_state(zeros, zeros)
     _unpermute(jnp.arange(r, dtype=jnp.int32), st.color, st.alpha,
                st.best_w, st.best_pos, st.best_rgb)
-    return len(sizes)
+    n = len(sizes)
+    if settings.shading == "ssh":
+        # the deferred shadow pass runs its own bucket family under
+        # DIFFERENT static settings — warm it too or the first ssh frame
+        # pays the serial cold compile this function exists to avoid
+        n += warmup_programs(sample_fn, ssh_shadow_settings(settings), mc,
+                             tf, r, sample_ctx=sample_ctx, scale=scale,
+                             parallel=parallel, max_workers=max_workers)
+    return n
 
 
 def raymarch_compacted(
@@ -198,8 +208,9 @@ def raymarch_compacted(
     m = r
     steps = 0
     count = int(jnp.sum(state.active.astype(jnp.int32)))
-    # compact straight away if the box misses most pixels
-    if _bucket(count, r) < m:
+    # compact straight away if the box misses most pixels (all-miss frames
+    # skip even that — nothing to march, nothing to sort)
+    if count > 0 and _bucket(count, r) < m:
         rays, state, perm = _compact_prefix(m, rays, state, perm)
         m = _bucket(count, r)
     while count > 0 and steps < settings.max_supersteps:
@@ -219,34 +230,14 @@ def raymarch_compacted(
     if settings.shading == "ssh":
         # deferred single-shade pass, same as raymarch (in pixel order);
         # the shadow rays are themselves marched with compaction
-        from instantvnr_tpu.utils.math import ray_box_intersect
+        def march_shadow(org2, dir2, t0b, t1b, sh_settings, sh_jitter):
+            return raymarch_compacted(
+                sample_fn, org2, dir2, t0b, t1b, mc, tf, sh_jitter,
+                sh_settings, sample_ctx=sample_ctx, scale=scale,
+                clip_lower=clip_lower, clip_upper=clip_upper)
 
-        org2 = bp * dims
-        light_v = light_dir if scale is None else light_dir / scale
-        dir2 = jnp.broadcast_to(light_v[None, :], org2.shape)
-        box_lo = jnp.zeros(3) if clip_lower is None else clip_lower
-        box_hi = dims if clip_upper is None else clip_upper
-        _, t1b, hitb = ray_box_intersect(org2, dir2, box_lo, box_hi)
-        has_best = bw > 0.0
-        t1b = jnp.where(hitb & has_best, jnp.maximum(t1b, 0.0), 0.0)
-        shadow_settings = RaymarchSettings(
-            sampling_rate=(settings.sampling_rate
-                           / settings.ssh_shadow_sampling_scale),
-            density_scale=settings.density_scale,
-            n_iters=settings.n_iters,
-            max_skips=settings.max_skips,
-            max_supersteps=settings.max_supersteps,
-            shading="none",
-            fixed_steps=settings.fixed_steps,
-        )
-        rgba_sh = raymarch_compacted(
-            sample_fn, org2, dir2, jnp.zeros_like(t1b), t1b, mc, tf,
-            jitter, shadow_settings, sample_ctx=sample_ctx, scale=scale,
-            clip_lower=clip_lower, clip_upper=clip_upper)
-        transmittance = 1.0 - rgba_sh[:, 3]
-        shaded = bc * alpha[:, None] * transmittance[:, None]
-        s_ = settings.shading_scale
-        color = jnp.where(has_best[:, None],
-                          (1.0 - s_) * color + s_ * shaded, color)
+        color = ssh_deferred_shade(march_shadow, color, alpha, bw, bp, bc,
+                                   light_dir, dims, settings, scale,
+                                   clip_lower, clip_upper, jitter)
 
     return jnp.concatenate([color, alpha[:, None]], axis=-1)

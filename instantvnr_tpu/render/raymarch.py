@@ -65,6 +65,11 @@ class RaymarchSettings:
     gradient_step_frac: float = 1.0  # grad_step = frac/dims (object.cpp:305)
     light_dir: tuple = (0.7, 0.9, 0.4)  # instantvnr_types.h:148
     ssh_shadow_sampling_scale: float = 2.0  # shadow-pass rate scale
+    # opacity-correction exponent override: the SSH shadow pass marches at
+    # sampling_rate/scale but corrects with the PRIMARY rate, exactly like
+    # the reference (raymarching_transmittance marches at 2·step yet uses
+    # self.step_rcp, method_raymarching.cu:365-399). None → sampling_rate.
+    correction_sampling_rate: float | None = None
     fixed_steps: bool = False  # True → differentiable scan loop
     # host-orchestrated bucketed ray compaction (render/compaction.py) —
     # the TPU analog of the reference wavefront's stream compaction.
@@ -150,19 +155,26 @@ def _emit_samples(org, dirn, t_far, state: _RayState, mc: MacroCell,
             t_exit = jnp.maximum(_cell_exit_t(org, dirn, cell, w), t + _PROBE_EPS)
             empty = occ <= _EPS
             in_range = t < t_far
-            # empty cell → jump to its exit; occupied → set up stepping
+            # empty cell → jump to its exit; occupied → set up stepping.
+            # The cell interval is clamped at the march end exactly like the
+            # reference's dda (cell_t1 = min(ray_t0 + t_closest, t_max),
+            # dda.h:84) — quantization divides the CLAMPED interval, and no
+            # sample ever lands past the clip plane / volume exit.
             enter = need_new & in_range & ~empty
             skip = need_new & in_range & empty
-            new_ss = _quantized_step(_adaptive_rate(base_step, occ), t, t_exit)
+            t_exit_c = jnp.minimum(t_exit, t_far)
+            new_ss = _quantized_step(_adaptive_rate(base_step, occ), t,
+                                     t_exit_c)
             t = jnp.where(skip, t_exit, t)
             ss = jnp.where(enter, new_ss, ss)
-            t_cell_end = jnp.where(enter, t_exit, t_cell_end)
+            t_cell_end = jnp.where(enter, t_exit_c, t_cell_end)
             return (t, t_cell_end, ss)
 
         t, t_cell_end, ss = jax.lax.fori_loop(
             0, max_skips, skip_body, (t, t_cell_end, ss)
         )
-        # emit one sample interval within the current cell
+        # emit one sample interval within the current cell (t_cell_end is
+        # already clamped at t_far above)
         t_y = jnp.minimum(t + ss, t_cell_end)
         valid = (t_y > t + _EPS) & (t < t_far) & (t_cell_end > t)
         t_x = t
@@ -176,7 +188,7 @@ def _emit_samples(org, dirn, t_far, state: _RayState, mc: MacroCell,
     return (t, t_cell_end, ss), txs.T, tys.T, valids.T
 
 
-def _compose(values, t_x, t_y, valid, jitter_unused, state_alpha, state_color,
+def _compose(values, t_x, t_y, valid, state_alpha, state_color,
              tf: TransferFunction, sampling_rate, density_scale,
              rgb_override=None, track_best=None, pos_obj=None):
     """Phase 3: front-to-back blend over the K slots (scan).
@@ -321,8 +333,9 @@ def _superstep(sample_fn, org, dirn, t_far, jitter, mc: MacroCell,
     track = ((state.best_w, state.best_pos, state.best_rgb)
              if settings.shading == "ssh" else None)
     alpha, color, best = _compose(
-        values, t_x, t_y, valid, jitter, state.alpha, state.color, tf,
-        settings.sampling_rate, settings.density_scale, rgb_override,
+        values, t_x, t_y, valid, state.alpha, state.color, tf,
+        settings.correction_sampling_rate or settings.sampling_rate,
+        settings.density_scale, rgb_override,
         track_best=track, pos_obj=pos_obj,
     )
     if settings.shading != "ssh":
@@ -397,45 +410,65 @@ def raymarch(
         state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
 
     if settings.shading == "ssh":
-        # Deferred single-shade pass (method_raymarching.cu:469-484): march
-        # a shadow ray from the highest-contribution sample toward the
-        # light and blend the shaded color by its transmittance.
-        from instantvnr_tpu.utils.math import ray_box_intersect
+        def march_shadow(org2, dir2, t0b, t1b, sh_settings, sh_jitter):
+            return raymarch(sample_fn, org2, dir2, t0b, t1b, mc, tf,
+                            sh_jitter, sh_settings, scale=scale,
+                            clip_lower=clip_lower, clip_upper=clip_upper)
 
-        light = light_dir  # already view-flipped + normalized
-        org2 = state.best_pos * dims  # object → voxel space
-        light_v = light if scale is None else light / scale
-        dir2 = jnp.broadcast_to(light_v[None, :], org2.shape)
-        box_lo = jnp.zeros(3) if clip_lower is None else clip_lower
-        box_hi = dims if clip_upper is None else clip_upper
-        _, t1b, hitb = ray_box_intersect(org2, dir2, box_lo, box_hi)
-        has_best = state.best_w > 0.0
-        t1b = jnp.where(hitb & has_best, jnp.maximum(t1b, 0.0), 0.0)
-        shadow_settings = RaymarchSettings(
-            sampling_rate=(settings.sampling_rate
-                           / settings.ssh_shadow_sampling_scale),
-            density_scale=settings.density_scale,
-            n_iters=settings.n_iters,
-            max_skips=settings.max_skips,
-            max_supersteps=settings.max_supersteps,
-            shading="none",
-            fixed_steps=settings.fixed_steps,
-        )
-        rgba_sh = raymarch(sample_fn, org2, dir2, jnp.zeros_like(t1b), t1b,
-                           mc, tf, jitter, shadow_settings, scale=scale,
-                           clip_lower=clip_lower, clip_upper=clip_upper)
-        transmittance = 1.0 - rgba_sh[:, 3]
-        shaded = state.best_rgb * state.alpha[:, None] \
-            * transmittance[:, None]
-        s_ = settings.shading_scale
-        color = jnp.where(
-            has_best[:, None],
-            (1.0 - s_) * state.color + s_ * shaded,
-            state.color,
-        )
+        color = ssh_deferred_shade(
+            march_shadow, state.color, state.alpha, state.best_w,
+            state.best_pos, state.best_rgb, light_dir, dims, settings,
+            scale, clip_lower, clip_upper, jitter)
         state = state._replace(color=color)
 
     return jnp.concatenate([state.color, state.alpha[:, None]], axis=-1)
+
+
+def ssh_shadow_settings(settings: RaymarchSettings) -> RaymarchSettings:
+    """Settings for the deferred SSH shadow pass: march at the scaled-down
+    rate but opacity-correct with the PRIMARY rate (the reference's
+    raymarching_transmittance, method_raymarching.cu:365-399)."""
+    from dataclasses import replace
+
+    return replace(
+        settings,
+        sampling_rate=(settings.sampling_rate
+                       / settings.ssh_shadow_sampling_scale),
+        correction_sampling_rate=settings.sampling_rate,
+        shading="none",
+        compact=False,
+    )
+
+
+def ssh_deferred_shade(march_shadow, color, alpha, best_w, best_pos,
+                       best_rgb, light_dir, dims, settings: RaymarchSettings,
+                       scale, clip_lower, clip_upper, jitter):
+    """Deferred single-shade pass (method_raymarching.cu:469-484): march a
+    shadow ray from each ray's highest-contribution sample toward the light
+    and blend the shaded color by its transmittance. Shared by the in-jit
+    marcher and the compaction driver (march_shadow runs the actual march).
+    """
+    from instantvnr_tpu.utils.math import ray_box_intersect
+
+    org2 = best_pos * dims  # object → voxel space
+    light_v = light_dir if scale is None else light_dir / scale
+    dir2 = jnp.broadcast_to(light_v[None, :], org2.shape)
+    box_lo = jnp.zeros(3) if clip_lower is None else clip_lower
+    box_hi = dims if clip_upper is None else clip_upper
+    _, t1b, hitb = ray_box_intersect(org2, dir2, box_lo, box_hi)
+    has_best = best_w > 0.0
+    t1b = jnp.where(hitb & has_best, jnp.maximum(t1b, 0.0), 0.0)
+    # fresh jitter for the transmittance march — the reference redraws its
+    # RNG (rng.get_floats(), method_raymarching.cu:378); a multiplicative
+    # hash of the primary jitter decorrelates without threading a key
+    sh_jitter = jnp.mod(jitter * 16807.0 + 0.37, 1.0)
+    rgba_sh = march_shadow(org2, dir2, jnp.zeros_like(t1b), t1b,
+                           ssh_shadow_settings(settings), sh_jitter)
+    transmittance = 1.0 - rgba_sh[:, 3]
+    shaded = best_rgb * alpha[:, None] * transmittance[:, None]
+    s_ = settings.shading_scale
+    return jnp.where(has_best[:, None],
+                     (1.0 - s_) * color + s_ * shaded, color)
 
 
 def _shade_scivis(ray_dir, normal, albedo,

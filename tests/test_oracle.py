@@ -108,13 +108,17 @@ def oracle_ray(vol, occ_grid, tf_np, org, dirn, t0, t1, jitter,
             if need_new and in_range and empty:
                 t = t_exit
             elif need_new and in_range and not empty:
-                # adaptiveSamplingRate + sample_size_scaler quantization
+                # adaptiveSamplingRate + sample_size_scaler quantization,
+                # over the cell interval CLAMPED at the march end (the
+                # reference dda: cell_t1 = min(ray_t0+t_closest, t_max),
+                # dda.h:84)
+                t_exit_c = min(t_exit, t1)
                 scale15 = 15.0 * base
                 rr = abs(np.clip(o, 0.1, 1.0) - 1.0)
                 astep = max(base + scale15 * rr * rr, base)
-                n = int(np.floor((t_exit - t) / astep)) + 1
-                ss = (t_exit - t) / max(n, 1)
-                t_cell_end = t_exit
+                n = int(np.floor((t_exit_c - t) / astep)) + 1
+                ss = (t_exit_c - t) / max(n, 1)
+                t_cell_end = t_exit_c
         t_y = min(t + ss, t_cell_end)
         valid = (t_y > t + _EPS) and (t < t1) and (t_cell_end > t)
         t_x = t
