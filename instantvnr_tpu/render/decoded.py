@@ -147,7 +147,8 @@ class DecodedRenderer:
         moving lights (call again with a new light_dir)."""
         from instantvnr_tpu.render.shadow import shadow_volume_for
 
-        light = light_dir or self.settings.light_dir
+        light = (light_dir if light_dir is not None
+                 else self.settings.light_dir)
         self._shadow_light = (tuple(light), float(sampling_rate))
         self.shadow_volume = shadow_volume_for(
             self.decoded, self.tf, light, sampling_rate
@@ -217,6 +218,11 @@ class DecodedRenderer:
         settings = RaymarchSettings(
             sampling_rate=self.settings.sampling_rate,
             density_scale=self.settings.density_scale,
+            # keep shading consistent with the slab path so degenerate
+            # cameras don't pop to an unshaded look
+            shading=self.settings.shading,
+            shading_scale=self.settings.shading_scale,
+            light_dir=self.settings.light_dir,
         )
         self._fb_accum, self._frame = _render_frame(
             reference_sample_fn, self.width, self.height, settings,

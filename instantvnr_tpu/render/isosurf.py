@@ -88,7 +88,7 @@ def slab_iso_render(
 ) -> jnp.ndarray:
     """One frame → rgba [height·width, 4]; alpha = hit mask (bilinearly
     warped, so silhouettes come out antialiased)."""
-    from instantvnr_tpu.render.transform import clip_bounds, default_transform
+    from instantvnr_tpu.render.transform import default_transform
 
     dz, dy, dx = volume.shape
     dims_w = jnp.array([dx, dy, dz], jnp.float32)
@@ -98,38 +98,25 @@ def slab_iso_render(
     vol, perm = _permute_volume(volume, axis, flipped)
     gvols = jnp.stack([_permute_volume(grad_volumes[i], axis, flipped)[0]
                        for i in range(3)])  # [3, D, ay, ax] world components
+    # value + gradient slabs stacked so each scan step resamples with ONE
+    # batched einsum pair instead of 4 separate matmul chains (the same
+    # trick as slab_render's shaded path)
+    fields = jnp.concatenate([vol[:, None], jnp.moveaxis(gvols, 0, 1)],
+                             axis=1)  # [D, 4, ay, ax]
     d_slab, ay_n, ax_n = vol.shape
 
+    # shear-warp frame state shared with the slab compositor (flip-
+    # normalized eye/clip, reference plane, intermediate domain)
+    from instantvnr_tpu.render.slabmarch import frame_geometry
+
     eye_w = cam_arrays[0] / xform.scale + 0.5 * dims_w  # voxel space
-    sizes = jnp.array([dx, dy, dz], jnp.float32)
-    e = jnp.stack([eye_w[perm[0]], eye_w[perm[1]], eye_w[perm[2]]])
-    size_z = sizes[perm[2]]
-    clip_lo_w, clip_hi_w = clip_bounds(xform, dims_w)
-    clo = jnp.stack([clip_lo_w[perm[0]], clip_lo_w[perm[1]],
-                     clip_lo_w[perm[2]]])
-    chi = jnp.stack([clip_hi_w[perm[0]], clip_hi_w[perm[1]],
-                     clip_hi_w[perm[2]]])
-    if flipped:
-        e = e.at[2].set(size_z - e[2])
-        clo_z, chi_z = size_z - chi[2], size_z - clo[2]
-        clo = clo.at[2].set(clo_z)
-        chi = chi.at[2].set(chi_z)
-
-    # reference plane + in-front masking: identical to slab_render
-    z_ref = jnp.clip(jnp.floor(e[2] + 0.5), 0.0, d_slab - 1.0) + 0.5
-    slab_zs = jnp.arange(d_slab, dtype=jnp.float32) + 0.5
-    in_front = slab_zs >= z_ref - 1e-3
-
-    sigma_far = (z_ref - e[2]) / (d_slab - 0.5 - e[2])
-    x_lo = jnp.minimum(0.0, e[0] + sigma_far * (0.0 - e[0]))
-    x_hi = jnp.maximum(ax_n, e[0] + sigma_far * (ax_n - e[0]))
-    y_lo = jnp.minimum(0.0, e[1] + sigma_far * (0.0 - e[1]))
-    y_hi = jnp.maximum(ay_n, e[1] + sigma_far * (ay_n - e[1]))
-
+    size_z = dims_w[perm[2]]
+    geo = frame_geometry(dims_w, d_slab, ax_n, ay_n, cam_arrays, xform,
+                         perm, flipped, settings, width, height)
+    e, _, clo, chi, z_ref, in_front = geo[:6]
+    (x_lo, x_hi, y_lo, y_hi), xs, ys, _ = geo[6:]
     wi = int(width * settings.supersample)
     hi = int(height * settings.supersample)
-    xs = x_lo + (jnp.arange(wi, dtype=jnp.float32) + 0.5) * (x_hi - x_lo) / wi
-    ys = y_lo + (jnp.arange(hi, dtype=jnp.float32) + 0.5) * (y_hi - y_lo) / hi
 
     iso = jnp.asarray(isovalue, jnp.float32)
 
@@ -153,10 +140,8 @@ def slab_iso_render(
         keep = in_front & (z_ks >= clo[2]) & (z_ks <= chi[2])
         covy, covx = _coverage_masks(my_all, mx_all, x_src, y_src, clo, chi,
                                      keep)
-        f_all = jnp.concatenate([vol[:, None], jnp.moveaxis(gvols, 0, 1)],
-                                axis=1)  # [D, 4, ay, ax]
         found_f, hit_z, hit_g = iso_sweep(
-            f_all, my_all, mx_all, covy, covx, iso, tile_h,
+            fields, my_all, mx_all, covy, covx, iso, tile_h,
             jax.default_backend() != "tpu")
         found = found_f > 0.5
         return _shade_and_warp(found, hit_z, hit_g, tf, iso, settings,
@@ -176,12 +161,13 @@ def slab_iso_render(
 
         mx = _interp_matrix(wi, ax_n, scale_x, off_x)  # [wi, ax]
         my = _interp_matrix(hi, ay_n, scale_y, off_y)  # [hi, ay]
-        slab = jax.lax.dynamic_index_in_dim(vol, k, 0, keepdims=False)
-        vals = my @ slab @ mx.T  # [hi, wi] (MXU)
-        g = jnp.stack([
-            my @ jax.lax.dynamic_index_in_dim(gvols[i], k, 0, False) @ mx.T
-            for i in range(3)
-        ], axis=-1)  # [hi, wi, 3] world gradient components
+        fk = jax.lax.dynamic_index_in_dim(fields, k, 0, False)  # [4, ay, ax]
+        tmp = jnp.einsum("ha,fax->fhx", my, fk,
+                         preferred_element_type=jnp.float32)
+        rs = jnp.einsum("fhx,wx->fhw", tmp, mx,
+                        preferred_element_type=jnp.float32)  # [4, hi, wi]
+        vals = rs[0]
+        g = jnp.moveaxis(rs[1:], 0, -1)  # [hi, wi, 3] world gradients
 
         x_src = off_x + jnp.arange(wi, dtype=jnp.float32) * scale_x
         y_src = off_y + jnp.arange(hi, dtype=jnp.float32) * scale_y
@@ -278,7 +264,10 @@ def _brute_march_chunk(volume, org, dirn, t0, t1, iso, step, carry,
         prev_t, prev_v, found, ta, tb, va, vb = carry
         gi = i0 + i
         t = t0 + (gi.astype(jnp.float32) + 1.0) * step
-        ok = (t <= t1) & (gi < n_steps)
+        # test the segment [prev_t, min(t, t1)] whenever it is non-empty:
+        # requiring t <= t1 would skip the final PARTIAL segment up to the
+        # clip exit and leave silhouette holes near box boundaries
+        ok = (prev_t < t1) & (gi < n_steps)
         v = value_at(jnp.minimum(t, t1))
         cross = ok & ~found & ((prev_v - iso) * (v - iso) <= 0.0)
         ta = jnp.where(cross, prev_t, ta)

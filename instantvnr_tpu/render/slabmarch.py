@@ -340,7 +340,10 @@ def frame_geometry(dims_w, d_slab: int, ax_n: int, ay_n: int, cam_arrays,
     ys = y_lo + (jnp.arange(hi, dtype=jnp.float32) + 0.5) * (y_hi - y_lo) / hi
 
     dt = _pixel_dt(xs, ys, e, z_ref, s_perm)
-    corr_exp = settings.sampling_rate * settings.density_scale * dt
+    # density_scale: SlabSettings has it; IsoSettings (which shares this
+    # geometry but ignores corr_exp) does not
+    corr_exp = (settings.sampling_rate
+                * getattr(settings, "density_scale", 1.0) * dt)
     return _FrameGeometry(e, s_perm, clo, chi, z_ref, in_front,
                           (x_lo, x_hi, y_lo, y_hi), xs, ys, corr_exp)
 
@@ -400,8 +403,7 @@ def slab_render(
     slab_occupancy = slab_occupancy & in_front
 
     if settings.batched_compositor and not use_shading:
-        shadow_perm = (_permute_volume(shadow_volume, axis, flipped)[0]
-                       if use_shadow else None)
+        shadow_perm = svol if use_shadow else None
         color, alpha_img = _composite_batched(
             vol, tf, e, z_ref, xs, ys, corr_exp, slab_occupancy,
             shadow_perm, settings.shadow_ambient, clo, chi,
@@ -531,12 +533,12 @@ def slab_render(
             trans = trans * (1.0 - alpha)
             return color, trans
 
-        if True:  # occupancy folds into the alpha mask; cond would
-            # serialize the scan body on TPU for negligible savings
-            color2, trans2 = do_slab(color, trans)
-            keep = slab_occupancy[k] & (z_k >= clo[2]) & (z_k <= chi[2])
-            color = jnp.where(keep, color2, color)
-            trans = jnp.where(keep, trans2, trans)
+        # occupancy folds into the alpha mask (a lax.cond would serialize
+        # the scan body on TPU for negligible savings)
+        color2, trans2 = do_slab(color, trans)
+        keep = slab_occupancy[k] & (z_k >= clo[2]) & (z_k <= chi[2])
+        color = jnp.where(keep, color2, color)
+        trans = jnp.where(keep, trans2, trans)
         return (color, trans), None
 
     init = (jnp.zeros((hi, wi, 3), jnp.float32), jnp.ones((hi, wi), jnp.float32))
@@ -623,13 +625,16 @@ def slab_occupancy_from_macrocell(mc, axis: int, flipped: bool,
         layer = occ.any(axis=(0, 2))  # [my]
     else:
         layer = occ.any(axis=(0, 1))  # [mx]
+    # map each (possibly flipped) slab to its ORIGINAL voxel index before
+    # binning into cells: reversing the cell-layer array instead would
+    # assume the last cell is full, misaligning every slab by
+    # d_slab % MACROCELL_SIZE when flipped (e.g. dim 100 → 12 slabs read
+    # the wrong cell's occupancy)
+    idx = jnp.arange(d_slab)
     if flipped:
-        layer = layer[::-1]
-    # expand cell layers to voxel slabs
-    idx = jnp.minimum(
-        jnp.arange(d_slab) // MACROCELL_SIZE, layer.shape[0] - 1
-    )
-    return layer[idx]
+        idx = d_slab - 1 - idx
+    cell = jnp.minimum(idx // MACROCELL_SIZE, layer.shape[0] - 1)
+    return layer[cell]
 
 
 def eye_outside_slab_range(cam: Camera, dims, axis: int,

@@ -287,3 +287,32 @@ class TestEyeInside:
         cam2 = Camera(eye=(0.0, 0.0, 0.0), center=(0, 0, 10), up=(0, 1, 0),
                       fovy=45)
         assert slab_path_valid(cam2, (32, 32, 32), axis=2, flipped=False)
+
+
+def test_flipped_occupancy_alignment_non_multiple_dims():
+    """Flipped slab occupancy must mirror the unflipped one exactly even
+    when the slab count is not a multiple of MACROCELL_SIZE (regression:
+    layer[::-1] assumed a full last cell and misaligned 12 of 100 slabs)."""
+    import numpy as np
+
+    from instantvnr_tpu.accel import macrocell as mcmod
+    from instantvnr_tpu.config import TransferFunctionConfig
+    from instantvnr_tpu.render.slabmarch import slab_occupancy_from_macrocell
+    from instantvnr_tpu.utils.tfn import bake_transfer_function
+
+    rng = np.random.default_rng(0)
+    d = 40  # 3 cells of 16, last covers 8 slabs
+    vol = np.zeros((d, 24, 24), np.float32)
+    # occupy a few scattered z-ranges so cells differ
+    vol[3:6] = rng.uniform(0.5, 1.0, (3, 24, 24)).astype(np.float32)
+    vol[33:38] = rng.uniform(0.5, 1.0, (5, 24, 24)).astype(np.float32)
+    import jax.numpy as jnp
+
+    # flat-zero alpha head so all-zero cells classify as truly empty
+    tf = bake_transfer_function(TransferFunctionConfig(
+        alphas=((0.0, 0.0), (0.4, 0.0), (1.0, 1.0))))
+    mc = mcmod.build(jnp.asarray(vol), (24, 24, d), tf)
+    fwd = np.asarray(slab_occupancy_from_macrocell(mc, 2, False, d))
+    rev = np.asarray(slab_occupancy_from_macrocell(mc, 2, True, d))
+    np.testing.assert_array_equal(rev, fwd[::-1])
+    assert fwd.any() and not fwd.all()  # scene exercises both states
