@@ -45,12 +45,12 @@ def decode_volume(field: NeuralField, params, dims: tuple[int, int, int],
     slab = min(slab, dz)
     n_slabs = (dz + slab - 1) // slab
 
-    def decode_slab(i):
+    def _one_blob(i):  # (module-level decode_slab is the progressive API)
         coords = _grid_coords_slab(dims, (i * slab).astype(jnp.float32), slab)
         vals = network_apply(params, coords, field)
         return vals.reshape(slab, dy, dx)
 
-    slabs = jax.lax.map(decode_slab, jnp.arange(n_slabs))
+    slabs = jax.lax.map(_one_blob, jnp.arange(n_slabs))
     return slabs.reshape(n_slabs * slab, dy, dx)[:dz]
 
 

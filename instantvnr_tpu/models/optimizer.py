@@ -38,7 +38,12 @@ def adam_init(params) -> AdamState:
 
 
 def lr_at_step(cfg: OptimizerConfig, step: jnp.ndarray) -> jnp.ndarray:
-    """ExponentialDecay schedule (tcnn ExponentialDecayOptimizer)."""
+    """ExponentialDecay schedule (tcnn ExponentialDecayOptimizer) — only
+    when the config actually wraps one; a bare {"otype": "Adam"} runs at a
+    constant learning rate like tcnn's plain Adam (the decay_* defaults in
+    OptimizerConfig describe the wrapper, not Adam itself)."""
+    if cfg.otype.lower() != "exponentialdecay":
+        return jnp.float32(cfg.learning_rate)
     past = jnp.maximum(step - cfg.decay_start, 0)
     n_decays = (past // cfg.decay_interval).astype(jnp.float32)
     return cfg.learning_rate * jnp.power(jnp.float32(cfg.decay_base), n_decays)

@@ -8,8 +8,8 @@ whole chunk (the reference trains in chunks of 10, `batch_trainer.cpp:97`)
 is a single device program with zero host round-trips.
 
 The macrocell online update from training batches (reference
-`macrocell.cu:236-241`) is integrated here as an optional fused extra output:
-each step's (coords, values) also scatter-min/max into the macrocell ranges.
+`macrocell.cu:236-241`) lives in the facade (api.py `_update_macrocell_online`)
+on its own deterministic sample stream.
 """
 from __future__ import annotations
 
@@ -57,7 +57,11 @@ def make_loss_fn(field: NeuralField):
         elif kind == "l2":
             per = (pred - targets) ** 2
         elif kind == "relativel2":
-            per = (pred - targets) ** 2 / (pred**2 + 1e-2)
+            # tcnn treats the prediction-dependent denominator as a
+            # CONSTANT in the backward (its gradient is
+            # 2(pred−target)/(pred²+ε)) — differentiate only the numerator
+            per = ((pred - targets) ** 2
+                   / (jax.lax.stop_gradient(pred) ** 2 + 1e-2))
         else:
             raise ValueError(f"unsupported loss: {field.cfg.loss.otype}")
         return jnp.mean(per)
@@ -80,28 +84,27 @@ def _one_step(field: NeuralField, volume: jnp.ndarray, batch: int,
         field.cfg.optimizer, state.params, grads, state.opt,
         l2_mask=mlp_l2_mask(state.params),
     )
-    return TrainState(params=params, opt=opt, key=key, loss=loss), (coords, targets)
+    return TrainState(params=params, opt=opt, key=key, loss=loss)
 
 
 @partial(jax.jit, static_argnums=(0, 3), donate_argnums=(2,))
 def train_step(field: NeuralField, volume: jnp.ndarray, state: TrainState,
                batch: int = DEFAULT_TRAIN_BATCH) -> TrainState:
-    state, _ = _one_step(field, volume, batch, state)
-    return state
+    return _one_step(field, volume, batch, state)
 
 
 @partial(jax.jit, static_argnums=(0, 3, 4), donate_argnums=(2,))
 def train_steps(field: NeuralField, volume: jnp.ndarray, state: TrainState,
                 n_steps: int, batch: int = DEFAULT_TRAIN_BATCH) -> TrainState:
     """K steps fused into one lax.scan — the reference's chunk-of-10 loop
-    (`batch_trainer.cpp:97-107`) as a single device program."""
+    (`batch_trainer.cpp:97-107`) as a single device program. The carried
+    state already holds the last step's loss."""
 
     def body(st, _):
-        st, _aux = _one_step(field, volume, batch, st)
-        return st, st.loss
+        return _one_step(field, volume, batch, st), None
 
-    state, losses = jax.lax.scan(body, state, None, length=n_steps)
-    return state._replace(loss=losses[-1])
+    state, _ = jax.lax.scan(body, state, None, length=n_steps)
+    return state
 
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
@@ -129,23 +132,31 @@ def train_out_of_core(field: NeuralField, sampler, state: TrainState,
     jax's async dispatch gives the overlap for free (the analog of the
     reference's async H2D in the hot loop, SURVEY §3.1)."""
     next_batch = sampler.sample(batch)
-    for _ in range(n_steps):
+    for i in range(n_steps):
         coords, targets = next_batch
-        # dispatch the device step (async), then do host I/O for the next
+        # dispatch the device step (async), then do host I/O for the next —
+        # skipping the prefetch after the FINAL step (it would be discarded,
+        # wasting one full disk read per call)
         state = train_step_hostbatch(
             field, state, jnp.asarray(coords), jnp.asarray(targets)
         )
-        next_batch = sampler.sample(batch)
+        if i + 1 < n_steps:
+            next_batch = sampler.sample(batch)
     return state
 
 
 @partial(jax.jit, static_argnums=(0, 3))
 def test_loss(field: NeuralField, volume: jnp.ndarray, state: TrainState,
               batch: int = DEFAULT_TRAIN_BATCH) -> jnp.ndarray:
-    """Fresh-sample test loss (`NeuralVolume::Impl::test`, network.cu:261-288)."""
+    """Fresh-sample test loss (`NeuralVolume::Impl::test`, network.cu:261-288).
+
+    Always L1, regardless of the training loss — the reference hardcodes
+    `abs(groundtruth − inferred)` in its test kernel (network.cu:283), so
+    reported test curves stay comparable across loss configs."""
     from instantvnr_tpu.ops.trilinear import sample_volume_tex
 
     key = jax.random.fold_in(state.key, 0x7357)
     coords = jax.random.uniform(key, (batch, 3), jnp.float32)
     targets = sample_volume_tex(volume, coords)[:, None]
-    return make_loss_fn(field)(state.params, coords, targets)
+    pred = network_apply(state.params, coords, field)
+    return jnp.mean(jnp.abs(pred - targets))
