@@ -7,9 +7,11 @@ sampling). Falls back to a pure-NumPy implementation with the same geometry
 when the shared library isn't built.
 
 Training integration: `OutOfCoreSampler.sample()` yields host (coords,
-values) arrays; `train_steps_hostbatch` (models/trainer_oc.py) consumes them
-with async jax.device_put so the host pipeline overlaps device compute —
-the reference's cudaMemcpyAsync H2D overlap (neural_sampler.cpp:1118-1119).
+values) arrays; `models.trainer.train_out_of_core` (single device) and
+`parallel.make_dp_hostbatch_step` + `shard_host_batch` (multi-host, see
+tests/test_multihost.py) consume them with async dispatch so the host
+pipeline overlaps device compute — the reference's cudaMemcpyAsync H2D
+overlap (neural_sampler.cpp:1118-1119).
 
 Multi-host: each host creates its own loader over its file (or the shared
 file) with a host-unique seed; batches are host-local, gradients meet in
@@ -34,7 +36,7 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
 
 
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 
 
 def _load_native():
@@ -55,9 +57,9 @@ def _load_native():
     lib.vnr_loader_create.restype = ctypes.c_void_p
     lib.vnr_loader_create.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int, ctypes.c_int64, ctypes.c_float, ctypes.c_float,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_float,
+        ctypes.c_float, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
     ]
     lib.vnr_loader_sample.restype = ctypes.c_int
     lib.vnr_loader_sample.argtypes = [
@@ -122,9 +124,10 @@ class OutOfCoreSampler:
             dx, dy, dz = desc.dims
             h = lib.vnr_loader_create(
                 desc.filename.encode(), dx, dy, dz,
-                _DTYPE_CODE[desc.dtype], desc.offset,
-                float(value_range[0]), float(value_range[1]),
+                _DTYPE_CODE[desc.dtype], int(bool(desc.bigendian)),
+                desc.offset, float(value_range[0]), float(value_range[1]),
                 block_y, block_z, n_resident, n_threads, int(odirect),
+                seed,
             )
             if h:
                 self._native = (lib, ctypes.c_void_p(h))
@@ -165,19 +168,21 @@ class OutOfCoreSampler:
     def sample(self, batch: int) -> tuple[np.ndarray, np.ndarray]:
         """→ (coords [B,3] float32 in [0,1]³, values [B,1] float32)."""
         self._counter += 1
+        if batch <= 0:
+            return (np.empty((0, 3), np.float32), np.empty((0, 1), np.float32))
         if self._native:
             lib, h = self._native
             coords = np.empty((batch, 3), np.float32)
             values = np.empty((batch,), np.float32)
-            n = lib.vnr_loader_sample(
-                h, batch, self._seed * 2654435761 + self._counter,
-                coords.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            )
-            if n == 0:
+            while True:
+                n = lib.vnr_loader_sample(
+                    h, batch, self._seed * 2654435761 + self._counter,
+                    coords.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                )
+                if n:  # 0 = no blocks ready yet — wait, don't recurse
+                    return coords, values[:, None]
                 self.wait_ready(1)
-                return self.sample(batch)
-            return coords, values[:, None]
         return self._sample_numpy(batch)
 
     def _load_block_numpy(self):
@@ -195,6 +200,10 @@ class OutOfCoreSampler:
         lo, hi = self.value_range
         if hi > lo:
             block = (block - lo) / (hi - lo)
+        else:
+            # match the native loader's degenerate-range behavior
+            # (scale = 0 → all zeros) so fallback == native
+            block = np.zeros_like(block)
         return (by0, bz0, ny, nz, block)
 
     def _sample_numpy(self, batch: int):
@@ -223,9 +232,12 @@ class OutOfCoreSampler:
             if n == 0:
                 continue
             by0, bz0, ny, nz, block = self._py_blocks[bi]
+            # jitter spans the trilinear support (ny−1 rows); the native
+            # path uses the same extent — max(ny−1, 1) would push
+            # coordinates past the volume for 1-row boundary blocks
             fx = rng.random(n, np.float32) * dx
-            fy = rng.random(n, np.float32) * max(ny - 1, 1)
-            fz = rng.random(n, np.float32) * max(nz - 1, 1)
+            fy = rng.random(n, np.float32) * (ny - 1)
+            fz = rng.random(n, np.float32) * (nz - 1)
             cx = np.clip(fx - 0.5, 0, dx - 1)
             x0 = cx.astype(np.int32)
             x1 = np.minimum(x0 + 1, dx - 1)

@@ -154,8 +154,19 @@ def load_checkpoint_doc(root: dict):
 
     mc = None
     if "macrocell" in root and volume_dims is not None:
+        from instantvnr_tpu.accel.macrocell import MACROCELL_SIZE
+
         m = root["macrocell"]
         mdims = (int(m["dims"]["x"]), int(m["dims"]["y"]), int(m["dims"]["z"]))
+        expect = tuple(-(-d // MACROCELL_SIZE) for d in volume_dims)
+        if mdims != expect:
+            # a file written with a different MACROCELL_SIZE_MIP: our cell
+            # size is compile-time (like the reference's), so reinterpreting
+            # the grid would silently misalign empty-space skipping
+            raise ValueError(
+                f"checkpoint macrocell grid {mdims} does not match "
+                f"{expect} (= ceil(dims/{MACROCELL_SIZE})); it was written "
+                "with a different macrocell cell size")
         raw = np.frombuffer(bytes(m["data"]), "<f4").reshape(-1, 2)
         lo = raw[:, 0].reshape(mdims[2], mdims[1], mdims[0]) + 1.0
         hi = raw[:, 1].reshape(mdims[2], mdims[1], mdims[0]) - 1.0

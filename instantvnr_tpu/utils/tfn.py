@@ -117,10 +117,23 @@ def bake_transfer_function(
         knots = np.concatenate([knots, np.full(pad, knots[-1])])
         ctrl = np.concatenate([ctrl, np.repeat(ctrl[-1:], pad, 0)])
 
+    # RMQ majorant envelope: renderers classify EXACTLY from control points
+    # (classify_controls), so the range-max table must upper-bound the true
+    # piecewise-linear alpha over each bin — a nodal-sample table would miss
+    # a narrow knot peak falling between LUT samples and hand the path
+    # tracer a violated majorant. env[i] covers [xs[i], xs[i+1]]: both bin
+    # endpoints plus every knot inside the bin.
+    env = alphas.copy()
+    env[:-1] = np.maximum(env[:-1], alphas[1:])
+    a_knots = np.asarray(cfg.alphas, np.float32)
+    kidx = np.clip((a_knots[:, 0] * (resolution - 1)).astype(np.int64),
+                   0, resolution - 2)
+    np.maximum.at(env, kidx, a_knots[:, 1])
+
     return TransferFunction(
         colors=jnp.asarray(colors, jnp.float32),
         alphas=jnp.asarray(alphas, jnp.float32),
-        alpha_rmq=jnp.asarray(build_alpha_rmq(alphas)),
+        alpha_rmq=jnp.asarray(build_alpha_rmq(env)),
         range_lo=jnp.float32(cfg.range[0]),
         range_hi=jnp.float32(cfg.range[1]),
         ctrl_x=jnp.asarray(knots, jnp.float32),

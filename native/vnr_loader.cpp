@@ -19,6 +19,7 @@
 // Build: make -C native   (g++ -O3 -shared -fPIC -pthread)
 
 #include <atomic>
+#include <chrono>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -39,10 +40,12 @@ struct Block {
 };
 
 struct Loader {
-  int fd = -1;
-  bool odirect = false; // O_DIRECT reads (512-aligned staging window)
+  int fd = -1;        // O_DIRECT when enabled, else buffered
+  int fd_plain = -1;  // always-buffered fallback descriptor
+  std::atomic<bool> odirect{false}; // degrades to buffered on EINVAL etc.
   int64_t dx = 0, dy = 0, dz = 0;
   int dtype = 0; // 0=u8 1=i8 2=u16 3=i16 4=u32 5=i32 6=f32 7=f64
+  bool bigendian = false;
   int64_t offset = 0;
   int by = 32, bz = 32;
   float vmin = 0.f, vmax = 1.f; // normalization range (data units)
@@ -50,7 +53,6 @@ struct Loader {
   std::vector<std::thread> workers;
   std::atomic<bool> stop{false};
   std::atomic<int64_t> loads{0};
-  std::atomic<uint64_t> rng_seed{1337}; // reference seed (neural_sampler.cu:36)
 };
 
 constexpr int64_t kAlign = 512; // RandomBuffer::ALIGNMENT (neural_sampler.cpp:491)
@@ -66,16 +68,44 @@ size_t dtype_size(int t) {
   return 4;
 }
 
-float convert(const uint8_t* p, int t) {
+uint16_t bswap16(uint16_t v) { return __builtin_bswap16(v); }
+uint32_t bswap32(uint32_t v) { return __builtin_bswap32(v); }
+uint64_t bswap64(uint64_t v) { return __builtin_bswap64(v); }
+
+float convert(const uint8_t* p, int t, bool be) {
+  if (!be) {
+    switch (t) {
+    case 0: return (float)*p;
+    case 1: return (float)*(const int8_t*)p;
+    case 2: return (float)*(const uint16_t*)p;
+    case 3: return (float)*(const int16_t*)p;
+    case 4: return (float)*(const uint32_t*)p;
+    case 5: return (float)*(const int32_t*)p;
+    case 6: return *(const float*)p;
+    case 7: return (float)*(const double*)p;
+    }
+    return 0.f;
+  }
+  // big-endian file on a little-endian host (VolumeDesc.bigendian)
   switch (t) {
   case 0: return (float)*p;
   case 1: return (float)*(const int8_t*)p;
-  case 2: return (float)*(const uint16_t*)p;
-  case 3: return (float)*(const int16_t*)p;
-  case 4: return (float)*(const uint32_t*)p;
-  case 5: return (float)*(const int32_t*)p;
-  case 6: return *(const float*)p;
-  case 7: return (float)*(const double*)p;
+  case 2: return (float)bswap16(*(const uint16_t*)p);
+  case 3: return (float)(int16_t)bswap16(*(const uint16_t*)p);
+  case 4: return (float)bswap32(*(const uint32_t*)p);
+  case 5: return (float)(int32_t)bswap32(*(const uint32_t*)p);
+  case 6: {
+    uint32_t v = bswap32(*(const uint32_t*)p);
+    float f;
+    std::memcpy(&f, &v, 4);
+    return f;
+  }
+  case 7: {
+    uint64_t v = bswap64(*(const uint64_t*)p);
+    double d;
+    std::memcpy(&d, &v, 8);
+    return (float)d;
+  }
   }
   return 0.f;
 }
@@ -106,7 +136,7 @@ bool load_block(Loader* L, Block& b, int64_t by0, int64_t bz0) {
       const int64_t voxel = (gz * L->dy + gy) * L->dx;
       const int64_t off = L->offset + voxel * (int64_t)es;
       const uint8_t* src;
-      if (L->odirect) {
+      if (L->odirect.load(std::memory_order_relaxed)) {
         const int64_t aoff = off & ~(kAlign - 1);
         const int64_t need = off - aoff + (int64_t)row_bytes;
         const int64_t alen = ((need + kAlign - 1) / kAlign) * kAlign;
@@ -114,15 +144,24 @@ bool load_block(Loader* L, Block& b, int64_t by0, int64_t bz0) {
         // a short read at EOF is fine as long as the row is covered
         ok = got >= need;
         src = raw + (off - aoff);
+        if (!ok) {
+          // some devices/filesystems need 4096-byte O_DIRECT alignment:
+          // degrade to the buffered descriptor instead of spinning forever
+          L->odirect.store(false, std::memory_order_relaxed);
+          ssize_t got2 = pread(L->fd_plain, raw, row_bytes, off);
+          ok = got2 == (ssize_t)row_bytes;
+          src = raw;
+        }
       } else {
-        ssize_t got = pread(L->fd, raw, row_bytes, off);
+        ssize_t got = pread(L->fd_plain, raw, row_bytes, off);
         ok = got == (ssize_t)row_bytes;
         src = raw;
       }
       if (!ok) break;
       float* dst = b.data.data() + ((size_t)z * ny + y) * L->dx;
       for (int64_t x = 0; x < L->dx; ++x)
-        dst[x] = (convert(src + x * es, L->dtype) - L->vmin) * scale;
+        dst[x] = (convert(src + x * es, L->dtype, L->bigendian) - L->vmin)
+                 * scale;
     }
   }
   free(raw);
@@ -134,14 +173,24 @@ void worker_main(Loader* L, uint64_t seed) {
   const int64_t nby = (L->dy + L->by - 1) / L->by;
   const int64_t nbz = (L->dz + L->bz - 1) / L->bz;
   while (!L->stop.load(std::memory_order_relaxed)) {
-    // pick a random slot; replace it if not being sampled right now
+    // pick a random slot. Empty slots always load; READY slots are only
+    // recycled while a majority stays ready — otherwise N threads churn
+    // every block through the 'loading' state and sample() never finds a
+    // stable resident set (and a small file is re-read thousands of
+    // times per second for nothing).
     size_t slot = rng() % L->blocks.size();
     Block& b = L->blocks[slot];
-    int expect0 = 0, expect2 = 2;
-    if (!(b.state.compare_exchange_strong(expect0, 1) ||
-          b.state.compare_exchange_strong(expect2, 1))) {
-      std::this_thread::yield();
-      continue;
+    int expect0 = 0;
+    if (!b.state.compare_exchange_strong(expect0, 1)) {
+      int n_ready = 0;
+      for (auto& x : L->blocks)
+        if (x.state.load(std::memory_order_relaxed) == 2) ++n_ready;
+      int expect2 = 2;
+      if (!(n_ready > (int)L->blocks.size() / 2 &&
+            b.state.compare_exchange_strong(expect2, 1))) {
+        std::this_thread::sleep_for(std::chrono::milliseconds(1));
+        continue;
+      }
     }
     const int64_t by0 = (int64_t)(rng() % nby) * L->by;
     const int64_t bz0 = (int64_t)(rng() % nbz) * L->bz;
@@ -159,32 +208,44 @@ void worker_main(Loader* L, uint64_t seed) {
 extern "C" {
 
 // bumped whenever the C ABI changes; the Python side rebuilds on mismatch
-int vnr_loader_abi_version() { return 2; }
+int vnr_loader_abi_version() { return 3; }
 
 void* vnr_loader_create(const char* filename, int64_t dx, int64_t dy,
-                        int64_t dz, int dtype, int64_t offset, float vmin,
-                        float vmax, int block_y, int block_z,
-                        int n_resident, int n_threads, int use_odirect) {
+                        int64_t dz, int dtype, int bigendian,
+                        int64_t offset, float vmin, float vmax, int block_y,
+                        int block_z, int n_resident, int n_threads,
+                        int use_odirect, uint64_t seed) {
+  if (dx <= 0 || dy <= 0 || dz <= 0 || block_y <= 0 || block_z <= 0)
+    return nullptr;
+  n_resident = n_resident > 0 ? n_resident : 1;
+  n_threads = n_threads > 0 ? n_threads : 1;
   auto* L = new Loader();
-  if (use_odirect) {
-    // O_DIRECT bypasses the page cache (the reference's libaio path reads
-    // unbuffered too); not all filesystems support it — fall back silently
-    L->fd = open(filename, O_RDONLY | O_DIRECT);
-    L->odirect = L->fd >= 0;
-  }
-  if (L->fd < 0) L->fd = open(filename, O_RDONLY);
-  if (L->fd < 0) {
+  L->fd_plain = open(filename, O_RDONLY);
+  if (L->fd_plain < 0) {
     delete L;
     return nullptr;
   }
+  L->fd = L->fd_plain;
+  if (use_odirect) {
+    // O_DIRECT bypasses the page cache (the reference's libaio path reads
+    // unbuffered too); not all filesystems support it — fall back silently
+    int fd = open(filename, O_RDONLY | O_DIRECT);
+    if (fd >= 0) {
+      L->fd = fd;
+      L->odirect.store(true);
+    }
+  }
   L->dx = dx; L->dy = dy; L->dz = dz;
   L->dtype = dtype;
+  L->bigendian = bigendian != 0;
   L->offset = offset;
   L->vmin = vmin; L->vmax = vmax;
   L->by = block_y; L->bz = block_z;
   L->blocks = std::vector<Block>(n_resident);
+  // per-host seed from the caller (multi-host streams must decorrelate,
+  // outofcore.py module docstring) + per-thread offset
   for (int i = 0; i < n_threads; ++i)
-    L->workers.emplace_back(worker_main, L, 0x1337ULL + i);
+    L->workers.emplace_back(worker_main, L, seed * 0x9E3779B97F4A7C15ULL + i);
   return L;
 }
 
@@ -274,7 +335,8 @@ void vnr_loader_destroy(void* h) {
   auto* L = (Loader*)h;
   L->stop.store(true);
   for (auto& t : L->workers) t.join();
-  close(L->fd);
+  if (L->fd != L->fd_plain) close(L->fd);
+  close(L->fd_plain);
   delete L;
 }
 

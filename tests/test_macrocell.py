@@ -128,3 +128,26 @@ class TestMacroCell:
         assert np.asarray(mc_e.value_hi)[0, 0, 0] == pytest.approx(
             np.asarray(mc_o.value_hi)[0, 0, 0], abs=1e-6
         )
+
+
+def test_max_opacity_majorant_covers_narrow_spike():
+    """The RMQ max-opacity must upper-bound the EXACT control-point alpha —
+    a knot peak falling between LUT samples must not yield a violated
+    majorant (delta tracking / adaptive sampling correctness)."""
+    import jax.numpy as jnp
+
+    from instantvnr_tpu.config import TransferFunctionConfig
+    from instantvnr_tpu.utils.tfn import (
+        bake_transfer_function,
+        classify_controls,
+        max_alpha_in_range,
+    )
+
+    tfc = TransferFunctionConfig(
+        alphas=((0.0, 0.0), (0.5, 0.0), (0.50049, 1.0), (0.501, 0.0),
+                (1.0, 0.0)))
+    tf = bake_transfer_function(tfc)
+    _, a_exact = classify_controls(tf, jnp.array([[0.50049]]))
+    assert float(a_exact[0, 0]) > 0.9  # the spike is real
+    m = max_alpha_in_range(tf, jnp.array([0.49]), jnp.array([0.52]))
+    assert float(m[0]) >= float(a_exact[0, 0]) - 1e-6
