@@ -207,10 +207,12 @@ class TestEncodingNumpyOracle:
                     if dense:
                         idx = corner[0] + corner[1] * res + corner[2] * res * res
                     else:
-                        idx = (np.uint32(corner[0]) * np.uint32(1)
-                               ^ np.uint32(corner[1]) * np.uint32(2654435761)
-                               ^ np.uint32(corner[2]) * np.uint32(805459861))
-                    idx = int(np.uint32(idx) % np.uint32(size)) + off
+                        # wrapping u32 arithmetic via Python ints mod 2^32
+                        # (plain np.uint32 multiplies emit overflow warnings)
+                        idx = ((int(corner[0]) * 1)
+                               ^ (int(corner[1]) * 2654435761) & 0xFFFFFFFF
+                               ^ (int(corner[2]) * 805459861) & 0xFFFFFFFF)
+                    idx = int(idx % size) + off
                     w = np.prod(np.where(ofs == 0, 1.0 - frac, frac))
                     acc += np.float32(w) * table[idx]
                 expect[i, lvl * spec.n_features:(lvl + 1) * spec.n_features] = acc
