@@ -56,19 +56,13 @@ class TestNeuralVolumeApi:
         assert nv2.step == nv.step
         assert nv2.dims == nv.dims
 
-    @pytest.mark.parametrize("mode", [
-        RenderMode.DECODED_SLAB,
-        RenderMode.NEURAL_WAVEFRONT,
-        RenderMode.REFERENCE_RAYMARCH,
-        RenderMode.REFERENCE_GRADIENT,
-        RenderMode.REFERENCE_SSH,
-        RenderMode.PATHTRACE_REFERENCE,
-        RenderMode.PATHTRACE_NEURAL,
-    ])
+    @pytest.mark.parametrize("mode", list(RenderMode))
     def test_render_modes(self, trained, mode):
+        """Every mode of the condensed matrix (api.h:36-60) renders finite
+        pixels through the facade."""
         simple, nv = trained
-        subject = nv if "NEURAL" in mode.name or mode.name.startswith(
-            "DECODED") else simple
+        subject = (nv if "NEURAL" in mode.name or mode.requires_decoding
+                   else simple)
         r = VNRenderer(subject, width=12, height=12, mode=mode)
         r.render()
         img = r.mapframe()
