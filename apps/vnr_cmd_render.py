@@ -54,6 +54,9 @@ def main():
     p.add_argument("--timestep", type=int, default=0,
                    help="time-series volumes: render this timestep "
                    "(vnrSimpleVolumeSetCurrentTimeStep, api.h:118)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture an Xprof trace of the timed frames into DIR "
+                   "(utils/profiling.trace; view with xprof/tensorboard)")
     args = p.parse_args()
 
     import numpy as np
@@ -127,14 +130,22 @@ def main():
 
     logger = CsvLogger(args.fps_log, ["frame", "fps"])
     t_total = 0.0
-    for i in range(args.num_frames):
-        t0 = time.time()
-        r.render()
-        _ = float(r._impl._frame.ravel()[0])
-        dt = time.time() - t0
-        t_total += dt
-        logger.log(i, 1.0 / dt)
+    import contextlib
+
+    from instantvnr_tpu.utils.profiling import trace
+
+    prof = trace(args.profile) if args.profile else contextlib.nullcontext()
+    with prof:
+        for i in range(args.num_frames):
+            t0 = time.time()
+            r.render()
+            _ = float(r._impl._frame.ravel()[0])
+            dt = time.time() - t0
+            t_total += dt
+            logger.log(i, 1.0 / dt)
     logger.close()
+    if args.profile:
+        print(f"[vnr] Xprof trace written to {args.profile}")
 
     fps = args.num_frames / t_total
     print(f"[vnr] {fps:.2f} fps average over {args.num_frames} frames")
