@@ -57,6 +57,10 @@ def main():
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture an Xprof trace of the timed frames into DIR "
                    "(utils/profiling.trace; view with xprof/tensorboard)")
+    p.add_argument("--orbit", action="store_true",
+                   help="rotate the camera one full orbit over the timed "
+                   "frames (per-frame camera rebind, the interactive-use "
+                   "pattern; disables accumulation convergence)")
     args = p.parse_args()
 
     import numpy as np
@@ -113,13 +117,30 @@ def main():
             r.set_slab_shading(args.slab_shading)
         if args.shadows:
             r.enable_shadows()
+    center0, up0, fovy0 = (0.0, 0.0, 0.0), (0.0, 1.0, 0.0), 45.0
     if args.camera:
-        r.set_camera(Camera(eye=tuple(args.camera), center=(0, 0, 0),
-                            up=(0, 1, 0), fovy=45))
+        eye0 = tuple(args.camera)
+        r.set_camera(Camera(eye=eye0, center=center0, up=up0, fovy=fovy0))
     elif simple is None or simple.camera_cfg is None:
         d = max(dims)
-        r.set_camera(Camera(eye=(0.15 * d, 0.1 * d, -2.0 * d),
-                            center=(0, 0, 0), up=(0, 1, 0), fovy=45))
+        eye0 = (0.15 * d, 0.1 * d, -2.0 * d)
+        r.set_camera(Camera(eye=eye0, center=center0, up=up0, fovy=fovy0))
+    else:
+        c = simple.camera_cfg
+        eye0, center0, up0, fovy0 = tuple(c.eye), tuple(c.center), tuple(c.up), c.fovy
+
+    def orbit_camera(i: int) -> Camera:
+        """Camera rotated around the +y axis through the look-at center by
+        2πi/num_frames (drag-orbit analog for headless benchmarking)."""
+        import math
+
+        a = 2.0 * math.pi * i / max(args.num_frames, 1)
+        x, y, z = (eye0[0] - center0[0], eye0[1] - center0[1],
+                   eye0[2] - center0[2])
+        eye = (center0[0] + x * math.cos(a) + z * math.sin(a),
+               center0[1] + y,
+               center0[2] - x * math.sin(a) + z * math.cos(a))
+        return Camera(eye=eye, center=center0, up=up0, fovy=fovy0)
 
     print(f"[vnr] mode {args.mode}, {args.size}x{args.size}, "
           f"device {jax.devices()[0]}")
@@ -138,6 +159,8 @@ def main():
     with prof:
         for i in range(args.num_frames):
             t0 = time.time()
+            if args.orbit:
+                r.set_camera(orbit_camera(i))
             r.render()
             _ = float(r._impl._frame.ravel()[0])
             dt = time.time() - t0
