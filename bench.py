@@ -65,6 +65,13 @@ def main(report=None):
         cfg, encoding=dataclasses.replace(cfg.encoding, log2_hashmap_size=14))
     field = NeuralField.from_config(cfg)
 
+    # compression ratio (README.md:24 claims 10-1000×): raw f32 grid vs the
+    # fp16 checkpoint parameter payload of the benchmarked schema
+    raw_bytes = dims[0] * dims[1] * dims[2] * 4
+    report["compression"] = raw_bytes / (field.n_params * 2)
+    log(f"compression: {report['compression']:.1f}x "
+        f"({field.n_params} params fp16 vs {raw_bytes} B raw f32)")
+
     tf = bake_transfer_function(TransferFunctionConfig())
     mc = mcmod.build(vol.data, vol.dims, tf)
 
@@ -291,6 +298,8 @@ def _json_line(report):
         secondary["isosurface_fps_512"] = round(report["iso_fps"], 3)
     if "psnr" in report:
         secondary["psnr_db"] = round(report["psnr"], 2)
+    if "compression" in report:
+        secondary["compression_x_fp16_params"] = round(report["compression"], 1)
     return {
         "metric": report.get(
             "metric", "neural decode+slab-render fps @ 512x512 (hash 2^14)"),
