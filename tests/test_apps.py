@@ -53,6 +53,15 @@ class TestApps:
         assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
         assert "fps average" in r.stdout
 
+    def test_render_orbit(self, tmp_path):
+        png = str(tmp_path / "o.png")
+        r = run_app("vnr_cmd_render.py", "--synthetic", "sphere", "--dims",
+                    "16", "--mode", "reference", "--size", "24",
+                    "--num-frames", "4", "--warmup", "1", "--orbit",
+                    "--output", png)
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+        assert "fps average" in r.stdout
+
     def test_isosurface_app(self, tmp_path):
         obj = str(tmp_path / "iso.obj")
         r = run_app("vnr_cmd_isosurface.py", "--synthetic", "sphere",
