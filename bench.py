@@ -310,28 +310,62 @@ def _json_line(report):
     }
 
 
+def _emit_best_effort(report):
+    """Emit ONE JSON line from whatever stages completed."""
+    if "fps" in report:
+        print(json.dumps(_json_line(report)), flush=True)
+    elif "train_msps" in report:
+        line = _json_line(report)
+        line["metric"] = "training samples/s (render stage failed)"
+        line["value"] = round(report["train_msps"] * 1e6, 0)
+        line["unit"] = "samples/s"
+        line["vs_baseline"] = 0.0
+        print(json.dumps(line), flush=True)
+    else:
+        return False
+    return True
+
+
 def main_safe():
     """Best-effort wrapper: if a later stage dies (the tunneled TPU can
-    drop mid-run), still emit ONE JSON line with the last good metric."""
+    drop mid-run), still emit ONE JSON line with the last good metric.
+
+    A watchdog covers the worst tunnel failure: device calls that HANG
+    rather than raise (observed: trivial matmuls block >1 h when the link
+    wedges). Threads can't cancel a blocked PJRT call, so after
+    VNR_BENCH_WATCHDOG seconds (default 45 min) the watchdog prints the
+    best-effort line and hard-exits."""
+    import os
+    import threading
     import traceback
 
     report = {}
+    done = threading.Event()
+
+    def _watchdog():
+        budget = float(os.environ.get("VNR_BENCH_WATCHDOG", "2700"))
+        if not done.wait(budget):
+            log(f"WATCHDOG: bench exceeded {budget:.0f}s (wedged device "
+                "link?); emitting best-effort metrics")
+            if not _emit_best_effort(report):
+                print(json.dumps({
+                    "metric": "bench watchdog: no stage completed "
+                              "(device link wedged)",
+                    "value": 0.0, "unit": "fps", "vs_baseline": 0.0,
+                }), flush=True)
+            # exit 0 so the driver still records the emitted line
+            os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
 
     try:
         main(report)
     except Exception:
         traceback.print_exc(file=sys.stderr)
-        if "fps" in report:
-            print(json.dumps(_json_line(report)))
-        elif "train_msps" in report:
-            line = _json_line(report)
-            line["metric"] = "training samples/s (render stage failed)"
-            line["value"] = round(report["train_msps"] * 1e6, 0)
-            line["unit"] = "samples/s"
-            line["vs_baseline"] = 0.0
-            print(json.dumps(line))
-        else:
+        if not _emit_best_effort(report):
             raise
+    finally:
+        done.set()
 
 
 if __name__ == "__main__":
