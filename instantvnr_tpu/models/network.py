@@ -116,7 +116,7 @@ def network_apply(params: Params, coords: jnp.ndarray,
     else:
         feats = hash_encode(params["table"], coords, field.spec,
                             compute_dtype=compute_dtype)
-    if _use_pallas_mlp(field.cfg.mlp_impl):
+    if _use_pallas_mlp(field.cfg.mlp_impl, compute_dtype):
         from instantvnr_tpu.ops.pallas.fused_mlp import fused_mlp_apply
 
         return fused_mlp_apply(params["mlp"], feats, field.cfg.network)
@@ -186,11 +186,14 @@ def network_apply_chunked(params: Params, coords: jnp.ndarray,
     return out[:b] if pad else out
 
 
-def _use_pallas_mlp(impl: str) -> bool:
+def _use_pallas_mlp(impl: str, compute_dtype=jnp.bfloat16) -> bool:
     """mlp_impl resolution: "pallas" forces the kernel, "xla" forces the
     reference path, "auto" (the default) uses the kernel on TPU backends
     and XLA elsewhere (Mosaic kernels don't lower on CPU; interpret mode
-    is test-only)."""
+    is test-only). The kernel computes in bf16 (tcnn's network_precision_t,
+    tcnn_network.h:54), so "auto" never selects it for a model configured
+    with a different compute dtype — that would silently change numerics."""
     if impl == "auto":
-        return jax.default_backend() == "tpu"
+        return (jax.default_backend() == "tpu"
+                and jnp.dtype(compute_dtype) == jnp.dtype(jnp.bfloat16))
     return impl == "pallas"

@@ -153,15 +153,18 @@ def _fused_mlp(params, x, cfg: NetworkConfig, tile: int, interpret: bool):
 def _fwd(params, x, cfg, tile, interpret):
     if len(params) == 1:
         # single matmul: nothing to save; plain XLA backward is optimal
-        z_out, _ = _pallas_forward(params, x, cfg, tile, interpret, False)
-        # the no-residual kernel already applied out_act; recover z_out for
-        # the backward only when out_act is nontrivial
-        if cfg.output_activation.lower() not in ("none", "linear",
-                                                 "identity"):
-            z_out = jnp.dot(x.astype(jnp.bfloat16),
-                            params[0].astype(jnp.bfloat16),
-                            preferred_element_type=jnp.float32)
-        y = _apply_act(z_out, cfg.output_activation.lower())
+        out_act = cfg.output_activation.lower()
+        if out_act in ("none", "linear", "identity"):
+            y, _ = _pallas_forward(params, x, cfg, tile, interpret, False)
+            return y, (params, x, None, y)
+        # nontrivial out_act: the backward needs the pre-activation z_out,
+        # which the no-residual kernel doesn't emit — one XLA matmul
+        # provides both z_out and (via _apply_act) the output, so skip the
+        # kernel entirely rather than discarding its result
+        z_out = jnp.dot(x.astype(jnp.bfloat16),
+                        params[0].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        y = _apply_act(z_out, out_act)
         return y, (params, x, None, z_out)
     z_out, zs = _pallas_forward(params, x, cfg, tile, interpret, True)
     y = _apply_act(z_out, cfg.output_activation.lower())

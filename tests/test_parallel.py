@@ -343,6 +343,38 @@ class TestSlabSharded:
         # clamp (contributions ≤ 1e-4 past opacity 0.9999)
         np.testing.assert_allclose(got, ref, atol=1e-3)
 
+    def test_host_numpy_volume_path(self):
+        """A numpy (host) volume shards without ever existing whole on a
+        device: each chunk is materialized straight from host memory (the
+        terascale memory-scaling path) and renders identically."""
+        from instantvnr_tpu.parallel.slab import (
+            make_sharded_slab_render,
+            shard_volume_slabs,
+        )
+        from instantvnr_tpu.render.slabmarch import (
+            SlabSettings,
+            principal_axis,
+            slab_render,
+        )
+        from instantvnr_tpu.render.transform import default_transform
+
+        vol, tf, cam, cam_arrays = self._scene((8, 6, -70))
+        mesh = make_mesh()
+        axis, flipped = principal_axis(cam)
+        xform = default_transform(vol.dims)
+        s = SlabSettings()
+        ref = np.asarray(slab_render(vol.data, tf, cam_arrays, 40, 40, s,
+                                     axis, flipped, None, None, None, xform))
+        vol_sh, perm = shard_volume_slabs(np.asarray(vol.data), mesh, axis,
+                                          flipped)
+        n = mesh.shape["data"]
+        assert len(vol_sh.addressable_shards) == n
+        assert vol_sh.addressable_shards[0].data.shape[0] == 32 // n
+        fn = make_sharded_slab_render(mesh, 40, 40, s, axis, flipped, 32)
+        got = np.asarray(fn(vol_sh, tf, cam_arrays, jnp.ones((32,), bool),
+                            xform))
+        np.testing.assert_allclose(got, ref, atol=1e-3)
+
     def test_clipped_scaled(self):
         from instantvnr_tpu.parallel.slab import (
             make_sharded_slab_render,

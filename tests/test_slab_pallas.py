@@ -184,15 +184,27 @@ def test_pallas_multi_tile_grid(scene, monkeypatch):
     import instantvnr_tpu.ops.pallas.slab_composite as sc
 
     orig = sc.pick_tile_h
-    monkeypatch.setattr(
-        sc, "pick_tile_h",
-        lambda hi, wi, *a, **kw: orig(hi, wi, *a, max_tile=hi // 2, **kw))
+    tiles = []
+
+    def halved(hi, wi, *a, **kw):
+        t = orig(hi, wi, *a, max_tile=hi // 2, **kw)
+        tiles.append((hi, t))
+        return t
+
+    monkeypatch.setattr(sc, "pick_tile_h", halved)
+    # earlier tests traced slab_render with the same shapes/statics — drop
+    # the cached executables or the monkeypatch never runs at trace time
+    from instantvnr_tpu.render import slabmarch
+
+    slabmarch.slab_render.clear_cache()
     vol, tf, mc = scene
     cam = Camera(eye=(14, -9, -66), center=(0, 0, 0), up=(0, 1, 0), fovy=41)
     ref = _frame(vol, tf, mc, cam, False)
     got = _frame(vol, tf, mc, cam, True)
     got_sh = _frame(vol, tf, mc, cam, True, shading="gradient")
     ref_sh = _frame(vol, tf, mc, cam, False, shading="gradient")
+    # the patched picker must have actually run and forced n_tiles > 1
+    assert tiles and all(t is not None and t < hi for hi, t in tiles), tiles
     assert ref[..., 3].max() > 0.05
     np.testing.assert_allclose(got, ref, atol=2e-5)
     np.testing.assert_allclose(got_sh, ref_sh, atol=2e-4)
@@ -203,9 +215,18 @@ def test_iso_pallas_multi_tile_grid(scene, monkeypatch):
     from instantvnr_tpu.render.isosurf import IsoRenderer, IsoSettings
 
     orig = sc.pick_tile_h
-    monkeypatch.setattr(
-        sc, "pick_tile_h",
-        lambda hi, wi, *a, **kw: orig(hi, wi, *a, max_tile=hi // 2, **kw))
+    tiles = []
+
+    def halved(hi, wi, *a, **kw):
+        t = orig(hi, wi, *a, max_tile=hi // 2, **kw)
+        tiles.append((hi, t))
+        return t
+
+    monkeypatch.setattr(sc, "pick_tile_h", halved)
+    # same cache-bypass hazard as above, for the iso sweep's jitted entry
+    from instantvnr_tpu.render import isosurf as isomod
+
+    isomod.slab_iso_render.clear_cache()
     vol, tf, _ = scene
     cam = Camera(eye=(0, 0, -70), center=(0, 0, 0), up=(0, 1, 0), fovy=40)
     frames = {}
@@ -215,6 +236,7 @@ def test_iso_pallas_multi_tile_grid(scene, monkeypatch):
         ir.set_camera(cam)
         ir.render()
         frames[mode] = np.asarray(ir._frame)
+    assert tiles and all(t is not None and t < hi for hi, t in tiles), tiles
     assert frames[False][:, 3].max() > 0.5
     np.testing.assert_allclose(frames[True], frames[False], atol=2e-5)
 
