@@ -289,16 +289,27 @@ class TrainingStatistics:
     loss: float
 
 
+def _field_from_config(model_config):
+    """Model-family dispatch for the facade (reference set_network builds
+    either TcnnNetwork or FvsrnNetwork, network.cu:551-603): an FvsrnConfig
+    builds the fV-SRN field; everything else (path, dict, ModelConfig)
+    resolves to the tcnn-schema NeuralField."""
+    from instantvnr_tpu.models.fvsrn import FvsrnConfig, FvsrnField
+
+    if isinstance(model_config, FvsrnConfig):
+        return model_config, FvsrnField.from_config(model_config)
+    if not isinstance(model_config, ModelConfig):
+        model_config = load_model_config(model_config)
+    return model_config, NeuralField.from_config(model_config)
+
+
 class NeuralVolume:
     """The neural representation + trainer (reference NeuralVolumeContext /
     NeuralVolume, core/network.h:29-107)."""
 
     def __init__(self, model_config, simple: SimpleVolume | None = None,
                  dims=None, seed: int = 0, train_batch=DEFAULT_TRAIN_BATCH):
-        if not isinstance(model_config, ModelConfig):
-            model_config = load_model_config(model_config)
-        self.cfg = model_config
-        self.field = NeuralField.from_config(model_config)
+        self.cfg, self.field = _field_from_config(model_config)
         self.simple = simple
         self.dims = tuple(simple.dims) if simple is not None else tuple(dims)
         self.train_batch = train_batch
@@ -356,16 +367,16 @@ class NeuralVolume:
         """Online macrocell refresh from a fresh sample batch + TF opacity
         (reference updates from the training batch, network.cu:770-779).
         Uses one extra sampled batch so training batches stay fused."""
+        assert self.simple is not None  # train() guarantees this
         key = jax.random.fold_in(self.state.key, 0x6d63)
         from instantvnr_tpu.ops.trilinear import sample_volume_tex
 
         coords = jax.random.uniform(key, (self.train_batch, 3), jnp.float32)
         values = sample_volume_tex(self.simple.volume.data, coords)
         self.macrocell = mcmod.update_explicit(self.macrocell, coords, values)
-        if self.simple is not None:
-            self.macrocell = mcmod.update_max_opacity(
-                self.macrocell, self.simple.tf
-            )
+        self.macrocell = mcmod.update_max_opacity(
+            self.macrocell, self.simple.tf
+        )
 
     def statistics(self) -> TrainingStatistics:
         return TrainingStatistics(step=self.step, loss=float(self.state.loss))
@@ -380,11 +391,9 @@ class NeuralVolume:
 
     def set_model(self, model_config):
         """vnrNeuralVolumeSetModel (api.cpp:258-267): swap the network
-        architecture (path, dict, or ModelConfig) and reset training state."""
-        if not isinstance(model_config, ModelConfig):
-            model_config = load_model_config(model_config)
-        self.cfg = model_config
-        self.field = NeuralField.from_config(model_config)
+        architecture (path, dict, ModelConfig, or FvsrnConfig) and reset
+        training state."""
+        self.cfg, self.field = _field_from_config(model_config)
         self.state = create_train_state(jax.random.PRNGKey(0), self.field)
         self.step = 0
         self._decoder = None
@@ -401,6 +410,24 @@ class NeuralVolume:
             field, p, mc, dims, meta = load_checkpoint(params)
         else:
             field, p, mc, dims, meta = load_checkpoint_doc(params)
+        if dims is not None and tuple(dims) != tuple(self.dims):
+            if self.simple is not None:
+                # reference validates checkpoint dims against the volume
+                # and refuses a mismatch (network.cu:886-893)
+                raise ValueError(
+                    f"checkpoint volume dims {tuple(dims)} != this volume's "
+                    f"{tuple(self.dims)}")
+            # no ground truth bound: adopt the checkpoint's dims (the
+            # from_checkpoint semantics) so macrocell/decoder/transform
+            # geometry stays consistent
+            from instantvnr_tpu.render.transform import default_transform
+
+            self.dims = tuple(dims)
+            self.macrocell = mcmod.allocate(self.dims)
+            self.transform = default_transform(self.dims)
+            self._decoder = None
+            self._decode_cache = None
+            self._full_decode_params = None
         if field.cfg.encoding != self.cfg.encoding or \
                 field.cfg.network != self.cfg.network:
             # the checkpoint carries its own model section — honor it
@@ -413,6 +440,8 @@ class NeuralVolume:
             tf = self.simple.tf if self.simple is not None else \
                 bake_transfer_function(TransferFunctionConfig())
             self.macrocell = mcmod.update_max_opacity(mc, tf)
+        elif self.simple is None:
+            self._rebuild_macrocell_from_network()
 
     # -- inference / decoding ----------------------------------------------
 
@@ -431,35 +460,42 @@ class NeuralVolume:
         if self._decoder is not None and (
             self._decoder.width != width or self._decoder.height != height
         ):
-            # size change: rebuild, but keep the decoded grid (decode state)
+            # size change: rebuild, but carry over ALL pipeline state —
+            # decode progress, settings (shading etc.), and sticky shadows —
+            # a framebuffer resize must not silently reset knobs
             old = self._decoder
             self._decoder = None
             decoded, next_blob = old.decoded, old._next_blob
+            if settings is None:
+                settings = old.settings
+            shadow_light = old._shadow_light
         else:
-            decoded = next_blob = None
+            old = decoded = next_blob = shadow_light = None
         if self._decoder is None:
             mc = self.simple.macrocell if self.simple is not None else self.macrocell
-            tf = tf or (self.simple.tf if self.simple else
-                        bake_transfer_function(TransferFunctionConfig()))
-            if decoded is not None:
-                self._decoder = DecodedRenderer(
-                    width, height, mc, tf, self.dims, settings=settings,
-                    field=self.field, params=self.state.params,
-                    initial_volume=decoded, transform=self.transform,
-                )
-                self._decoder._next_blob = next_blob
-                return self._decoder
+            tf = tf or (old.tf if old is not None else None) or \
+                (self.simple.tf if self.simple else
+                 bake_transfer_function(TransferFunctionConfig()))
             self._decoder = DecodedRenderer(
                 width, height, mc, tf, self.dims, settings=settings,
                 field=self.field, params=self.state.params,
-                transform=self.transform,
+                initial_volume=decoded, transform=self.transform,
             )
+            if next_blob is not None:
+                self._decoder._next_blob = next_blob
+            if shadow_light is not None:
+                light, rate = shadow_light
+                self._decoder.enable_shadows(light, sampling_rate=rate)
         else:
             self._decoder.set_params(self.state.params)
-            self._decoder.set_transform(self.transform)
-            if tf is not None:
+            if self._decoder.transform is not self.transform:
+                # rebinding an identical transform would pay the host
+                # readback of transform.scale (tunnel round trip) per knob
+                self._decoder.set_transform(self.transform)
+            if tf is not None and tf is not self._decoder.tf:
                 # TF edits must reach the cached pipeline (shadow refresh
-                # included — decoded.set_transfer_function handles it)
+                # included — decoded.set_transfer_function handles it);
+                # identity-unchanged TFs skip the max-opacity + shadow pass
                 self._decoder.set_transfer_function(tf)
         return self._decoder
 
@@ -481,6 +517,17 @@ class NeuralVolume:
     @property
     def n_blobs(self) -> int:
         return self.get_decoder().n_blobs
+
+    def _rebuild_macrocell_from_network(self):
+        """A checkpoint without a macrocell section (the loaders tolerate
+        one; native .npz never has one) would otherwise leave the
+        allocate()-empty macrocell, whose all-zero max opacity makes every
+        render path cull EVERYTHING — black frames from a well-trained
+        network. Rebuild it from a full decode instead (the reference
+        re-derives max opacity at load, network.cu:918; with no stored
+        ranges the decoded grid is the only source)."""
+        tf = bake_transfer_function(TransferFunctionConfig())
+        self.macrocell = mcmod.build(self.decode_volume(), self.dims, tf)
 
     def decode_volume(self) -> jnp.ndarray:
         from instantvnr_tpu.models.metrics import decode_volume
@@ -552,6 +599,11 @@ class NeuralVolume:
 
             save_native(path, self.field, self.state, volume_dims=self.dims)
             return
+        if not hasattr(self.field, "spec"):
+            raise ValueError(
+                "fV-SRN fields have no BSON interchange layout (the "
+                "reference's FvsrnNetwork cannot serialize either, "
+                "fvsrn_network.h:10-56); save to a native .npz instead")
         from instantvnr_tpu.serializer import save_checkpoint
 
         mc = self.simple.macrocell if self.simple is not None else self.macrocell
@@ -574,6 +626,9 @@ class NeuralVolume:
             nv = cls(field.cfg, simple=simple, dims=dims)
             nv.state = state
             nv.step = int(state.opt.step)
+            if simple is None:
+                # native checkpoints carry no macrocell section
+                nv._rebuild_macrocell_from_network()
             return nv
         field, params, mc, dims, meta = load_checkpoint(path)
         nv = cls(field.cfg, simple=simple, dims=dims)
@@ -583,6 +638,8 @@ class NeuralVolume:
             tf = simple.tf if simple is not None else bake_transfer_function(
                 TransferFunctionConfig())
             nv.macrocell = mcmod.update_max_opacity(mc, tf)
+        elif simple is None:
+            nv._rebuild_macrocell_from_network()
         return nv
 
 
@@ -675,6 +732,7 @@ class VNRenderer:
                 transform=xf,
             )
         elif mode == RenderMode.PATHTRACE_REFERENCE:
+            assert self.simple is not None
             impl = PathTraceRenderer(self.width, self.height, mc, tf,
                                      self.simple.volume.data, transform=xf,
                                      settings=self._pt_settings())

@@ -49,6 +49,14 @@ class FvsrnConfig:
     loss: LossConfig = dfield(default_factory=LossConfig)
     compute_dtype: str = "bfloat16"
 
+    def __post_init__(self):
+        # trilinear cells need 2 nodes per axis: _latent_interp clamps the
+        # cell index to res-2, which would wrap to -1 (garbage gathers,
+        # misrouted gradients) for a res-1 axis
+        if min(self.latent_res) < 2:
+            raise ValueError(
+                f"latent_res must be >= 2 per axis, got {self.latent_res}")
+
 
 @dataclass(frozen=True)
 class FvsrnField:

@@ -28,8 +28,8 @@ from instantvnr_tpu.render.slabmarch import (
 from instantvnr_tpu.utils.tfn import TransferFunction
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
-def _write_blob(decoded, blob, z0, slab: int):
+@partial(jax.jit, donate_argnums=(0,))
+def _write_blob(decoded, blob, z0):
     return jax.lax.dynamic_update_slice(decoded, blob, (z0, 0, 0))
 
 
@@ -88,12 +88,10 @@ class DecodedRenderer:
                                jnp.int32(z0), self.volume_dims,
                                slab=self.slab_blob)
             blob = blob[: max(0, min(self.slab_blob, dz - z0))]
-            self.decoded = _write_blob(self.decoded, blob, z0, self.slab_blob)
+            self.decoded = _write_blob(self.decoded, blob, z0)
             self._next_blob += 1
         self._gradients = None  # decoded content changed
-        if self._shadow_light is not None:
-            self.enable_shadows(*self._shadow_light[:1],
-                                sampling_rate=self._shadow_light[1])
+        self._refresh_shadows()
 
     def decode_all(self):
         self.decode_progressive(self.n_blobs)
@@ -134,9 +132,13 @@ class DecodedRenderer:
 
         self.tf = tf
         self.mc = mcmod.update_max_opacity(self.mc, tf)
+        self._refresh_shadows()
+
+    def _refresh_shadows(self):
+        """Recompute the sticky shadow volume after grid/TF changes."""
         if self._shadow_light is not None:
-            self.enable_shadows(*self._shadow_light[:1],
-                                sampling_rate=self._shadow_light[1])
+            light, rate = self._shadow_light
+            self.enable_shadows(light, sampling_rate=rate)
 
     def enable_shadows(self, light_dir=None, sampling_rate: float = 1.0):
         """Compute the shadow volume from the current decoded grid

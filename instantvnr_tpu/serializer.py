@@ -207,8 +207,13 @@ def save_native(path: str, field: NeuralField, state,
 
     leaves, _ = jax.tree_util.tree_flatten(state)
     arrs = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
-    arrs["model_json"] = np.frombuffer(
-        json.dumps(field.cfg.to_json()).encode(), np.uint8)
+    if hasattr(field.cfg, "to_json"):
+        doc = field.cfg.to_json()
+    else:  # fV-SRN family: flat dataclasses, tagged for load dispatch
+        import dataclasses
+
+        doc = {"family": "fvsrn", **dataclasses.asdict(field.cfg)}
+    arrs["model_json"] = np.frombuffer(json.dumps(doc).encode(), np.uint8)
     if volume_dims is not None:
         arrs["volume_dims"] = np.asarray(volume_dims, np.int32)
     with open(path, "wb") as f:
@@ -226,8 +231,28 @@ def load_native(path: str):
     from instantvnr_tpu.models.trainer import create_train_state
 
     data = np.load(path)
-    cfg = model_config_from_dict(json.loads(bytes(data["model_json"])))
-    field = NeuralField.from_config(cfg)
+    doc = json.loads(bytes(data["model_json"]))
+    if isinstance(doc, dict) and doc.get("family") == "fvsrn":
+        from instantvnr_tpu.config import (
+            LossConfig,
+            NetworkConfig,
+            OptimizerConfig,
+        )
+        from instantvnr_tpu.models.fvsrn import FvsrnConfig, FvsrnField
+
+        cfg = FvsrnConfig(
+            latent_res=tuple(doc["latent_res"]),
+            latent_features=int(doc["latent_features"]),
+            fourier_bands=int(doc["fourier_bands"]),
+            network=NetworkConfig(**doc["network"]),
+            optimizer=OptimizerConfig(**doc["optimizer"]),
+            loss=LossConfig(**doc["loss"]),
+            compute_dtype=doc["compute_dtype"],
+        )
+        field = FvsrnField.from_config(cfg)
+    else:
+        cfg = model_config_from_dict(doc)
+        field = NeuralField.from_config(cfg)
     template = create_train_state(jax.random.PRNGKey(0), field)
     leaves, treedef = jax.tree_util.tree_flatten(template)
     new_leaves = []

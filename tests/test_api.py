@@ -418,3 +418,83 @@ class TestApiSymbolParity:
         nv2.train(5)
         assert nv2.get_training_step() == 5
         assert keep_step == nv.get_training_step()  # original untouched
+
+
+class TestCheckpointRobustness:
+    """Review fixes: macrocell-less checkpoints must render (not cull
+    everything through an allocate()-empty macrocell), and set_params must
+    handle dims like the reference loader (network.cu:886-893)."""
+
+    def test_npz_checkpoint_renders_without_gt(self, trained, tmp_path):
+        _, nv = trained
+        p = str(tmp_path / "m.npz")
+        nv.save_params(p)
+        nv2 = NeuralVolume.from_checkpoint(p)  # no ground truth attached
+        assert float(np.asarray(nv2.macrocell.max_opacity).max()) > 0
+        r = VNRenderer(nv2, width=16, height=16,
+                       mode=RenderMode.DECODED_SLAB)
+        r.render()
+        img = r.mapframe()
+        assert np.isfinite(img).all()
+        assert img[..., 3].max() > 0  # not culled to black
+
+    def test_set_params_dim_mismatch(self, trained, small_model, tmp_path):
+        _, nv = trained
+        p = str(tmp_path / "m.bson")
+        nv.save_params(p)  # 32^3 checkpoint
+        other = SimpleVolume.synthetic(dims=(16, 16, 16), kind="sphere")
+        nv2 = NeuralVolume(small_model, simple=other, train_batch=512)
+        with pytest.raises(ValueError, match="dims"):
+            nv2.set_params(p)  # GT bound: refuse, like the reference
+        nv3 = NeuralVolume(small_model, dims=(16, 16, 16), train_batch=512)
+        nv3.set_params(p)  # no GT: adopt the checkpoint's dims
+        assert nv3.dims == (32, 32, 32)
+        assert float(np.asarray(nv3.macrocell.max_opacity).max()) > 0
+
+    def test_resize_preserves_slab_knobs(self, trained):
+        _, nv = trained
+        r = VNRenderer(nv, width=16, height=16,
+                       mode=RenderMode.DECODED_SLAB)
+        r.set_slab_shading("gradient")
+        r.enable_shadows()
+        r.set_framebuffer_size(24, 24)
+        assert r._impl.settings.shading == "gradient"
+        assert r._impl.shadow_volume is not None
+        r.render()
+        assert np.isfinite(r.mapframe()).all()
+
+
+class TestFvsrnFacade:
+    """The second model family through the vnr* facade
+    (vnrCreateNeuralVolume/vnrNeuralVolumeSetModel with an fV-SRN config —
+    the reference builds FvsrnNetwork behind the same calls)."""
+
+    def _cfg(self):
+        from instantvnr_tpu.models.fvsrn import FvsrnConfig
+
+        return FvsrnConfig(
+            latent_res=(8, 8, 8), latent_features=4, fourier_bands=4,
+            network=NetworkConfig(n_neurons=16, n_hidden_layers=2,
+                                  activation="SnakeAlt"))
+
+    def test_train_render_checkpoint(self, tmp_path):
+        simple = SimpleVolume.synthetic(dims=(16, 16, 16), kind="sphere")
+        nv = NeuralVolume(self._cfg(), simple=simple, train_batch=512)
+        nv.train(20)
+        assert np.isfinite(nv.get_training_loss())
+        with pytest.raises(ValueError, match="fV-SRN"):
+            nv.save_params(str(tmp_path / "x.bson"))  # parity: no BSON
+        p = str(tmp_path / "x.npz")
+        nv.save_params(p)
+        nv2 = NeuralVolume.from_checkpoint(p)
+        assert nv2.dims == (16, 16, 16)
+        r = VNRenderer(nv2, width=12, height=12,
+                       mode=RenderMode.DECODED_SLAB)
+        r.render()
+        assert np.isfinite(r.mapframe()).all()
+
+    def test_latent_res_validation(self):
+        from instantvnr_tpu.models.fvsrn import FvsrnConfig
+
+        with pytest.raises(ValueError, match="latent_res"):
+            FvsrnConfig(latent_res=(8, 8, 1))
