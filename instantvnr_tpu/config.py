@@ -142,6 +142,17 @@ class ModelConfig:
     # is HBM/issue-bound), plain elsewhere
     grid_fwd_impl: str = "auto"
 
+    def __post_init__(self):
+        # typos must fail loudly: every impl knob's dispatch is an
+        # if/elif chain whose fallthrough silently picks a (possibly
+        # 3-5x slower) default path
+        for name, valid in (("mlp_impl", ("auto", "pallas", "xla")),
+                            ("grid_grad_impl", ("auto", "splat", "scatter")),
+                            ("grid_fwd_impl", ("auto", "packed", "plain"))):
+            v = getattr(self, name)
+            if v not in valid:
+                raise ValueError(f"{name}={v!r}; expected one of {valid}")
+
     def to_json(self) -> dict:
         """Serialize back to the tcnn-compatible schema (for checkpoints)."""
         return {

@@ -111,13 +111,10 @@ class FvsrnField:
 
     @property
     def n_params(self) -> int:
-        n = self.n_latent * self.cfg.latent_features
-        widths = ([self.mlp_input_dims]
-                  + [self.cfg.network.n_neurons] * self.cfg.network.n_hidden_layers
-                  + [1])
-        for a, b in zip(widths[:-1], widths[1:]):
-            n += a * b
-        return n
+        from instantvnr_tpu.ops.mlp import mlp_n_params
+
+        return (self.n_latent * self.cfg.latent_features
+                + mlp_n_params(self.cfg.network, self.mlp_input_dims, 1))
 
 
 def _latent_interp(table: jnp.ndarray, coords: jnp.ndarray,

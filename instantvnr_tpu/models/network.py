@@ -54,15 +54,10 @@ class NeuralField:
 
     @property
     def n_params(self) -> int:
-        n = self.spec.n_params
-        widths = (
-            [self.spec.n_output_dims]
-            + [self.cfg.network.n_neurons] * self.cfg.network.n_hidden_layers
-            + [1]
-        )
-        for a, b in zip(widths[:-1], widths[1:]):
-            n += a * b
-        return n
+        from instantvnr_tpu.ops.mlp import mlp_n_params
+
+        return self.spec.n_params + mlp_n_params(
+            self.cfg.network, n_input=self.spec.n_output_dims, n_output=1)
 
 
 def init_params(key: jax.Array, field: NeuralField) -> Params:
@@ -146,16 +141,22 @@ def render_params(params: Params, field: NeuralField) -> Params:
     the very next train call.
     """
     fresh = lambda t: jax.tree_util.tree_map(jnp.copy, t)  # noqa: E731
+
+    def cast_fresh(x, dt):
+        # astype is a no-op (aliasing!) when dtypes already match — an
+        # already-bf16 table would alias the donated training buffer
+        return x.astype(dt) if x.dtype != jnp.dtype(dt) else jnp.copy(x)
+
     spec = getattr(field, "spec", None)
     if spec is None:  # non-hash-grid families (e.g. fV-SRN): plain bf16 cast
-        return {"table": params["table"].astype(jnp.bfloat16),
+        return {"table": cast_fresh(params["table"], jnp.bfloat16),
                 "mlp": fresh(params["mlp"])}
     big = spec.n_params >= (1 << 22)  # crossover measured between 2^14/2^19
     if not big:
         return {"table": fresh(params["table"]), "mlp": fresh(params["mlp"])}
     from instantvnr_tpu.ops.hash_encoding import packed_dense_tables
 
-    table = params["table"].astype(jnp.bfloat16)
+    table = cast_fresh(params["table"], jnp.bfloat16)
     out = {"table": table, "mlp": fresh(params["mlp"])}
     packed = packed_dense_tables(table, spec)
     if packed:

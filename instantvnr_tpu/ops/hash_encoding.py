@@ -419,13 +419,23 @@ def _make_splat_encode(spec: HashGridSpec, compute_dtype,
         return hash_encode(table, coords, spec, compute_dtype)
 
     def fwd(table, coords):
-        # zero-size residual just to carry the table dtype to the backward
-        return encode(table, coords), (coords, jnp.zeros((0,), table.dtype))
+        # saving the table costs nothing inside the train-step jit (Adam
+        # keeps it alive to the update anyway) and enables true coords
+        # cotangents below
+        return encode(table, coords), (table, coords)
 
     def bwd(res_, g):
-        coords, dtype_token = res_
-        table_dtype = dtype_token.dtype
+        table, coords = res_
+        table_dtype = table.dtype
         b = coords.shape[0]
+        # true coords cotangent via autodiff of the plain gather forward —
+        # keeps the splat path gradient-equivalent to the scatter path for
+        # consumers that differentiate through sample positions. Training
+        # never does, and the whole computation is dead-code-eliminated
+        # when the coords cotangent goes unused.
+        out_c, vjp_c = jax.vjp(
+            lambda c: hash_encode(table, c, spec, compute_dtype), coords)
+        (g_coords,) = vjp_c(g.astype(out_c.dtype))
         g = g.astype(jnp.float32).reshape(b, spec.n_levels, spec.n_features)
         parts = [None] * spec.n_levels
 
@@ -458,7 +468,7 @@ def _make_splat_encode(spec: HashGridSpec, compute_dtype,
                 parts[l] = t.at[idx].add(upd.astype(acc_dt)).astype(
                     jnp.float32)
 
-        return jnp.concatenate(parts, 0).astype(table_dtype), None
+        return jnp.concatenate(parts, 0).astype(table_dtype), g_coords
 
     encode.defvjp(fwd, bwd)
     return encode
@@ -475,8 +485,10 @@ def hash_encode_splat(table: jnp.ndarray, coords: jnp.ndarray,
 
     Forward-identical to `hash_encode` (up to summation order when
     packed_fwd routes dense levels through corner-packed gathers); backward
-    differs only in f32 accumulation order. No gradient w.r.t. coords
-    (nothing in the framework differentiates through sample positions).
+    differs only in f32 accumulation order. Coords cotangents come from
+    autodiff of the plain gather forward (gradient-equivalent to the
+    scatter path; dead-code-eliminated in training, which never
+    differentiates sample positions).
     """
     key = (spec, jnp.dtype(compute_dtype).name, packed_fwd)
     fn = _SPLAT_CACHE.get(key)

@@ -23,10 +23,22 @@ import jax.numpy as jnp
 from instantvnr_tpu.config import NetworkConfig
 
 
+def mlp_widths(cfg: NetworkConfig, n_input: int,
+               n_output: int = 1) -> list[int]:
+    """The single source of truth for the weight-matrix layout: n_params /
+    init / serializers all derive from this list."""
+    return [n_input] + [cfg.n_neurons] * cfg.n_hidden_layers + [n_output]
+
+
+def mlp_n_params(cfg: NetworkConfig, n_input: int, n_output: int = 1) -> int:
+    widths = mlp_widths(cfg, n_input, n_output)
+    return sum(a * b for a, b in zip(widths[:-1], widths[1:]))
+
+
 def init_mlp_params(key: jax.Array, n_input: int, cfg: NetworkConfig,
                     n_output: int = 1, dtype=jnp.float32) -> list[jnp.ndarray]:
     """Hidden layers use He-uniform-ish init like tcnn (activation-scaled)."""
-    widths = [n_input] + [cfg.n_neurons] * cfg.n_hidden_layers + [n_output]
+    widths = mlp_widths(cfg, n_input, n_output)
     keys = jax.random.split(key, len(widths) - 1)
     params = []
     for k, fan_in, fan_out in zip(keys, widths[:-1], widths[1:]):

@@ -19,9 +19,16 @@ import jax.numpy as jnp
 def _gather3d(vol: jnp.ndarray, ix, iy, iz):
     """vol: [dz,dy,dx]; ix/iy/iz: integer arrays of identical shape."""
     dz, dy, dx = vol.shape
-    flat = vol.reshape(-1)
-    idx = (iz * dy + iy) * dx + ix
-    return flat[idx]
+    if dz * dy * dx < (1 << 31):
+        flat = vol.reshape(-1)
+        idx = (iz * dy + iy) * dx + ix
+        return flat[idx]
+    # > 2^31 voxels (e.g. 1300³ f32 still fits a 16 GB chip): the fused
+    # flat index overflows int32 (x64 is off), and XLA's clamp would then
+    # silently gather wrong voxels — split into a [dz, dy·dx] gather whose
+    # per-axis indices stay below 2^31 (shape is static; zero cost below)
+    plane = vol.reshape(dz, dy * dx)
+    return plane[iz, iy * dx + ix]
 
 
 def sample_volume_voxel(vol: jnp.ndarray, xyz_voxel: jnp.ndarray) -> jnp.ndarray:

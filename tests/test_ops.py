@@ -273,6 +273,35 @@ class TestSplatBackward:
             np.asarray(hash_encode_splat(table, coords, spec)),
             np.asarray(hash_encode(table, coords, spec)))
 
+    def test_coords_grad_matches_scatter_path(self):
+        """The splat path must give the SAME position gradients as the
+        plain autodiff path (consumers that differentiate through sample
+        positions must not silently get zeros on TPU configs)."""
+        from instantvnr_tpu.config import EncodingConfig
+        from instantvnr_tpu.ops.hash_encoding import (
+            HashGridSpec,
+            hash_encode,
+            hash_encode_splat,
+            init_hash_table,
+        )
+
+        spec = HashGridSpec.from_config(
+            EncodingConfig(n_levels=3, n_features_per_level=2,
+                           log2_hashmap_size=8, base_resolution=4))
+        key = jax.random.PRNGKey(1)
+        table = init_hash_table(key, spec)
+        coords = jax.random.uniform(key, (97, 3), jnp.float32,
+                                    minval=0.05, maxval=0.95)
+        w = jax.random.normal(jax.random.PRNGKey(5),
+                              (97, spec.n_output_dims))
+        g_ref = jax.grad(lambda c: jnp.sum(hash_encode(table, c, spec) * w))(
+            coords)
+        g_new = jax.grad(
+            lambda c: jnp.sum(hash_encode_splat(table, c, spec) * w))(coords)
+        assert float(jnp.abs(g_ref).max()) > 0  # nontrivial gradients
+        np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                                   atol=1e-4, rtol=1e-3)
+
 
 class TestPackedEncode:
     """Corner-packed dense-level inference gathers (hash_encoding.py notes):
@@ -439,3 +468,30 @@ class TestPackedTrainingForward:
             outs[fwd] = np.asarray(state.params["table"])
         np.testing.assert_allclose(outs["packed"], outs["plain"],
                                    atol=1e-5, rtol=1e-4)
+
+
+class TestSampleGradient:
+    """ops.trilinear.sample_gradient == the reference's forward difference
+    with boundary flip (sampleGradient, raytracing.h:112-130)."""
+
+    def test_matches_manual_forward_difference(self):
+        from instantvnr_tpu.ops.trilinear import sample_gradient, sample_volume
+
+        rng = np.random.default_rng(3)
+        vol = jnp.asarray(rng.random((9, 7, 8)).astype(np.float32))
+        # include points near the upper boundary so the step flip triggers
+        p = jnp.asarray(rng.uniform(0.05, 0.99, (64, 3)).astype(np.float32))
+        step = 0.08
+        v = sample_volume(vol, p)
+        g = np.asarray(sample_gradient(vol, p, v, step))
+
+        eps = 1.19209e-07
+        stp = np.full((64, 3), step, np.float32)
+        stp = np.where(np.asarray(p) + stp > 1.0 - eps, -stp, stp)
+        assert (stp < 0).any()  # the flip case is actually exercised
+        for ax in range(3):
+            d = np.zeros((64, 3), np.float32)
+            d[:, ax] = stp[:, ax]
+            ga = (np.asarray(sample_volume(vol, jnp.asarray(np.asarray(p) + d)))
+                  - np.asarray(v)) / stp[:, ax]
+            np.testing.assert_allclose(g[:, ax], ga, rtol=1e-4, atol=1e-5)
