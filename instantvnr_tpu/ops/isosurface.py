@@ -46,6 +46,8 @@ _EDGE_PAIRS = np.array(
 )
 
 # per-case triangles as edge ids, -1 = unused. Case bit i = corner i inside.
+# Winding convention: in a POSITIVE-chirality tet, triangles are wound so
+# the normal points toward the OUTSIDE (< isovalue) region.
 _CASE_TRIS = -np.ones((16, 2, 3), np.int32)
 _CASE_TRIS[1, 0] = (0, 1, 2)       # a inside
 _CASE_TRIS[2, 0] = (0, 4, 3)       # b
@@ -53,15 +55,33 @@ _CASE_TRIS[4, 0] = (1, 3, 5)       # c
 _CASE_TRIS[8, 0] = (2, 5, 4)       # d
 _CASE_TRIS[3] = [(1, 2, 4), (1, 4, 3)]    # a, b
 _CASE_TRIS[5] = [(0, 3, 5), (0, 5, 2)]    # a, c
-_CASE_TRIS[9] = [(0, 4, 5), (0, 5, 1)]    # a, d
-_CASE_TRIS[6] = [(0, 1, 5), (0, 5, 4)]    # b, c
+_CASE_TRIS[9] = [(0, 5, 4), (0, 1, 5)]    # a, d (complement of 6)
+_CASE_TRIS[6] = [(0, 4, 5), (0, 5, 1)]    # b, c
 _CASE_TRIS[10] = [(0, 2, 5), (0, 5, 3)]   # b, d
-_CASE_TRIS[12] = [(1, 2, 4), (1, 4, 3)][::-1]  # c, d (complement of 3)
-_CASE_TRIS[12] = [(1, 4, 2), (1, 3, 4)]
+_CASE_TRIS[12] = [(1, 4, 2), (1, 3, 4)]   # c, d (complement of 3)
 _CASE_TRIS[7, 0] = (2, 4, 5)       # d outside (complement of 8)
 _CASE_TRIS[11, 0] = (1, 5, 3)      # c outside
 _CASE_TRIS[13, 0] = (0, 3, 4)      # b outside
 _CASE_TRIS[14, 0] = (0, 2, 1)      # a outside
+
+# Half of the 6 Kuhn tets are mirror images (negative signed volume); the
+# one case table describes positive-chirality tets, so mirrored tets emit
+# with reversed winding. Build a per-tet table with those flipped so EVERY
+# triangle comes out consistently outward-wound (consumers derive normals
+# from winding: OBJ viewers, culling, signed volume).
+_corner_off_np = np.array(
+    [[c & 1, (c >> 1) & 1, (c >> 2) & 1] for c in range(8)], np.float32)
+
+
+def _tet_signed_volume(tet) -> float:
+    a, b, c, d = _corner_off_np[np.asarray(tet)]
+    return float(np.dot(np.cross(b - a, c - a), d - a))
+
+
+_CASE_TRIS_PER_TET = np.tile(_CASE_TRIS[None], (6, 1, 1, 1))
+for _i, _tet in enumerate(_TETS):
+    if _tet_signed_volume(_tet) < 0:
+        _CASE_TRIS_PER_TET[_i] = _CASE_TRIS_PER_TET[_i][..., ::-1]
 
 
 @partial(jax.jit, static_argnums=())
@@ -125,8 +145,8 @@ def _extract_slab(grid: jnp.ndarray, isovalue: jnp.ndarray,
         base[:, None, None, :] + pa[None] + t[..., None] * (pb - pa)[None]
     )  # [n, 6, 6, 3]
 
-    case_tris = jnp.asarray(_CASE_TRIS)  # [16, 2, 3]
-    tri_edges = case_tris[case]  # [n, 6, 2, 3] edge ids (−1 = unused)
+    case_tris = jnp.asarray(_CASE_TRIS_PER_TET)  # [6, 16, 2, 3]
+    tri_edges = case_tris[jnp.arange(6)[None, :], case]  # [n, 6, 2, 3]
     valid = tri_edges[..., 0] >= 0  # [n, 6, 2]
     safe = jnp.maximum(tri_edges, 0)
     # gather each triangle's 3 edge positions:
@@ -140,29 +160,33 @@ def _extract_slab(grid: jnp.ndarray, isovalue: jnp.ndarray,
     return tris, valid
 
 
+def _extract_loop(get_slab, dz: int, isovalue: float, slab: int):
+    """Shared slab loop + host compaction + verts/faces epilogue.
+
+    get_slab(z, n) → [n, sy, sx] grid rows z..z+n (1-voxel overlap between
+    chunks comes from the z += slab stride with n = slab+1 rows)."""
+    out_v = []
+    z = 0
+    while z < dz - 1:
+        n = min(slab + 1, dz - z)
+        tris, valid = _extract_slab(get_slab(z, n), jnp.float32(isovalue),
+                                    jnp.float32(z))
+        out_v.append(np.asarray(tris)[np.asarray(valid)])  # [k, 3, 3]
+        z += slab
+    v = (np.concatenate(out_v, axis=0) if out_v
+         else np.zeros((0, 3, 3), np.float32))
+    verts = v.reshape(-1, 3)
+    faces = np.arange(len(verts), dtype=np.int32).reshape(-1, 3)
+    return verts, faces
+
+
 def extract_isosurface(grid, isovalue: float, slab: int = 32):
     """Marching tetrahedra over a full grid, z-slab chunks with 1-voxel
     overlap → (vertices [M,3] float32 voxel coords, faces [M//3,3] int32).
     Host-side compaction (the reference's scan/compact phases)."""
     grid = jnp.asarray(grid)
-    dz = grid.shape[0]
-    out_v = []
-    z = 0
-    while z < dz - 1:
-        z1 = min(z + slab + 1, dz)
-        tris, valid = _extract_slab(grid[z:z1], jnp.float32(isovalue),
-                                    jnp.float32(z))
-        tris = np.asarray(tris)
-        valid = np.asarray(valid)
-        out_v.append(tris[valid])  # [k, 3, 3]
-        z += slab
-    if out_v:
-        v = np.concatenate(out_v, axis=0)
-    else:
-        v = np.zeros((0, 3, 3), np.float32)
-    verts = v.reshape(-1, 3)
-    faces = np.arange(len(verts), dtype=np.int32).reshape(-1, 3)
-    return verts, faces
+    return _extract_loop(lambda z, n: grid[z:z + n], grid.shape[0],
+                         isovalue, slab)
 
 
 def extract_isosurface_network(field, params, dims, isovalue: float,
@@ -173,22 +197,11 @@ def extract_isosurface_network(field, params, dims, isovalue: float,
     only data source; the full volume never materializes."""
     from instantvnr_tpu.models.metrics import decode_slab
 
-    dx, dy, dz = dims
-    out_v = []
-    z = 0
-    while z < dz - 1:
-        n = min(slab + 1, dz - z)
+    def get_slab(z, n):
         blob = decode_slab(field, params, jnp.int32(z), dims, slab=slab + 1)
-        blob = blob[:n]
-        tris, valid = _extract_slab(blob, jnp.float32(isovalue),
-                                    jnp.float32(z))
-        out_v.append(np.asarray(tris)[np.asarray(valid)])
-        z += slab
-    v = (np.concatenate(out_v, axis=0) if out_v
-         else np.zeros((0, 3, 3), np.float32))
-    verts = v.reshape(-1, 3)
-    faces = np.arange(len(verts), dtype=np.int32).reshape(-1, 3)
-    return verts, faces
+        return blob[:n]
+
+    return _extract_loop(get_slab, dims[2], isovalue, slab)
 
 
 def save_obj(verts: np.ndarray, faces: np.ndarray, path: str):

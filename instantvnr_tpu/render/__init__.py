@@ -5,7 +5,6 @@ from instantvnr_tpu.render.raymarch import (  # noqa: F401
 )
 from instantvnr_tpu.render.renderer import (  # noqa: F401
     Renderer,
-    RenderMode,
     reference_sample_fn,
     make_neural_sample_fn,
 )

@@ -21,7 +21,6 @@ Shading {none, gradient} × method {raymarch, pathtrace} are settings.
 """
 from __future__ import annotations
 
-import enum
 from functools import partial
 from typing import Callable
 
@@ -34,13 +33,6 @@ from instantvnr_tpu.render.camera import Camera, camera_rays
 from instantvnr_tpu.render.raymarch import RaymarchSettings, raymarch
 from instantvnr_tpu.utils.math import ray_box_intersect
 from instantvnr_tpu.utils.tfn import TransferFunction
-
-
-class RenderMode(enum.Enum):
-    REFERENCE = "reference"  # march the ground-truth / decoded volume
-    NEURAL = "neural"  # march with batched network inference
-    PATHTRACE_REFERENCE = "pathtrace_reference"
-    PATHTRACE_NEURAL = "pathtrace_neural"
 
 
 @partial(jax.jit, static_argnums=(0, 1))
@@ -169,6 +161,10 @@ class Renderer:
     def resize(self, width: int, height: int):
         self.width, self.height = width, height
         self._accum = jnp.zeros((width * height, 4), jnp.float32)
+        # _frame must match the new size too: a mapframe() between resize
+        # and the next render (e.g. an async viewer answering a frame
+        # request) would otherwise reshape a stale buffer and crash
+        self._frame = self._accum
         self.frame_index = 0
 
     def reset_accumulation(self):

@@ -254,3 +254,25 @@ class TestIsoRender:
         f = np.asarray(r.render()).reshape(48, 48, 4)
         assert np.isfinite(f).all()
         assert (f[..., 3] > 0.5).sum() > 20  # surface visible from inside
+
+
+class TestMeshOrientation:
+    """Every emitted triangle must be consistently OUTWARD-wound (review
+    fix: mirrored Kuhn tets and the case-6/9 entries emitted ~half the
+    sphere with inward normals — a non-orientable triangle soup)."""
+
+    def test_sphere_normals_point_outward(self):
+        import jax.numpy as jnp
+
+        from instantvnr_tpu.data import synthetic_volume
+        from instantvnr_tpu.ops.isosurface import extract_isosurface
+
+        vol = synthetic_volume((24, 24, 24), kind="sphere")
+        verts, faces = extract_isosurface(vol.data, 0.4)
+        v = verts[faces]  # [M, 3, 3] (x, y, z voxel coords)
+        n = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+        cent = v.mean(1) - np.array([11.5, 11.5, 11.5])
+        dots = (n * cent).sum(1)
+        nz = np.abs(dots) > 1e-9
+        assert nz.sum() > 1000
+        assert (dots[nz] > 0).all()

@@ -223,3 +223,26 @@ def test_classify_controls_crossover_matches_lut():
     rgb_l, a_l = classify(tf, vals)
     np.testing.assert_allclose(np.asarray(rgb_c), np.asarray(rgb_l), atol=0.02)
     np.testing.assert_allclose(np.asarray(a_c), np.asarray(a_l), atol=0.02)
+
+
+def test_resize_then_mapframe():
+    """Review fix: mapframe() between resize() and the next render must not
+    reshape a stale-resolution frame buffer."""
+    import jax.numpy as jnp
+
+    from instantvnr_tpu.accel import macrocell as mcmod
+    from instantvnr_tpu.config import TransferFunctionConfig
+    from instantvnr_tpu.data import synthetic_volume
+    from instantvnr_tpu.render.renderer import Renderer, reference_sample_fn
+    from instantvnr_tpu.utils.tfn import bake_transfer_function
+
+    vol = synthetic_volume((16, 16, 16), kind="sphere")
+    tf = bake_transfer_function(TransferFunctionConfig())
+    mc = mcmod.build(vol.data, vol.dims, tf)
+    r = Renderer(8, 8, mc, tf, reference_sample_fn, sample_ctx=vol.data)
+    r.render()
+    r.resize(4, 4)
+    img = r.mapframe()  # must not crash
+    assert img.shape == (4, 4, 4)
+    r.render()
+    assert r.mapframe().shape == (4, 4, 4)

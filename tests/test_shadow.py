@@ -40,6 +40,22 @@ class TestShadowVolume:
         # light from +x,+z → shadow shifts toward −x as z decreases
         assert xs.mean() < 14.5, xs.mean()
 
+    def test_side_entry_rays_are_shadowed(self):
+        """Regression: voxels whose light ray enters through a SIDE face
+        must still accumulate occlusion. Without lateral padding of the
+        sheared buffer, a (0.9, 0, 1) light left 87.5% of the deepest layer
+        of a fully opaque cube marked fully lit."""
+        tf = bake_transfer_function(TransferFunctionConfig())
+        vol = jnp.full((32, 32, 32), 1.0)
+        s = np.asarray(shadow_volume_for(vol, tf, (0.9, 0.0, 1.0)))
+        deep = s[0]  # farthest layer from the light
+        # nothing reads back as fully lit (was 87.5% of the layer); the
+        # extreme +x edge column's ray exits through the side after a
+        # sliver of one voxel, so it alone stays bright — physical
+        assert (deep > 0.95).mean() == 0.0
+        assert deep[:, :-2].max() < 1e-3, deep[:, :-2].max()
+        assert deep.mean() < 0.05, deep.mean()
+
     def test_shadowed_render_darker(self):
         from instantvnr_tpu.accel import macrocell as mcmod
         from instantvnr_tpu.data import synthetic_volume
