@@ -53,9 +53,18 @@ def load_model_config(args):
     return load(args.model) if args.model else ModelConfig()
 
 
+def framebuffer_to_u8(rgba):
+    """rgba [H, W, 4] float framebuffer → uint8 image array (flipped to
+    image convention: the framebuffer's row 0 is the bottom scanline).
+    The one place the framebuffer→image conversion lives (save_png and the
+    viewer's PNG encoder must agree)."""
+    import numpy as np
+
+    return (np.clip(rgba[::-1], 0, 1) * 255).astype(np.uint8)
+
+
 def save_png(rgba, path: str):
-    """rgba [H, W, 4] float → PNG (flipped to image convention: the
-    framebuffer's row 0 is the bottom scanline)."""
+    """rgba [H, W, 4] float → PNG file."""
     import numpy as np
 
     try:
@@ -63,8 +72,7 @@ def save_png(rgba, path: str):
     except ImportError:
         np.save(path + ".npy", rgba)
         return
-    arr = (np.clip(rgba[::-1], 0, 1) * 255).astype(np.uint8)
-    Image.fromarray(arr).save(path)
+    Image.fromarray(framebuffer_to_u8(rgba)).save(path)
 
 
 class CsvLogger:

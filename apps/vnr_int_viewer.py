@@ -157,6 +157,7 @@ class ViewerApp:
         self.pending_density = None
         self.pending_shading = None  # "none" | "gradient"
         self.pending_shadows = None  # bool
+        self.pending_isovalue = None  # float
         self.dirty = True
         self.stop_event = threading.Event()
         self.png = b""
@@ -198,8 +199,7 @@ class ViewerApp:
             mode, self.pending_mode = self.pending_mode, None
             tf_spec, self.pending_tf = self.pending_tf, None
             density, self.pending_density = self.pending_density, None
-            shading, self.pending_shading = self.pending_shading, None
-            shadows, self.pending_shadows = self.pending_shadows, None
+            iso, self.pending_isovalue = self.pending_isovalue, None
             cam = self.orbit.to_camera()
             training = self.training
         if mode is not None:
@@ -226,25 +226,38 @@ class ViewerApp:
         if density is not None:
             self.renderer.set_volume_density_scale(density)
             dirty = True
+        if iso is not None:
+            self.renderer.set_isovalue(iso)
+            dirty = True
         from instantvnr_tpu.api import RenderMode
 
         decoded = self.renderer.mode == RenderMode.DECODED_SLAB
-        if shading is not None and decoded:
-            # decoded-path gradient shading toggle (the reference GUI's
-            # shading combo, int_volume.cpp:389-427)
-            self.renderer.set_slab_shading(shading)
-            dirty = True
-        if shadows is not None and decoded:
-            if shadows:
-                self.renderer.enable_shadows()
-            else:
-                self.renderer._impl.disable_shadows()
-            dirty = True
+        if decoded:
+            # shading/shadow edits apply only on the decoded path; they stay
+            # PENDING (not consumed) in other modes so checking the box and
+            # then switching to DECODED_SLAB honors it
+            with self.lock:
+                shading, self.pending_shading = self.pending_shading, None
+                shadows, self.pending_shadows = self.pending_shadows, None
+            if shading is not None:
+                # decoded-path gradient shading toggle (the reference GUI's
+                # shading combo, int_volume.cpp:389-427)
+                self.renderer.set_slab_shading(shading)
+                dirty = True
+            if shadows is not None:
+                if shadows:
+                    self.renderer.enable_shadows()
+                else:
+                    self.renderer.disable_shadows()
+                dirty = True
         trained = False
-        if training and self.nv is not None:
+        if training and self.nv is not None and self.nv.simple is not None:
             # int_dual_volume.cpp:662-674 training slice
             self.nv.train(self.train_steps, fast_mode=False)
-            self.nv.decode_progressive(self.blobs)
+            if decoded:
+                # progressive decode feeds only the decoded-slab grid;
+                # refresh_params below rebinds the network-sampling modes
+                self.nv.decode_progressive(self.blobs)
             trained = True
         if dirty:
             self.renderer.set_camera(cam)
@@ -287,13 +300,12 @@ class ViewerApp:
 
 
 def _encode_png(rgba) -> bytes:
-    import numpy as np
-
     from PIL import Image
 
-    arr = (np.clip(rgba[::-1], 0, 1) * 255).astype(np.uint8)
+    from common import framebuffer_to_u8
+
     buf = io.BytesIO()
-    Image.fromarray(arr).save(buf, format="PNG")
+    Image.fromarray(framebuffer_to_u8(rgba)).save(buf, format="PNG")
     return buf.getvalue()
 
 
@@ -347,9 +359,10 @@ def make_handler(app: ViewerApp, server_holder):
                     app.pending_mode = name
                 return self._send(200, b"ok")
             if url.path == "/api/iso":
+                # transactional like every other edit: mutating the
+                # renderer from the HTTP thread would race the render loop
                 with app.lock:
-                    app.renderer.set_isovalue(float(q.get("value", 0.5)))
-                    app.dirty = True
+                    app.pending_isovalue = float(q.get("value", 0.5))
                 return self._send(200, b"ok")
             if url.path == "/api/tf":
                 try:
@@ -376,8 +389,12 @@ def make_handler(app: ViewerApp, server_holder):
                 return self._send(200, b"ok")
             if url.path == "/api/training":
                 with app.lock:
+                    # training needs GROUND TRUTH too: a checkpoint-loaded
+                    # volume (nv.simple is None) would assertion-crash the
+                    # render loop on every iteration
                     app.training = (q.get("on", "0") == "1"
-                                    and app.nv is not None)
+                                    and app.nv is not None
+                                    and app.nv.simple is not None)
                 return self._send(200, b"ok")
             if url.path == "/api/quit":
                 self._send(200, b"bye")

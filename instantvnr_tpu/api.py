@@ -860,6 +860,12 @@ class VNRenderer:
         assert self.mode == RenderMode.DECODED_SLAB, "shadows: decoded path"
         self._impl.enable_shadows(light_dir)
 
+    def disable_shadows(self):
+        """Turn the decoded-path shadow volume off (mirror of
+        enable_shadows — callers must not reach into the impl)."""
+        assert self.mode == RenderMode.DECODED_SLAB, "shadows: decoded path"
+        self._impl.disable_shadows()
+
     def set_slab_shading(self, shading: str):
         """Gradient shading on the decoded-slab path ("none"|"gradient");
         wavefront/reference modes carry shading in the RenderMode instead

@@ -47,24 +47,29 @@ def create_train_state(key: jax.Array, field: NeuralField) -> TrainState:
     )
 
 
+def loss_terms(kind: str, pred, targets):
+    """Per-sample loss residuals — the ONE implementation of the tcnn loss
+    zoo (tcnn create_loss), shared by every train path (single-device, DP,
+    TP) so configs cannot silently optimize different objectives."""
+    if kind == "l1":
+        return jnp.abs(pred - targets)
+    if kind == "l2":
+        return (pred - targets) ** 2
+    if kind == "relativel2":
+        # tcnn treats the prediction-dependent denominator as a CONSTANT
+        # in the backward (its gradient is 2(pred−target)/(pred²+ε)) —
+        # differentiate only the numerator
+        return ((pred - targets) ** 2
+                / (jax.lax.stop_gradient(pred) ** 2 + 1e-2))
+    raise ValueError(f"unsupported loss: {kind}")
+
+
 def make_loss_fn(field: NeuralField):
     kind = field.cfg.loss.otype.lower()
 
     def loss_fn(params, coords, targets):
         pred = network_apply(params, coords, field)
-        if kind == "l1":
-            per = jnp.abs(pred - targets)
-        elif kind == "l2":
-            per = (pred - targets) ** 2
-        elif kind == "relativel2":
-            # tcnn treats the prediction-dependent denominator as a
-            # CONSTANT in the backward (its gradient is
-            # 2(pred−target)/(pred²+ε)) — differentiate only the numerator
-            per = ((pred - targets) ** 2
-                   / (jax.lax.stop_gradient(pred) ** 2 + 1e-2))
-        else:
-            raise ValueError(f"unsupported loss: {field.cfg.loss.otype}")
-        return jnp.mean(per)
+        return jnp.mean(loss_terms(kind, pred, targets))
 
     return loss_fn
 

@@ -195,34 +195,107 @@ def hash_encode_traced(table: jnp.ndarray, coords: jnp.ndarray,
     tensor-parallel path where each model shard encodes its own level slice.
     """
     b = coords.shape[0]
-    corners = jnp.asarray(_CORNERS)
     feats_out = []
     for lvl in range(n_levels):
-        scale = level_params["scale"][lvl]
-        size = level_params["size"][lvl]
-        offset = level_params["offset"][lvl]
-        res = level_params["res"][lvl]
-        dense = level_params["dense"][lvl]
-
-        x = coords * scale + 0.5
-        cell = jnp.floor(x)
-        frac = x - cell
-        pos = cell.astype(jnp.int32)[:, None, :] + corners[None, :, :]
-        pu = pos.astype(jnp.uint32)
-        idx_dense = pu[..., 0] + pu[..., 1] * res + pu[..., 2] * res * res
-        idx_hash = (
-            pu[..., 0] * np.uint32(_PRIMES[0])
-            ^ pu[..., 1] * np.uint32(_PRIMES[1])
-            ^ pu[..., 2] * np.uint32(_PRIMES[2])
-        )
-        idx = jnp.where(dense, idx_dense, idx_hash)
-        idx = (idx % size).astype(jnp.int32) + offset
-        cw = jnp.where(corners[None, :, :] == 0, 1.0 - frac[:, None, :],
-                       frac[:, None, :])
-        w = (cw[..., 0] * cw[..., 1] * cw[..., 2]).astype(compute_dtype)
-        f = table[idx].astype(compute_dtype) * w[..., None]  # [B,8,F]
-        feats_out.append(f.sum(axis=1))
+        idx_local, w = _traced_level_corners(coords, level_params, lvl)
+        idx = idx_local + level_params["offset"][lvl]
+        f = table[idx].astype(compute_dtype) * w.astype(compute_dtype)[..., None]
+        feats_out.append(f.sum(axis=1))  # [B, F]
     return jnp.concatenate(feats_out, axis=1).reshape(b, n_levels * n_features)
+
+
+def _traced_level_corners(coords, level_params, lvl):
+    """Per-level corner indices (LOCAL, pre-offset, int32 in [0, size)) and
+    trilinear weights (f32) with all level parameters traced — shared by the
+    traced forward and the split-grad backward."""
+    corners = jnp.asarray(_CORNERS)
+    scale = level_params["scale"][lvl]
+    size = level_params["size"][lvl]
+    res = level_params["res"][lvl]
+    dense = level_params["dense"][lvl]
+
+    x = coords * scale + 0.5
+    cell = jnp.floor(x)
+    frac = x - cell
+    pos = cell.astype(jnp.int32)[:, None, :] + corners[None, :, :]
+    pu = pos.astype(jnp.uint32)
+    idx_dense = pu[..., 0] + pu[..., 1] * res + pu[..., 2] * res * res
+    idx_hash = (
+        pu[..., 0] * np.uint32(_PRIMES[0])
+        ^ pu[..., 1] * np.uint32(_PRIMES[1])
+        ^ pu[..., 2] * np.uint32(_PRIMES[2])
+    )
+    idx = jnp.where(dense, idx_dense, idx_hash)
+    idx = (idx % size).astype(jnp.int32)
+    cw = jnp.where(corners[None, :, :] == 0, 1.0 - frac[:, None, :],
+                   frac[:, None, :])
+    w = cw[..., 0] * cw[..., 1] * cw[..., 2]
+    return idx, w
+
+
+_TRACED_SPLIT_CACHE: dict = {}
+
+
+def hash_encode_traced_splitgrad(table, coords, level_params,
+                                 level_caps: tuple, n_features: int,
+                                 compute_dtype=jnp.float32):
+    """`hash_encode_traced` with a PER-LEVEL-scatter backward.
+
+    XLA scatter-add cost scales with the operand size (CLAUDE.md measured
+    rule: "never fuse level scatters into one concatenated table"), but
+    autodiff of the traced forward emits one scatter per level each into
+    the WHOLE [E_max, F] shard table — ~n_levels× the necessary cost on the
+    big-table shards TP exists for. Here each level scatters into a
+    [cap_l, F] buffer (cap_l = static per-local-level size bound, max
+    across shards) that is added back into its slice of the table gradient.
+    """
+    key = (tuple(level_caps), n_features, jnp.dtype(compute_dtype).name)
+    fn = _TRACED_SPLIT_CACHE.get(key)
+    if fn is None:
+        fn = _TRACED_SPLIT_CACHE[key] = _make_traced_splitgrad(
+            tuple(level_caps), n_features, compute_dtype)
+    return fn(table, coords, level_params)
+
+
+def _make_traced_splitgrad(level_caps: tuple, n_features: int, compute_dtype):
+    n_levels = len(level_caps)
+
+    @jax.custom_vjp
+    def encode(table, coords, lp):
+        return hash_encode_traced(table, coords, lp, n_levels, n_features,
+                                  compute_dtype)
+
+    def fwd(table, coords, lp):
+        return encode(table, coords, lp), (table, coords, lp)
+
+    def bwd(res_, g):
+        table, coords, lp = res_
+        b = coords.shape[0]
+        e_max = table.shape[0]
+        g = g.astype(jnp.float32).reshape(b, n_levels, n_features)
+        # pad so every [offset_l, offset_l + cap_l) window fits without
+        # dynamic_slice clamping (offset_l ≤ e_max − size_l, cap_l ≤ pad)
+        pad = max(level_caps)
+        buf = jnp.zeros((e_max + pad, n_features), jnp.float32)
+        for l in range(n_levels):
+            idx_local, w = _traced_level_corners(coords, lp, l)
+            upd = (w[..., None] * g[:, l, None, :]).reshape(-1, n_features)
+            cap = level_caps[l]
+            # f16 accumulation on big levels, like the splat backward
+            # (tcnn __half atomics; bf16's 8-bit mantissa measurably hurts)
+            acc_dt = jnp.float16 if cap >= (1 << 17) else jnp.float32
+            sl = jnp.zeros((cap, n_features), acc_dt)
+            sl = sl.at[idx_local.reshape(-1)].add(upd.astype(acc_dt))
+            off = lp["offset"][l]
+            win = jax.lax.dynamic_slice(buf, (off, 0), (cap, n_features))
+            buf = jax.lax.dynamic_update_slice(
+                buf, win + sl.astype(jnp.float32), (off, 0))
+        g_table = buf[:e_max].astype(table.dtype)
+        # coords/level_params cotangents unused by TP training
+        return g_table, None, None
+
+    encode.defvjp(fwd, bwd)
+    return encode
 
 
 def hash_encode(table: jnp.ndarray, coords: jnp.ndarray,

@@ -36,6 +36,7 @@ from instantvnr_tpu.models.optimizer import AdamState, adam_update
 from instantvnr_tpu.models.trainer import TrainState
 from instantvnr_tpu.ops.hash_encoding import (
     hash_encode_traced,
+    hash_encode_traced_splitgrad,
     level_param_arrays,
 )
 from instantvnr_tpu.ops.mlp import _activation
@@ -112,18 +113,29 @@ def shard_level_params(field: NeuralField, n_model: int) -> dict:
 
 
 def tp_apply(field: NeuralField, tp_local: dict, level_params_local: dict,
-             coords: jnp.ndarray, axis_name: str = "model") -> jnp.ndarray:
+             coords: jnp.ndarray, axis_name: str = "model",
+             level_caps: tuple | None = None) -> jnp.ndarray:
     """Forward pass INSIDE shard_map: local encode → row-parallel W1 →
-    psum(axis) → replicated MLP tail. coords [B,3] → [B,1]."""
+    psum(axis) → replicated MLP tail. coords [B,3] → [B,1].
+
+    level_caps (static per-local-level size bounds) routes the table
+    gradient through the per-level-scatter backward
+    (hash_encode_traced_splitgrad); None keeps plain autodiff — fine for
+    inference-only uses."""
     cfg = field.cfg
     lps = field.spec.n_levels // jax.lax.psum(1, axis_name)
     compute_dtype = jnp.dtype(cfg.compute_dtype)
     precision = (None if compute_dtype == jnp.bfloat16
                  else jax.lax.Precision.HIGHEST)
-    feats = hash_encode_traced(
-        tp_local["table"], coords, level_params_local, lps,
-        field.spec.n_features, compute_dtype=compute_dtype,
-    )  # [B, lps·F]
+    if level_caps is not None:
+        feats = hash_encode_traced_splitgrad(
+            tp_local["table"], coords, level_params_local, level_caps,
+            field.spec.n_features, compute_dtype=compute_dtype)
+    else:
+        feats = hash_encode_traced(
+            tp_local["table"], coords, level_params_local, lps,
+            field.spec.n_features, compute_dtype=compute_dtype,
+        )  # [B, lps·F]
     partial_h = jnp.dot(feats, tp_local["w1"].astype(compute_dtype),
                         preferred_element_type=jnp.float32,
                         precision=precision)
@@ -149,18 +161,28 @@ def make_tp_train_step(field: NeuralField, mesh: Mesh, batch: int,
     stay shard-local; MLP-tail grads are identical across model shards (the
     forward is replicated after the psum); all grads are pmean'd over "data".
     """
+    from instantvnr_tpu.models.trainer import loss_terms
+
     n_data = mesh.shape["data"]
     n_model = mesh.shape["model"]
     assert batch % n_data == 0
     local_batch = batch // n_data
     level_params = shard_level_params(field, n_model)  # [n_model, lps] each
     kind = field.cfg.loss.otype.lower()
+    spec = field.spec
+    lps, _ = tp_layout(field, n_model)
+    # static per-local-level scatter bounds (max across shards) for the
+    # per-level-scatter backward
+    level_caps = tuple(
+        max(spec.level_sizes[s * lps + l] for s in range(n_model))
+        for l in range(lps))
 
     def local_loss(tp_local, lp_local, coords, targets):
-        pred = tp_apply(field, tp_local, lp_local, coords)
-        if kind == "l1":
-            return jnp.mean(jnp.abs(pred - targets))
-        return jnp.mean((pred - targets) ** 2)
+        pred = tp_apply(field, tp_local, lp_local, coords,
+                        level_caps=level_caps)
+        # same loss zoo as every other train path (raises on unknown kinds
+        # instead of silently training L2)
+        return jnp.mean(loss_terms(kind, pred, targets))
 
     def one_step(state: TrainState, volume, lp_local):
         d_idx = jax.lax.axis_index("data")

@@ -495,3 +495,46 @@ class TestSampleGradient:
             ga = (np.asarray(sample_volume(vol, jnp.asarray(np.asarray(p) + d)))
                   - np.asarray(v)) / stp[:, ax]
             np.testing.assert_allclose(g[:, ax], ga, rtol=1e-4, atol=1e-5)
+
+
+class TestTracedSplitGrad:
+    """hash_encode_traced_splitgrad backward ≡ plain autodiff of the traced
+    encode (the TP path's per-level-scatter gradient)."""
+
+    def test_grad_matches_autodiff(self):
+        from instantvnr_tpu.ops.hash_encoding import (
+            HashGridSpec,
+            hash_encode_traced,
+            hash_encode_traced_splitgrad,
+            init_hash_table,
+            level_param_arrays,
+        )
+
+        spec = HashGridSpec.from_config(
+            EncodingConfig(n_levels=4, n_features_per_level=2,
+                           log2_hashmap_size=9, base_resolution=4))
+        lp = {k: jnp.asarray(v) for k, v in level_param_arrays(spec).items()}
+        caps = tuple(spec.level_sizes)
+        key = jax.random.PRNGKey(7)
+        table = init_hash_table(key, spec)
+        coords = jax.random.uniform(key, (133, 3), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(8),
+                              (133, spec.n_output_dims))
+
+        def loss_ref(t):
+            return jnp.sum(hash_encode_traced(
+                t, coords, lp, spec.n_levels, spec.n_features) * w)
+
+        def loss_new(t):
+            return jnp.sum(hash_encode_traced_splitgrad(
+                t, coords, lp, caps, spec.n_features) * w)
+
+        # forwards identical
+        np.testing.assert_array_equal(
+            np.asarray(jax.jit(loss_ref)(table)),
+            np.asarray(jax.jit(loss_new)(table)))
+        g_ref = jax.grad(loss_ref)(table)
+        g_new = jax.grad(loss_new)(table)
+        assert float(jnp.abs(g_ref).max()) > 0
+        np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                                   atol=1e-5, rtol=1e-4)
