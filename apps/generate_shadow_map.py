@@ -36,7 +36,12 @@ def main():
 
         nv = NeuralVolume.from_checkpoint(args.load)
         grid = nv.decode_volume()
-        tf = bake_transfer_function(TransferFunctionConfig())
+        if args.scene or args.synthetic:
+            # a scene provides the TF (with its data-unit range) — the
+            # decoded-network shadows must match the ground-truth path's
+            tf = load_simple_volume(args).tf
+        else:
+            tf = bake_transfer_function(TransferFunctionConfig())
         dims = nv.dims
     else:
         simple = load_simple_volume(args)

@@ -31,14 +31,20 @@ def main():
               "full optimizer state)")
     else:
         field, params, mc, dims, meta = load_checkpoint(args.checkpoint)
-    spec = field.spec
     print(f"[view] volume dims:    {dims}")
     print(f"[view] trained steps:  {meta.get('step', '?')}  "
           f"loss {meta.get('loss', '?')}")
-    print(f"[view] encoding:       {spec.n_levels} levels × "
-          f"{spec.n_features} features, 2^{spec.log2_hashmap_size} cap, "
-          f"base res {spec.base_resolution}")
-    print(f"[view] level sizes:    {spec.level_sizes}")
+    spec = getattr(field, "spec", None)
+    if spec is not None:
+        print(f"[view] encoding:       {spec.n_levels} levels × "
+              f"{spec.n_features} features, 2^{spec.log2_hashmap_size} cap, "
+              f"base res {spec.base_resolution}")
+        print(f"[view] level sizes:    {spec.level_sizes}")
+    else:  # fV-SRN family (native .npz only)
+        c = field.cfg
+        print(f"[view] encoding:       fV-SRN latent grid "
+              f"{c.latent_res} × {c.latent_features} features, "
+              f"{c.fourier_bands} fourier bands")
     print(f"[view] mlp:            {field.cfg.network.n_neurons}×"
           f"{field.cfg.network.n_hidden_layers} {field.cfg.network.activation}")
     print(f"[view] total params:   {field.n_params}")
@@ -47,10 +53,14 @@ def main():
         print(f"[view] macrocell:      {mx}×{my}×{mz} cells")
     import os
 
-    raw_bytes = dims[0] * dims[1] * dims[2] * 4
     ckpt_bytes = os.path.getsize(args.checkpoint)
-    print(f"[view] compression:    {raw_bytes / ckpt_bytes:.1f}× "
-          f"({ckpt_bytes} B vs {raw_bytes} B raw f32)")
+    if dims is not None:  # absent for params-only / pre-dims checkpoints
+        raw_bytes = dims[0] * dims[1] * dims[2] * 4
+        print(f"[view] compression:    {raw_bytes / ckpt_bytes:.1f}× "
+              f"({ckpt_bytes} B vs {raw_bytes} B raw f32)")
+    else:
+        print(f"[view] checkpoint:     {ckpt_bytes} B "
+              "(no volume dims stored — compression unknown)")
 
     if args.evaluate and (args.scene or args.synthetic):
         simple = load_simple_volume(args)

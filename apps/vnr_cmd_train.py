@@ -74,13 +74,15 @@ def main():
 
     if args.resume:
         nv = NeuralVolume.from_checkpoint(args.resume, simple=simple)
+        nv.train_batch = args.batch  # from_checkpoint has no batch param
         print(f"[vnr] resumed from {args.resume} at step {nv.step}")
     else:
         nv = NeuralVolume(cfg, simple=simple, dims=dims, seed=args.seed,
                           train_batch=args.batch)
-    print(f"[vnr] model: {nv.field.n_params} params "
-          f"({nv.field.spec.n_levels} levels × "
-          f"{nv.field.spec.n_features} features)")
+    spec = getattr(nv.field, "spec", None)  # fV-SRN fields have no spec
+    arch = (f"{spec.n_levels} levels × {spec.n_features} features"
+            if spec is not None else type(nv.field).__name__)
+    print(f"[vnr] model: {nv.field.n_params} params ({arch})")
 
     oc_sampler = None
     if oc_desc is not None:
@@ -93,8 +95,10 @@ def main():
         # terascale file is the loader's warm-up job — use dtype range)
         rng_map = {"UNSIGNED_BYTE": (0.0, 255.0), "BYTE": (-128.0, 127.0),
                    "UNSIGNED_SHORT": (0.0, 65535.0),
-                   "SHORT": (-32768.0, 32767.0), "FLOAT": (0.0, 1.0),
-                   "DOUBLE": (0.0, 1.0)}
+                   "SHORT": (-32768.0, 32767.0),
+                   "INT": (-2147483648.0, 2147483647.0),
+                   "UNSIGNED_INT": (0.0, 4294967295.0),
+                   "FLOAT": (0.0, 1.0), "DOUBLE": (0.0, 1.0)}
         vrange = rng_map.get(oc_desc.dtype, (0.0, 1.0))
         oc_sampler = OutOfCoreSampler(oc_desc, vrange)
         print(f"[vnr] out-of-core streaming "
@@ -124,8 +128,8 @@ def main():
         ):
             print(f"[vnr] step {step}: bad loss {stats.loss:.5f} — "
                   "restarting network")
-            nv = NeuralVolume(cfg, simple=simple, seed=args.seed + step,
-                              train_batch=args.batch)
+            nv = NeuralVolume(cfg, simple=simple, dims=dims,
+                              seed=args.seed + step, train_batch=args.batch)
             step = 0
             prev_loss = float("inf")
             continue

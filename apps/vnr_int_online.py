@@ -44,6 +44,7 @@ def main():
     import jax
 
     from instantvnr_tpu.api import NeuralVolume
+    from instantvnr_tpu.utils.profiling import sync
 
     simple = load_simple_volume(args)
     cfg = load_model_config(args)
@@ -85,8 +86,7 @@ def main():
 
         t0 = time.time()
         dec.set_params(nv.state.params)
-        dec.render()
-        _ = float(dec._frame.ravel()[0])
+        sync(dec.render())
         t_render = time.time() - t0
 
         fps = 1.0 / max(t_train + t_render, 1e-9)

@@ -319,6 +319,7 @@ class NeuralVolume:
         self.step = 0
         # the inference macrocell, updated online from training batches
         # (reference m_macrocell; fresh unless aliasing the GT one)
+        self._mc_needs_rebuild = False
         self.macrocell = mcmod.allocate(self.dims)
         self._decoder = None
         self._full_decode_params = None  # params identity at last decode_all
@@ -441,7 +442,7 @@ class NeuralVolume:
                 bake_transfer_function(TransferFunctionConfig())
             self.macrocell = mcmod.update_max_opacity(mc, tf)
         elif self.simple is None:
-            self._rebuild_macrocell_from_network()
+            self._mc_needs_rebuild = True  # lazy (see macrocell property)
 
     # -- inference / decoding ----------------------------------------------
 
@@ -518,16 +519,27 @@ class NeuralVolume:
     def n_blobs(self) -> int:
         return self.get_decoder().n_blobs
 
-    def _rebuild_macrocell_from_network(self):
+    @property
+    def macrocell(self):
         """A checkpoint without a macrocell section (the loaders tolerate
         one; native .npz never has one) would otherwise leave the
         allocate()-empty macrocell, whose all-zero max opacity makes every
         render path cull EVERYTHING — black frames from a well-trained
-        network. Rebuild it from a full decode instead (the reference
-        re-derives max opacity at load, network.cu:918; with no stored
-        ranges the decoded grid is the only source)."""
-        tf = bake_transfer_function(TransferFunctionConfig())
-        self.macrocell = mcmod.build(self.decode_volume(), self.dims, tf)
+        network. LAZILY rebuild it from a full decode on first use (the
+        reference re-derives max opacity at load, network.cu:918; with no
+        stored ranges the decoded grid is the only source). Lazy so that
+        non-rendering consumers — headless --resume training, slab-wise
+        network isosurface extraction — never pay the full-grid decode."""
+        if self._mc_needs_rebuild:
+            self._mc_needs_rebuild = False
+            tf = bake_transfer_function(TransferFunctionConfig())
+            self._macrocell = mcmod.build(self.decode_volume(), self.dims, tf)
+        return self._macrocell
+
+    @macrocell.setter
+    def macrocell(self, mc):
+        self._macrocell = mc
+        self._mc_needs_rebuild = False
 
     def decode_volume(self) -> jnp.ndarray:
         from instantvnr_tpu.models.metrics import decode_volume
@@ -628,7 +640,7 @@ class NeuralVolume:
             nv.step = int(state.opt.step)
             if simple is None:
                 # native checkpoints carry no macrocell section
-                nv._rebuild_macrocell_from_network()
+                nv._mc_needs_rebuild = True
             return nv
         field, params, mc, dims, meta = load_checkpoint(path)
         nv = cls(field.cfg, simple=simple, dims=dims)
@@ -639,7 +651,7 @@ class NeuralVolume:
                 TransferFunctionConfig())
             nv.macrocell = mcmod.update_max_opacity(mc, tf)
         elif simple is None:
-            nv._rebuild_macrocell_from_network()
+            nv._mc_needs_rebuild = True  # lazy (see macrocell property)
         return nv
 
 

@@ -77,6 +77,12 @@ def ray_box_intersect(org, dir, box_lo, box_hi, t_min=0.0, t_max=np.inf):
     hi = (jnp.asarray(box_hi, jnp.float32) - org) * inv
     near = jnp.minimum(lo, hi)
     far = jnp.maximum(lo, hi)
+    # 0·inf → NaN when the origin sits exactly ON a slab plane of a
+    # parallel axis (min/max propagate it and the grazing ray would be
+    # dropped as a miss); the graze counts as inside: (-inf, +inf)
+    nan = jnp.isnan(near) | jnp.isnan(far)
+    near = jnp.where(nan, -jnp.inf, near)
+    far = jnp.where(nan, jnp.inf, far)
     t0 = jnp.maximum(jnp.max(near, axis=-1), t_min)
     t1 = jnp.minimum(jnp.min(far, axis=-1), t_max)
     return t0, t1, t0 < t1

@@ -22,13 +22,15 @@ import numpy as np
 
 
 def sync(*arrays):
-    """Reliable device fence: host-readback ONE SCALAR per array.
+    """Reliable device fence: host-readback ONE SCALAR per array (every
+    leaf of every argument — leaves can come from different dispatches,
+    so fencing only the first would let the rest keep running).
 
-    The slice executes on device, so only 4 bytes cross the (slow) tunnel —
-    np.asarray on the full array would ship the whole buffer."""
+    The slice executes on device, so only 4 bytes per leaf cross the
+    (slow) tunnel — np.asarray on the full array would ship the buffer."""
     for a in arrays:
-        leaf = jax.tree.leaves(a)[0]
-        np.asarray(leaf.ravel()[0] if hasattr(leaf, "ravel") else leaf)
+        for leaf in jax.tree.leaves(a):
+            np.asarray(leaf.ravel()[0] if hasattr(leaf, "ravel") else leaf)
 
 
 class StackTimer:

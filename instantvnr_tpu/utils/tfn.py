@@ -188,9 +188,8 @@ def classify_controls(tf: TransferFunction, values: jnp.ndarray):
     )
     x = tf.ctrl_x
     y = tf.ctrl_rgba  # [Kc, 4]
-    out = jnp.broadcast_to(y[0], v.shape + (4,)).astype(jnp.float32)
     kc = x.shape[0]
-    acc = out
+    acc = jnp.broadcast_to(y[0], v.shape + (4,)).astype(jnp.float32)
     for i in range(kc - 1):
         denom = jnp.maximum(x[i + 1] - x[i], 1e-12)
         t = jnp.clip((v - x[i]) / denom, 0.0, 1.0)
