@@ -57,7 +57,6 @@ from instantvnr_tpu.config import (
     load_model_config,
 )
 from instantvnr_tpu.data.volume import Volume, load_volume, synthetic_volume
-from instantvnr_tpu.models.metrics import mssim, psnr_vs
 from instantvnr_tpu.models.network import NeuralField
 from instantvnr_tpu.models.trainer import (
     TrainState,
@@ -573,11 +572,18 @@ class NeuralVolume:
     # -- metrics (the de-facto integration tests, SURVEY.md §4) -------------
 
     def get_psnr(self) -> float:
-        return float(psnr_vs(self.field, self.state.params,
-                             self.simple.volume.data))
+        from instantvnr_tpu.models.metrics import psnr_arrays
+
+        # decode_volume is identity-cached on params: the usual
+        # PSNR-then-SSIM report pays ONE full decode, not two
+        return float(psnr_arrays(self.decode_volume(),
+                                 self.simple.volume.data))
 
     def get_mssim(self) -> float:
-        return mssim(self.field, self.state.params, self.simple.volume.data)
+        from instantvnr_tpu.models.metrics import ssim_arrays
+
+        return float(ssim_arrays(self.decode_volume(),
+                                 self.simple.volume.data))
 
     def get_testing_loss(self) -> float:
         return float(test_loss(self.field, self.simple.volume.data,

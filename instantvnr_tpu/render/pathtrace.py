@@ -37,7 +37,7 @@ import numpy as np
 
 from instantvnr_tpu.accel.macrocell import MACROCELL_SIZE, MacroCell
 from instantvnr_tpu.render.camera import Camera, camera_rays
-from instantvnr_tpu.render.raymarch import _cell_exit_t, _occupancy
+from instantvnr_tpu.render.raymarch import (_PROBE_EPS, _cell_exit_t, _occupancy)
 from instantvnr_tpu.utils.math import normalize, ray_box_intersect
 from instantvnr_tpu.utils.tfn import TransferFunction, classify_controls
 
@@ -134,14 +134,15 @@ def pathtrace(
 
     def superstep(carry):
         st, key, it = carry
-        key, k1, k2, k3, k4 = jax.random.split(key, 5)
+        key, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
 
         # --- advance τ through the current cell -------------------------
-        p = st.org + (st.t + 1e-3)[:, None] * st.dirn
+        p = st.org + (st.t + _PROBE_EPS)[:, None] * st.dirn
         cell = jnp.floor(p / w).astype(jnp.int32)
         majorant = _occupancy(mc, cell) * settings.density_scale
         t1 = jnp.minimum(
-            jnp.maximum(_cell_exit_t(st.org, st.dirn, cell, w), st.t + 1e-3),
+            jnp.maximum(_cell_exit_t(st.org, st.dirn, cell, w),
+                        st.t + _PROBE_EPS),
             st.t_far,
         )
         dtau = (t1 - st.t) * majorant
@@ -203,7 +204,10 @@ def pathtrace(
         # (3) real collision on a scatter/primary ray → russian roulette,
         #     move origin, apply phase, fire shadow ray toward the light
         hit = act & ~st.shadow & real
-        rr_q = jnp.minimum(0.95, jnp.max(throughput, axis=-1))
+        # floor keeps the boost division finite when throughput reaches
+        # exactly zero (black TF colors) and u draws exactly 0.0 — a NaN
+        # here would poison the progressive accumulation permanently
+        rr_q = jnp.clip(jnp.max(throughput, axis=-1), 1e-6, 0.95)
         rr_kill = hit & (scatter_index > RUSSIAN_ROULETTE_LENGTH) & (
             jax.random.uniform(k4, (r,)) > rr_q
         )
@@ -226,8 +230,11 @@ def pathtrace(
         tfar_restart = _restart_segment(org_new, dir_new, box_lo, box_hi)
         tfar_new = jnp.where(restart, tfar_restart, tfar_new)
         t_new = jnp.where(restart, 0.0, t_new)
+        # dedicated key: drawing from the carried `key` would reuse the
+        # same key material the next superstep's split consumes, giving
+        # mechanically correlated tau/scatter decisions across events
         new_tau2 = jnp.where(
-            restart, -jnp.log1p(-jax.random.uniform(key, (r,))), new_tau
+            restart, -jnp.log1p(-jax.random.uniform(k5, (r,))), new_tau
         )
 
         active = act & ~terminate
