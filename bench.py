@@ -190,7 +190,8 @@ def main(report=None):
 
     # ---- interactive pipeline: progressive neural decode + slab render ----
     # (the reference's DECODING mode, rebuilt MXU-native, render/slabmarch.py;
-    # macrocell refreshed from the decoded grid as the reference does)
+    # skip structure = the GT-derived macrocell, matching the reference's
+    # set_external aliasing of the ground-truth macrocell)
     from instantvnr_tpu.render.decoded import DecodedRenderer
     from instantvnr_tpu.render.slabmarch import SlabSettings
 
@@ -277,7 +278,7 @@ def main(report=None):
     except Exception as e:  # noqa: BLE001
         log(f"isosurface stage failed: {e!r}")
 
-    print(json.dumps(_json_line(report)))
+    _emit_line(_json_line(report))
 
 
 def _json_line(report):
@@ -310,17 +311,34 @@ def _json_line(report):
     }
 
 
+import threading as _threading
+
+_EMIT_LOCK = _threading.Lock()
+_EMITTED = False
+
+
+def _emit_line(line: dict) -> None:
+    """Print the ONE driver-facing JSON line, at most once per process
+    (the watchdog and the main thread may race to emit)."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+        print(json.dumps(line), flush=True)
+
+
 def _emit_best_effort(report):
     """Emit ONE JSON line from whatever stages completed."""
     if "fps" in report:
-        print(json.dumps(_json_line(report)), flush=True)
+        _emit_line(_json_line(report))
     elif "train_msps" in report:
         line = _json_line(report)
         line["metric"] = "training samples/s (render stage failed)"
         line["value"] = round(report["train_msps"] * 1e6, 0)
         line["unit"] = "samples/s"
         line["vs_baseline"] = 0.0
-        print(json.dumps(line), flush=True)
+        _emit_line(line)
     else:
         return False
     return True
@@ -343,16 +361,20 @@ def main_safe():
     done = threading.Event()
 
     def _watchdog():
-        budget = float(os.environ.get("VNR_BENCH_WATCHDOG", "2700"))
+        try:
+            budget = float(os.environ.get("VNR_BENCH_WATCHDOG", "2700"))
+        except ValueError:
+            log("WATCHDOG: malformed VNR_BENCH_WATCHDOG; using 2700s")
+            budget = 2700.0
         if not done.wait(budget):
             log(f"WATCHDOG: bench exceeded {budget:.0f}s (wedged device "
                 "link?); emitting best-effort metrics")
             if not _emit_best_effort(report):
-                print(json.dumps({
+                _emit_line({
                     "metric": "bench watchdog: no stage completed "
                               "(device link wedged)",
                     "value": 0.0, "unit": "fps", "vs_baseline": 0.0,
-                }), flush=True)
+                })
             # exit 0 so the driver still records the emitted line
             os._exit(0)
 

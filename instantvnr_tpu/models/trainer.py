@@ -77,11 +77,14 @@ def make_loss_fn(field: NeuralField):
 def _one_step(field: NeuralField, volume: jnp.ndarray, batch: int,
               state: TrainState):
     """A single fused sample→forward→backward→Adam step."""
-    from instantvnr_tpu.ops.trilinear import sample_volume_tex
+    from instantvnr_tpu.data.sampler import sample_static
 
     key, k_batch = jax.random.split(state.key)
-    coords = jax.random.uniform(k_batch, (batch, 3), jnp.float32)
-    targets = sample_volume_tex(volume, coords)[:, None]
+    # the ONE StaticSampler::sample implementation (data/sampler.py) —
+    # inlined by jit, bit-identical to uniform + sample_volume_tex
+    coords, targets = sample_static(volume, k_batch, batch,
+                                    jnp.zeros((3,), jnp.float32),
+                                    jnp.ones((3,), jnp.float32))
 
     loss_fn = make_loss_fn(field)
     loss, grads = jax.value_and_grad(loss_fn)(state.params, coords, targets)
