@@ -278,6 +278,26 @@ def main(report=None):
     except Exception as e:  # noqa: BLE001
         log(f"isosurface stage failed: {e!r}")
 
+    # progressive path tracing of the decoded grid (MethodPathTracing,
+    # method_pathtracing.cu; per-accumulation-frame fps)
+    try:
+        from instantvnr_tpu.render.pathtrace import PathTraceRenderer
+
+        rpt = PathTraceRenderer(size, size, mc, tf, r.decoded)
+        rpt.set_camera(cam)
+        for _ in range(3):
+            rpt.render()
+        _ = float(rpt._frame.ravel()[0])
+        t0 = time.time()
+        for _ in range(10):
+            rpt.render()
+        _ = float(rpt._frame.ravel()[0])
+        report["pt_fps"] = 10 / (time.time() - t0)
+        log(f"pathtrace {size}x{size}: {report['pt_fps']:.2f} fps")
+        del rpt
+    except Exception as e:  # noqa: BLE001
+        log(f"pathtrace stage failed: {e!r}")
+
     _emit_line(_json_line(report))
 
 
@@ -297,6 +317,8 @@ def _json_line(report):
         secondary["slab_fps_512_shaded"] = round(report["fps_shaded"], 3)
     if "iso_fps" in report:
         secondary["isosurface_fps_512"] = round(report["iso_fps"], 3)
+    if "pt_fps" in report:
+        secondary["pathtrace_fps_512"] = round(report["pt_fps"], 3)
     if "psnr" in report:
         secondary["psnr_db"] = round(report["psnr"], 2)
     if "compression" in report:
