@@ -31,8 +31,9 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(fields_ref,  # (1, 4, ay, ax) VMEM — value + 3 grad components
             my_ref,      # (1, TH, ay)
             mx_ref,      # (1, wi, ax)
-            covy_ref,    # (1, TH)  f32 0/1
-            covx_ref,    # (1, wi)  f32 0/1 (slab keep/in_front/z-clip folded)
+            covy_ref,    # (1, TH, 1)  f32 0/1
+            covx_ref,    # (1, 1, wi)  f32 0/1 (slab keep/in_front/z-clip
+                         #             folded)
             iso_ref,     # (1,) SMEM
             out_ref):    # (10, TH, wi) — layout above
     k = pl.program_id(1)
@@ -55,7 +56,7 @@ def _kernel(fields_ref,  # (1, 4, ay, ax) VMEM — value + 3 grad components
     vals = rs[0]
 
     iso = iso_ref[0]
-    cov = covy_ref[0][:, None] * covx_ref[0][None, :]  # f32 0/1
+    cov = covy_ref[0] * covx_ref[0]  # (TH,1)×(1,wi) → [TH, wi] f32 0/1
     found = out_ref[0]
     prev_v = out_ref[5]
     prev_ok = out_ref[6]
@@ -102,8 +103,8 @@ def iso_sweep(fields, my_all, mx_all, covy, covx, iso,
             pl.BlockSpec((1, 4, ay, ax), lambda i, k: (k, 0, 0, 0)),
             pl.BlockSpec((1, tile_h, ay), lambda i, k: (k, i, 0)),
             pl.BlockSpec((1, wi, ax), lambda i, k: (k, 0, 0)),
-            pl.BlockSpec((1, tile_h), lambda i, k: (k, i)),
-            pl.BlockSpec((1, wi), lambda i, k: (k, 0)),
+            pl.BlockSpec((1, tile_h, 1), lambda i, k: (k, i, 0)),
+            pl.BlockSpec((1, 1, wi), lambda i, k: (k, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((10, tile_h, wi), lambda i, k: (0, i, 0)),
@@ -111,6 +112,7 @@ def iso_sweep(fields, my_all, mx_all, covy, covx, iso,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(fields, my_all, mx_all, covy, covx, iso.reshape(1))
+    )(fields, my_all, mx_all, covy[:, :, None], covx[:, None, :],
+      iso.reshape(1))
 
     return out[0], out[1], jnp.moveaxis(out[2:5], 0, -1)

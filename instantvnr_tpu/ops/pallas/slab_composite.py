@@ -40,8 +40,8 @@ def _kernel(kc: int,
             vol_ref,      # (1, ay, ax)  VMEM
             my_ref,       # (1, TH, ay)  VMEM
             mx_ref,       # (1, wi, ax)  VMEM
-            covy_ref,     # (1, TH)      VMEM  f32 0/1
-            covx_ref,     # (1, wi)      VMEM  f32 0/1 (slab keep folded in)
+            covy_ref,     # (1, TH, 1)   VMEM  f32 0/1
+            covx_ref,     # (1, 1, wi)   VMEM  f32 0/1 (slab keep folded in)
             corr_ref,     # (TH, wi)     VMEM
             ctrl_ref,     # (kc, 8)      SMEM  rows: [x, r, g, b, a, lo, hi, 0]
             out_ref):     # (4, TH, wi)  VMEM  premult rgb + transmittance
@@ -86,7 +86,7 @@ def _blend(out_ref, covy_ref, covx_ref, corr_ref, rgb, acc_a):
     front-to-back blend into the VMEM-resident carry."""
     trans = out_ref[3]
     alpha = 1.0 - jnp.power(jnp.maximum(1.0 - acc_a, 0.0), corr_ref[:])
-    mask = (covy_ref[0][:, None] * covx_ref[0][None, :]
+    mask = (covy_ref[0] * covx_ref[0]
             * (trans > 1.0 - NEARLY_ONE).astype(jnp.float32))
     alpha = alpha * mask
     w = trans * alpha
@@ -104,11 +104,11 @@ def _kernel_ext(kc: int, perm: tuple, shade: bool, shadow: bool,
                 sh_ref,       # (1, ay, ax)    VMEM (dummy (1,1,1) if !shadow)
                 my_ref,       # (1, TH, ay)
                 mx_ref,       # (1, wi, ax)
-                covy_ref,     # (1, TH)
-                covx_ref,     # (1, wi)  (slab keep folded in)
+                covy_ref,     # (1, TH, 1)
+                covx_ref,     # (1, 1, wi)  (slab keep folded in)
                 corr_ref,     # (TH, wi)
-                xsrc_ref,     # (1, wi)  permuted-voxel x of each column
-                ysrc_ref,     # (1, TH)  permuted-voxel y of each row
+                xsrc_ref,     # (1, 1, wi)  permuted-voxel x of each column
+                ysrc_ref,     # (1, TH, 1)  permuted-voxel y of each row
                 zw_ref,       # (D,) SMEM — slab z in UNFLIPPED voxel coords
                 ctrl_ref,     # (kc, 8) SMEM
                 misc_ref,     # (11,) SMEM — layout above
@@ -146,8 +146,8 @@ def _kernel_ext(kc: int, perm: tuple, shade: bool, shadow: bool,
         # per-pixel world position of this slab's samples: permuted source
         # coords (x per column, y per row, z per slab) → world components
         th, wi = rs[0].shape
-        p_perm = [jnp.broadcast_to(xsrc_ref[0][None, :], (th, wi)),
-                  jnp.broadcast_to(ysrc_ref[0][:, None], (th, wi)),
+        p_perm = [jnp.broadcast_to(xsrc_ref[0], (th, wi)),
+                  jnp.broadcast_to(ysrc_ref[0], (th, wi)),
                   jnp.full((th, wi), zw_ref[k])]
         p_world = [None, None, None]
         for i_ax in range(3):
@@ -195,9 +195,13 @@ def pick_tile_h(hi: int, wi: int, ay: int = 0, ax: int = 0,
                 n_fields: int = 1, out_planes: int = 4,
                 max_tile: int = 256,
                 budget_bytes: int = 12 << 20) -> int | None:
-    """Largest divisor of hi ≤ max_tile whose kernel working set fits VMEM,
-    preferring sublane-aligned (multiple-of-8) tiles; None when no tile
-    height fits (caller falls back to the XLA scan).
+    """Largest divisor of hi ≤ max_tile whose kernel working set fits VMEM;
+    None when no tile height fits (caller falls back to the XLA scan).
+
+    Only sublane-aligned tiles (multiple of 8, or the full hi) are legal:
+    Mosaic requires every block's second-to-last dim to be 8-divisible or
+    equal to the array dim, and tile_h appears as that dim in the carry /
+    correction / interpolation blocks.
 
     Working-set estimate per grid step (f32): double-buffered input blocks
     (n_fields slab planes [ay, ax], interpolation matrices [th, ay] /
@@ -209,14 +213,10 @@ def pick_tile_h(hi: int, wi: int, ay: int = 0, ax: int = 0,
             + th * wi
         return 4 * (2 * inputs + out_planes * th * wi) <= budget_bytes
 
-    best = None
     for th in range(min(hi, max_tile), 0, -1):
-        if hi % th == 0 and fits(th):
-            if th % 8 == 0 or th == hi:
-                return th
-            if best is None:
-                best = th
-    return best
+        if hi % th == 0 and (th % 8 == 0 or th == hi) and fits(th):
+            return th
+    return None
 
 
 @partial(jax.jit, static_argnums=(7, 8))
@@ -246,8 +246,8 @@ def composite_slabs(vol, my_all, mx_all, covy, covx, corr_exp, ctrl,
             pl.BlockSpec((1, ay, ax), lambda i, k: (k, 0, 0)),
             pl.BlockSpec((1, tile_h, ay), lambda i, k: (k, i, 0)),
             pl.BlockSpec((1, wi, ax), lambda i, k: (k, 0, 0)),
-            pl.BlockSpec((1, tile_h), lambda i, k: (k, i)),
-            pl.BlockSpec((1, wi), lambda i, k: (k, 0)),
+            pl.BlockSpec((1, tile_h, 1), lambda i, k: (k, i, 0)),
+            pl.BlockSpec((1, 1, wi), lambda i, k: (k, 0, 0)),
             pl.BlockSpec((tile_h, wi), lambda i, k: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -256,7 +256,8 @@ def composite_slabs(vol, my_all, mx_all, covy, covx, corr_exp, ctrl,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(vol, my_all, mx_all, covy, covx, corr_exp, ctrl)
+    )(vol, my_all, mx_all, covy[:, :, None], covx[:, None, :],
+      corr_exp, ctrl)
 
     return jnp.moveaxis(out[:3], 0, -1), 1.0 - out[3]
 
@@ -296,11 +297,11 @@ def composite_slabs_ext(fields, shadow_vol, my_all, mx_all, covy, covx,
             sh_spec,
             pl.BlockSpec((1, tile_h, ay), lambda i, k: (k, i, 0)),
             pl.BlockSpec((1, wi, ax), lambda i, k: (k, 0, 0)),
-            pl.BlockSpec((1, tile_h), lambda i, k: (k, i)),
-            pl.BlockSpec((1, wi), lambda i, k: (k, 0)),
+            pl.BlockSpec((1, tile_h, 1), lambda i, k: (k, i, 0)),
+            pl.BlockSpec((1, 1, wi), lambda i, k: (k, 0, 0)),
             pl.BlockSpec((tile_h, wi), lambda i, k: (i, 0)),
-            pl.BlockSpec((1, wi), lambda i, k: (k, 0)),
-            pl.BlockSpec((1, tile_h), lambda i, k: (k, i)),
+            pl.BlockSpec((1, 1, wi), lambda i, k: (k, 0, 0)),
+            pl.BlockSpec((1, tile_h, 1), lambda i, k: (k, i, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -310,8 +311,9 @@ def composite_slabs_ext(fields, shadow_vol, my_all, mx_all, covy, covx,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(fields, shadow_vol, my_all, mx_all, covy, covx, corr_exp,
-      x_src, y_src, zw, ctrl, misc)
+    )(fields, shadow_vol, my_all, mx_all, covy[:, :, None],
+      covx[:, None, :], corr_exp, x_src[:, None, :], y_src[:, :, None],
+      zw, ctrl, misc)
 
     return jnp.moveaxis(out[:3], 0, -1), 1.0 - out[3]
 
