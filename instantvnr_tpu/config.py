@@ -138,8 +138,9 @@ class ModelConfig:
     # corner-packed [size, 8F] companion tables rebuilt each step (one row
     # per dense level per sample instead of 8 — hash_encoding.py packed
     # notes); "plain" keeps the single fused gather; "auto" (default) →
-    # packed on TPU for big schemas (≥2^22 params, where the forward gather
-    # is HBM/issue-bound), plain elsewhere
+    # plain everywhere: measured on v5e (scratch/packed_train.py) the
+    # per-step rebuild never nets out (worst at 2^19: 124.7→135.3 ms/step).
+    # Render-side packing is separate (render_params packs once) and stays.
     grid_fwd_impl: str = "auto"
 
     def __post_init__(self):

@@ -101,10 +101,12 @@ def network_apply(params: Params, coords: jnp.ndarray,
         from instantvnr_tpu.ops.hash_encoding import hash_encode_splat
 
         fwd = field.cfg.grid_fwd_impl
-        packed_fwd = fwd == "packed" or (
-            fwd == "auto" and jax.default_backend() == "tpu"
-            and field.spec.n_params >= (1 << 22)
-            and any(field.spec.level_is_dense))
+        # "auto" = plain: measured on v5e (scratch/packed_train.py), the
+        # per-step packed-table rebuild never pays for itself in TRAINING —
+        # 55.5/91.5/124.7 ms plain vs 55.2/92.0/135.3 packed at 2^14/16/19.
+        # (Rendering still packs: render_params packs ONCE per checkpoint
+        # and the coherent-coords gather wins +24% wavefront fps at 2^19.)
+        packed_fwd = fwd == "packed"
         feats = hash_encode_splat(params["table"], coords, field.spec,
                                   compute_dtype=compute_dtype,
                                   packed_fwd=packed_fwd)

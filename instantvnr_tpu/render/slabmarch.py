@@ -79,10 +79,12 @@ class SlabSettings:
     # one sequential lax.scan that only blends (each slice read once)
     blend_mode: str = "assoc"
     # Fused Pallas compositor (ops/pallas/slab_composite.py): the whole
-    # slab loop as one kernel, carry resident in VMEM. "auto" = on TPU for
-    # the unshaded/unshadowed path; True forces it (interpret on CPU —
-    # tests); False keeps the XLA scan. Default pending on-chip validation.
-    pallas_compositor: bool | str = False
+    # slab loop as one kernel, carry resident in VMEM. "auto" = on TPU;
+    # True forces it (interpret on CPU — tests); False keeps the XLA scan.
+    # Measured on v5e @512² (scratch/slab_pallas_speed.py +
+    # plain_tile_sweep.py): plain 19.5→17.6 ms, shaded 21.3→18.4,
+    # shadowed 19.8→17.1, 512³ 32.7→26.4 — the kernel wins every variant.
+    pallas_compositor: bool | str = "auto"
 
 
 def compute_gradient_volumes(volume: jnp.ndarray) -> jnp.ndarray:
