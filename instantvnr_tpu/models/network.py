@@ -8,6 +8,17 @@ the same JSON schema. Parameters live in a plain dict pytree:
 
 so they serialize naturally (orbax / BSON interop in serializer.py) and
 shard/replicate trivially under `jax.sharding`.
+
+Inference contexts produced by `render_params` carry two extra keys:
+  "_render": ()           — leafless static marker (part of the jit treedef,
+                            zero runtime cost); network_apply reads it to
+                            select the inference-only fast paths (Pallas
+                            fused MLP under mlp_impl="auto", packed gathers)
+  "packed": {lvl: [T,8F]} — corner-packed dense-level tables (big schemas)
+Contexts built by hand (or round-tripped through a serializer that drops
+empty-tuple leaves) lose the marker and silently fall back to the training
+MLP path; render factories (make_neural_sample_fn) warn once when that
+happens.
 """
 from __future__ import annotations
 

@@ -152,6 +152,28 @@ def _fused_mlp(params, x, cfg: NetworkConfig, tile: int, interpret: bool):
     return y
 
 
+def _residual_safe_tile(tile: int, n_layers: int, width: int, n_in: int,
+                        budget_bytes: int = 12 << 20) -> int:
+    """Largest divisor of `tile` (multiple of 8, or tile itself) whose
+    save_residuals working set fits the scoped-VMEM budget.
+
+    The differentiation path adds an [n_layers-1, tile, W] f32 residual
+    block; at tile ≳ 3000 (5-layer, W=64) the double-buffered working set
+    overflows the ~16 MB VMEM scope that the bf16-residual version fit.
+    The forward-only path is unaffected (callers may pass large tiles)."""
+
+    def fits(t: int) -> bool:
+        # double-buffered f32 blocks: input tile, padded output tile,
+        # residual stack (weights are small and grid-invariant)
+        per_step = t * n_in + t * _LANES + max(n_layers - 1, 0) * t * width
+        return 4 * 2 * per_step <= budget_bytes
+
+    t = tile
+    while t > 8 and (not fits(t) or tile % t):
+        t -= 8
+    return max(t, 8)
+
+
 def _fwd(params, x, cfg, tile, interpret):
     if len(params) == 1:
         # single matmul: nothing to save; plain XLA backward is optimal
@@ -168,6 +190,8 @@ def _fwd(params, x, cfg, tile, interpret):
                         preferred_element_type=jnp.float32)
         y = _apply_act(z_out, out_act)
         return y, (params, x, None, z_out)
+    tile = _residual_safe_tile(tile, len(params), params[0].shape[1],
+                               x.shape[1])
     z_out, zs = _pallas_forward(params, x, cfg, tile, interpret, True)
     y = _apply_act(z_out, cfg.output_activation.lower())
     return y, (params, x, zs, z_out)

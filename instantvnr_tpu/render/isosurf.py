@@ -127,6 +127,13 @@ def slab_iso_render(
         from instantvnr_tpu.ops.pallas.slab_composite import pick_tile_h
 
         tile_h = pick_tile_h(hi, wi, ay_n, ax_n, n_fields=4, out_planes=10)
+        if settings.pallas_sweep is True and tile_h is None:
+            import warnings
+
+            warnings.warn(
+                "pallas_sweep=True but no legal tile height fits "
+                f"(hi={hi}, wi={wi}); falling back to the XLA sweep",
+                stacklevel=2)
         use_pallas = tile_h is not None
     if use_pallas:
         from instantvnr_tpu.render.slabmarch import (

@@ -266,6 +266,19 @@ def make_neural_sample_fn(field, chunk: int = 1 << 18):
     from instantvnr_tpu.models.network import network_apply_chunked
 
     def fn(params, p):
+        if isinstance(params, dict) and "_render" not in params:
+            # trace-time check (runs once per ctx treedef): an unmarked ctx
+            # in a render context silently loses the inference fast paths
+            # (Pallas MLP / packed gathers) — pass params through
+            # models.network.render_params (models/network.py docstring)
+            import warnings
+
+            if not _NEURAL_SAMPLE_FN_CACHE.get("_warned"):
+                _NEURAL_SAMPLE_FN_CACHE["_warned"] = True
+                warnings.warn(
+                    "neural sample ctx lacks the '_render' marker — "
+                    "inference fast paths disabled; build the ctx with "
+                    "models.network.render_params", stacklevel=2)
         return network_apply_chunked(params, p, field, chunk=chunk)[:, 0]
 
     _NEURAL_SAMPLE_FN_CACHE[key] = fn

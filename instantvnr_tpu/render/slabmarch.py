@@ -83,7 +83,11 @@ class SlabSettings:
     # True forces it (interpret on CPU — tests); False keeps the XLA scan.
     # Measured on v5e @512² (scratch/slab_pallas_speed.py +
     # plain_tile_sweep.py): plain 19.5→17.6 ms, shaded 21.3→18.4,
-    # shadowed 19.8→17.1, 512³ 32.7→26.4 — the kernel wins every variant.
+    # shadowed 19.8→17.1, 512³ 32.7→26.4. Caveat: the plain 128³ case is
+    # WITHIN TUNNEL NOISE of the XLA scan (one mixed run recorded 27.6 vs
+    # 22.2 the other way); the flip rests on clean back-to-back pairs, so
+    # a future small regression there is likely measurement noise, not a
+    # code bug. The shaded/shadowed/512³ margins are solid.
     pallas_compositor: bool | str = "auto"
 
 
@@ -429,8 +433,18 @@ def slab_render(
 
         n_fields = (4 if use_shading else 1) + (1 if use_shadow else 0)
         tile_h = pick_tile_h(hi, wi, ay_n, ax_n, n_fields=n_fields)
-        use_pallas = (tile_h is not None
-                      and tf.ctrl_x.shape[0] - 1 <= _CONTROLS_CROSSOVER)
+        ok = (tile_h is not None
+              and tf.ctrl_x.shape[0] - 1 <= _CONTROLS_CROSSOVER)
+        if settings.pallas_compositor is True and not ok:
+            # forced-True config silently losing kernel coverage is how
+            # parity tests rot — make the XLA-scan fallback loud
+            import warnings
+
+            warnings.warn(
+                "pallas_compositor=True but no legal tile/TF fits "
+                f"(tile_h={tile_h}, n_ctrl={tf.ctrl_x.shape[0] - 1}); "
+                "falling back to the XLA scan compositor", stacklevel=2)
+        use_pallas = ok
     if use_pallas:
         z_ks, my_all, mx_all, x_src, y_src = _per_slab_state(
             e, z_ref, xs, ys, d_slab, ax_n, ay_n)

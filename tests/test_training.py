@@ -98,14 +98,47 @@ class TestMetrics:
         gt = jnp.asarray(np.random.default_rng(0).random((12, 12, 12), np.float32))
         assert float(ssim_arrays(gt, gt)) == pytest.approx(1.0, abs=1e-4)
 
-    def test_ssim_matches_skimage(self):
-        skimage = pytest.importorskip("skimage.metrics")
+    def test_ssim_matches_numpy_oracle(self):
+        # Independent brute-force NumPy SSIM oracle with the reference
+        # kernel's semantics (network.cu:474-549: uniform 7³ window, sample
+        # covariance N/(N−1), K1=0.01/K2=0.03, mean over crop-valid voxels).
+        # skimage.structural_similarity(win_size=7, data_range=1.0) computes
+        # the identical quantity; this oracle removes the environment
+        # dependency (and its skip) while staying independent of the JAX
+        # implementation's separable-convolution evaluation.
+        def ssim_oracle(pred, gt, win=7, data_range=1.0):
+            c1 = (0.01 * data_range) ** 2
+            c2 = (0.03 * data_range) ** 2
+            n = win**3
+            dz, dy, dx = gt.shape
+            vals = []
+            for z in range(dz - win + 1):
+                for y in range(dy - win + 1):
+                    for x in range(dx - win + 1):
+                        a = gt[z:z + win, y:y + win, x:x + win].astype(np.float64)
+                        b = pred[z:z + win, y:y + win, x:x + win].astype(np.float64)
+                        ua, ub = a.mean(), b.mean()
+                        va = ((a - ua) ** 2).sum() / (n - 1)
+                        vb = ((b - ub) ** 2).sum() / (n - 1)
+                        vab = ((a - ua) * (b - ub)).sum() / (n - 1)
+                        vals.append(
+                            ((2 * ua * ub + c1) * (2 * vab + c2))
+                            / ((ua * ua + ub * ub + c1) * (va + vb + c2)))
+            return float(np.mean(vals))
+
         rng = np.random.default_rng(3)
-        gt = rng.random((16, 16, 16)).astype(np.float32)
+        gt = rng.random((12, 12, 12)).astype(np.float32)
         pred = np.clip(gt + rng.normal(0, 0.1, gt.shape).astype(np.float32), 0, 1)
-        ref = skimage.structural_similarity(gt, pred, win_size=7, data_range=1.0)
+        ref = ssim_oracle(pred, gt)
         ours = float(ssim_arrays(jnp.asarray(pred), jnp.asarray(gt)))
         assert ours == pytest.approx(ref, abs=2e-3)
+        # if skimage happens to be present, cross-check it too
+        try:
+            from skimage.metrics import structural_similarity
+        except ImportError:
+            return
+        sk = structural_similarity(gt, pred, win_size=7, data_range=1.0)
+        assert ours == pytest.approx(sk, abs=2e-3)
 
     def test_decode_volume_shape(self):
         field = small_field()
