@@ -1,0 +1,209 @@
+"""Macrocell-guided brick cache — near-decoded-speed neural sampling.
+
+The sample-streaming wavefront (reference mode 5, `method_raymarching.cu:
+687-973`) evaluates the network at every sample: L·8 = 64 hash-table rows
+per sample, measured issue-bound at ~13 ns/row on v5e (NOTES_ROUND1) —
+~190 ns/sample, which caps the neural wavefront at ~0.8 fps @512².
+
+This module is the TPU-native redesign that amortizes those lookups
+ACROSS samples and frames: decode the network once per OCCUPIED macrocell
+(16³ voxels + ghost ring) into a brick pool, then sample the pool with
+corner-packed trilinear gathers — 2 gathers/sample (cell→slot LUT + one
+[8]-row corner gather) instead of 64. Memory scales with the occupied
+fraction under the CURRENT transfer function, not the full grid, so it
+covers the sample-streaming niche (volumes whose dense decode is too big)
+while rendering at near-decoded speed. The reference's closest analog is
+its macrocell-driven empty-space culling; the cache itself is new — CUDA
+in-shader inference made per-sample evaluation cheap enough not to need
+one, the v5e gather engine does not.
+
+Numerics: brick texels are decoded at the SAME half-voxel lattice as
+`models.metrics.decode_volume` ((i+0.5)/N, clamp addressing), and sampling
+applies the same cell-centered remap as `ops.trilinear.sample_volume` —
+so on occupied cells the cache reproduces the decoded-grid render
+bit-for-bit (tested), and differs from exact per-sample network evaluation
+only by the trilinear interpolation the DECODING modes already accept.
+
+Cache keying/invalidation is the caller's job (api.VNRenderer rebuilds on
+params/TF change, like the reference re-uploading inference params per
+epoch, tcnn_network.h:142-156).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instantvnr_tpu.accel.macrocell import MACROCELL_SIZE, MacroCell
+
+GHOST = 2  # ghost voxels per side: covers the cell-centered remap's ≤1-texel
+# shift plus the floor; gradient probes (±1 voxel) resolve through the
+# NEIGHBOR cell's brick, which `dilate` guarantees exists
+BRICK = MACROCELL_SIZE + 2 * GHOST  # 20
+_BRICK3 = BRICK * BRICK * BRICK
+
+# corner order matches ops.hash_encoding._CORNERS: x fastest
+_CORNER_OFFS = tuple(
+    ((c >> 2) & 1) * BRICK * BRICK + ((c >> 1) & 1) * BRICK + ((c >> 0) & 1)
+    for c in range(8)
+)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _decode_brick_chunk(field, params, cell_ids, mc_dims: tuple,
+                        vol_dims: tuple) -> jnp.ndarray:
+    """Decode `len(cell_ids)` bricks → [n, BRICK³] float32.
+
+    cell_ids: [n] int32 flat macrocell ids ((z·my + y)·mx + x). Texels sit
+    at the decode lattice (g + 0.5)/N with g clamped to the grid (CUDA
+    clamp addressing), g = cell·16 − GHOST + local.
+    """
+    from instantvnr_tpu.models.network import network_apply_chunked
+
+    mx, my, _ = mc_dims
+    dims = jnp.asarray(vol_dims, jnp.float32)  # (dx, dy, dz)
+    cx = cell_ids % mx
+    cy = (cell_ids // mx) % my
+    cz = cell_ids // (mx * my)
+    cell = jnp.stack([cx, cy, cz], axis=-1)  # [n, 3]
+
+    l1 = jnp.arange(BRICK, dtype=jnp.int32)
+    lz, ly, lx = jnp.meshgrid(l1, l1, l1, indexing="ij")
+    local = jnp.stack([lx, ly, lz], axis=-1).reshape(-1, 3)  # [BRICK³, 3]
+
+    g = (cell[:, None, :] * MACROCELL_SIZE - GHOST + local[None, :, :])
+    g = jnp.clip(g.astype(jnp.float32), 0.0, dims - 1.0)
+    coords = ((g + 0.5) / dims).reshape(-1, 3)
+    vals = network_apply_chunked(params, coords, field)[:, 0]
+    return vals.reshape(-1, _BRICK3)
+
+
+@jax.jit
+def _pack_corners(pool_flat: jnp.ndarray) -> jnp.ndarray:
+    """[M] texel pool → [M, 8] corner-packed rows (row i = the 8 trilinear
+    corners of the dual cell whose min corner is texel i). Flat shifts are
+    safe: addressed min-corners never sit on a brick's last row/col/slice
+    (local ≤ BRICK−2 by construction), so no shift crosses a brick."""
+    m = pool_flat.shape[0]
+    cols = []
+    for off in _CORNER_OFFS:
+        if off == 0:
+            cols.append(pool_flat)
+        else:
+            cols.append(jnp.concatenate(
+                [pool_flat[off:], jnp.zeros((off,), pool_flat.dtype)]))
+    return jnp.stack(cols, axis=1).reshape(m, 8)
+
+
+def occupied_cells(mc: MacroCell, dilate: int = 1,
+                   eps: float = 1e-6) -> np.ndarray:
+    """Flat ids of macrocells with max opacity > eps (host-side), dilated
+    by `dilate` cells so neighbor-crossing queries (gradient probes,
+    boundary jitter) resolve instead of missing."""
+    occ = np.asarray(mc.max_opacity) > eps  # [mz, my, mx]
+    for _ in range(dilate):
+        # wrap-free face dilation (shading probes are axis-aligned ±1 voxel,
+        # so face neighbors suffice)
+        pad = np.pad(occ, 1, constant_values=False)
+        grown = occ.copy()
+        for ax in range(3):
+            sl_lo = [slice(1, -1)] * 3
+            sl_hi = [slice(1, -1)] * 3
+            sl_lo[ax] = slice(0, -2)
+            sl_hi[ax] = slice(2, None)
+            grown |= pad[tuple(sl_lo)] | pad[tuple(sl_hi)]
+        occ = grown
+    return np.flatnonzero(occ.reshape(-1)).astype(np.int32)
+
+
+def build_brick_cache(field, params, mc: MacroCell, dilate: int = 1,
+                      dtype=jnp.float32, chunk_bricks: int = 32) -> dict:
+    """Decode the occupied bricks and return the sample ctx for
+    `brick_sample_fn`. Dispatches the decode in host-side chunks of
+    `chunk_bricks` (bounded device programs — the tunnel faults on very
+    long ones, CLAUDE.md).
+
+    ctx = {"lut" [n_cells] int32 (slot or −1), "packed" [n·BRICK³, 8],
+           "dims" [3] f32, "mcdims" [3] i32, "_render" ()}
+    """
+    cells = occupied_cells(mc, dilate=dilate)
+    mc_dims = tuple(int(d) for d in mc.dims)
+    vol_dims = tuple(int(d) for d in mc.volume_dims)
+    lut = np.full(mc_dims[0] * mc_dims[1] * mc_dims[2], -1, np.int32)
+    lut[cells] = np.arange(cells.size, dtype=np.int32)
+    n = max(int(cells.size), 1)
+    if cells.size == 0:
+        # degenerate pool (fully TF-empty scene): one dummy brick that no
+        # LUT entry points at — every query stays a miss
+        cells = np.zeros((1,), np.int32)
+
+    parts = []
+    for i in range(0, n, chunk_bricks):
+        ids = cells[i:i + chunk_bricks]
+        if ids.size < chunk_bricks:
+            # pad the tail chunk to the static shape; extra bricks decode
+            # a repeated cell and are sliced off below
+            ids = np.concatenate(
+                [ids, np.full(chunk_bricks - ids.size, ids[-1], np.int32)])
+        vals = _decode_brick_chunk(field, params, jnp.asarray(ids),
+                                   mc_dims, vol_dims)
+        parts.append(vals)
+    pool = jnp.concatenate(parts, axis=0)[:n].astype(dtype)
+    packed = _pack_corners(pool.reshape(-1))
+    return {
+        "lut": jnp.asarray(lut),
+        "packed": packed,
+        "dims": jnp.asarray(vol_dims, jnp.float32),
+        "mcdims": jnp.asarray(mc_dims, jnp.int32),
+        "_render": (),
+    }
+
+
+def brick_cache_bytes(mc: MacroCell, dilate: int = 1,
+                      dtype=jnp.float32) -> int:
+    """Device bytes the packed pool would take (for auto/memory gating)."""
+    n = max(int(occupied_cells(mc, dilate=dilate).size), 1)
+    return n * _BRICK3 * 8 * jnp.dtype(dtype).itemsize
+
+
+def brick_sample_fn(ctx: dict, p: jnp.ndarray) -> jnp.ndarray:
+    """Sample the brick pool at object-space positions p [N,3] → values [N].
+
+    Same convention as `ops.trilinear.sample_volume` (cell-centered remap,
+    clamp addressing). Queries whose macrocell is not cached return 0.0 —
+    by construction those cells are TF-empty (the marchers never emit
+    samples there; `dilate` covers shading probes that cross cell walls).
+    """
+    dims = ctx["dims"]  # (dx, dy, dz) f32
+    mcd = ctx["mcdims"]  # (mx, my, mz) i32
+    w = float(MACROCELL_SIZE)
+
+    pos_v = p * dims
+    cell = jnp.clip(jnp.floor(pos_v / w).astype(jnp.int32), 0,
+                    mcd[None, :] - 1)
+    cflat = (cell[:, 2] * mcd[1] + cell[:, 1]) * mcd[0] + cell[:, 0]
+    slot = ctx["lut"][cflat]
+
+    # texel coords: p(N−1) ∈ [0, N−1] (the remap p(1−1/N)+0.5/N, ×N, −0.5)
+    x = jnp.clip(p * (dims - 1.0), 0.0, dims - 1.0)
+    i0 = jnp.floor(x).astype(jnp.int32)
+    frac = x - i0.astype(jnp.float32)
+
+    local = i0 - (cell * MACROCELL_SIZE - GHOST)
+    # defensively clamp: out-of-brick locals only occur for miss queries
+    local = jnp.clip(local, 0, BRICK - 2)
+    lflat = (local[:, 2] * BRICK + local[:, 1]) * BRICK + local[:, 0]
+    idx = jnp.where(slot >= 0, slot, 0) * _BRICK3 + lflat
+    rows = ctx["packed"][idx].astype(jnp.float32)  # [N, 8]
+
+    fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
+    wx = jnp.stack([1.0 - fx, fx], -1)  # [N, 2]
+    wy = jnp.stack([1.0 - fy, fy], -1)
+    wz = jnp.stack([1.0 - fz, fz], -1)
+    # weights in _CORNER_OFFS order (x fastest): w[c] = wz[cz]·wy[cy]·wx[cx]
+    w8 = (wz[:, :, None, None] * wy[:, None, :, None]
+          * wx[:, None, None, :]).reshape(-1, 8)
+    val = jnp.sum(rows * w8, axis=-1)
+    return jnp.where(slot >= 0, val, 0.0)

@@ -53,6 +53,16 @@ class PathTraceSettings:
     light_ambient: float = 1.5  # instantvnr_types.h:146
     light_rgb: tuple = (1.0, 1.0, 1.0)
     light_dir: tuple = (0.7, 0.9, 0.4)  # flipped against view (renderer.cpp:98-100)
+    # host-orchestrated bucketed ray compaction (the reference wavefront
+    # PT exists because paths die exponentially — RR after 4 scatters,
+    # method_pathtracing.cu:366-376; this is the TPU analog, same scheme
+    # as render/compaction.py). Only honored by PathTraceRenderer.render
+    # (needs host-side live counts).
+    compact: bool = False
+    # tracking events per device dispatch in the compacted driver: amortizes
+    # the per-dispatch scalar readback; keep ≤ ~10 (long device programs
+    # fault through the tunnel)
+    events_per_dispatch: int = 8
 
 
 class _PTState(NamedTuple):
@@ -109,7 +119,6 @@ def pathtrace(
     world space and mapped through S⁻¹ the same way."""
     r = org.shape[0]
     dims = jnp.array(mc.volume_dims, jnp.float32)
-    w = float(MACROCELL_SIZE)
     light_dir = normalize(light_dir_world)
     light_rgb = jnp.asarray(settings.light_rgb, jnp.float32)
     box_lo = jnp.zeros(3) if clip_lower is None else clip_lower
@@ -131,118 +140,12 @@ def pathtrace(
         shadow=jnp.zeros((r,), bool),
         active=t_near < t_far,
     )
+    consts = _PTConsts(light_v=light_v, light_rgb=light_rgb, s_inv=s_inv,
+                       box_lo=box_lo, box_hi=box_hi, dims=dims)
 
     def superstep(carry):
         st, key, it = carry
-        key, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
-
-        # --- advance τ through the current cell -------------------------
-        p = st.org + (st.t + _PROBE_EPS)[:, None] * st.dirn
-        cell = jnp.floor(p / w).astype(jnp.int32)
-        majorant = _occupancy(mc, cell) * settings.density_scale
-        t1 = jnp.minimum(
-            jnp.maximum(_cell_exit_t(st.org, st.dirn, cell, w),
-                        st.t + _PROBE_EPS),
-            st.t_far,
-        )
-        dtau = (t1 - st.t) * majorant
-        crosses = st.tau > dtau  # τ survives the cell → move to next cell
-        t_coll = st.t + st.tau / jnp.maximum(majorant, _EPS)
-        new_t = jnp.where(crosses, t1, t_coll)
-        new_tau = jnp.where(crosses, st.tau - dtau, st.tau)
-
-        exited = crosses & (new_t >= st.t_far - _EPS)
-        candidate = ~crosses  # a collision candidate inside this cell
-
-        # --- one batched volume sample for all candidates ----------------
-        pos = st.org + new_t[:, None] * st.dirn
-        pos_obj = jnp.clip(pos / dims, 0.0, 1.0)
-        values = sample_fn(pos_obj)
-        rgb, alpha = classify_controls(tf, values)
-        u_accept = jax.random.uniform(k1, (r,))
-        real = candidate & (
-            u_accept * jnp.maximum(majorant, _EPS)
-            < alpha * settings.density_scale
-        )
-        null = candidate & ~real  # null collision: draw a fresh τ, continue
-        new_tau = jnp.where(null, -jnp.log1p(-jax.random.uniform(k2, (r,))),
-                            new_tau)
-
-        # --- event handling ----------------------------------------------
-        act = st.active
-        radiance = st.radiance
-        throughput = st.throughput
-        scatter_index = st.scatter_index
-        shadow = st.shadow
-        org_new = st.org
-        dir_new = st.dirn
-        t_new = new_t
-        tfar_new = st.t_far
-        terminate = jnp.zeros((r,), bool)
-
-        # (1) shadow ray resolved (exit → add light; hit → nothing), then
-        #     becomes a scatter ray with a uniform-sphere direction
-        shadow_done = act & shadow & (exited | real)
-        radiance = jnp.where(
-            (shadow_done & exited)[:, None],
-            radiance + throughput * light_rgb[None, :],
-            radiance,
-        )
-        sphere = _uniform_sphere(jax.random.uniform(k3, (r, 2))) * s_inv
-        dir_new = jnp.where(shadow_done[:, None], sphere, dir_new)
-        shadow = jnp.where(shadow_done, False, shadow)
-
-        # (2) scatter/primary ray escaped → ambient light (not primaries)
-        escape = act & ~st.shadow & exited
-        radiance = jnp.where(
-            (escape & (scatter_index > 0))[:, None],
-            radiance + throughput * settings.light_ambient,
-            radiance,
-        )
-        terminate = terminate | escape
-
-        # (3) real collision on a scatter/primary ray → russian roulette,
-        #     move origin, apply phase, fire shadow ray toward the light
-        hit = act & ~st.shadow & real
-        # floor keeps the boost division finite when throughput reaches
-        # exactly zero (black TF colors) and u draws exactly 0.0 — a NaN
-        # here would poison the progressive accumulation permanently
-        rr_q = jnp.clip(jnp.max(throughput, axis=-1), 1e-6, 0.95)
-        rr_kill = hit & (scatter_index > RUSSIAN_ROULETTE_LENGTH) & (
-            jax.random.uniform(k4, (r,)) > rr_q
-        )
-        rr_boost = hit & (scatter_index > RUSSIAN_ROULETTE_LENGTH) & ~rr_kill
-        throughput = jnp.where(
-            rr_boost[:, None], throughput / rr_q[:, None], throughput
-        )
-        terminate = terminate | rr_kill
-        hit = hit & ~rr_kill
-        scatter_index = jnp.where(hit, scatter_index + 1, scatter_index)
-        org_new = jnp.where(hit[:, None], pos, org_new)
-        throughput = jnp.where(
-            hit[:, None], throughput * PHASE_FACTOR * rgb, throughput
-        )
-        dir_new = jnp.where(hit[:, None], light_v[None, :], dir_new)
-        shadow = jnp.where(hit, True, shadow)
-
-        # segment restarts where the direction changed
-        restart = shadow_done | hit
-        tfar_restart = _restart_segment(org_new, dir_new, box_lo, box_hi)
-        tfar_new = jnp.where(restart, tfar_restart, tfar_new)
-        t_new = jnp.where(restart, 0.0, t_new)
-        # dedicated key: drawing from the carried `key` would reuse the
-        # same key material the next superstep's split consumes, giving
-        # mechanically correlated tau/scatter decisions across events
-        new_tau2 = jnp.where(
-            restart, -jnp.log1p(-jax.random.uniform(k5, (r,))), new_tau
-        )
-
-        active = act & ~terminate
-        st = _PTState(
-            org=org_new, dirn=dir_new, t=t_new, t_far=tfar_new, tau=new_tau2,
-            throughput=throughput, radiance=radiance,
-            scatter_index=scatter_index, shadow=shadow, active=active,
-        )
+        key, st = _pt_event(sample_fn, settings, mc, tf, consts, st, key)
         return st, key, it + 1
 
     def cond(carry):
@@ -255,9 +158,315 @@ def pathtrace(
     return jnp.concatenate([state.radiance, alpha[:, None]], axis=-1)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3), donate_argnums=(9,))
-def _pt_frame(sample_fn, width, height, settings, sample_ctx, cam_arrays,
-              mc, tf, key, accum, frame_index, xform=None):
+class _PTConsts(NamedTuple):
+    """Per-frame traced constants shared by every tracking event."""
+
+    light_v: jnp.ndarray  # [3] light direction in voxel marching space
+    light_rgb: jnp.ndarray  # [3]
+    s_inv: jnp.ndarray  # [3] world→voxel direction map
+    box_lo: jnp.ndarray  # [3] clip/volume box
+    box_hi: jnp.ndarray
+    dims: jnp.ndarray  # [3] volume dims (f32)
+
+
+def _pt_event(sample_fn, settings: PathTraceSettings, mc: MacroCell,
+              tf: TransferFunction, consts: _PTConsts, st: _PTState,
+              key: jax.Array):
+    """ONE delta-tracking event for every ray in `st` (masked).
+
+    Shared verbatim by the in-jit while_loop (`pathtrace`) and the
+    host-orchestrated compaction driver (`pathtrace_compacted`), so the two
+    schedules are bit-identical for identical key chains and ray order.
+    Returns (next carried key, new state); the key discipline is
+    key, k1..k5 = split(key, 6) per event.
+    """
+    r = st.org.shape[0]
+    w = float(MACROCELL_SIZE)
+    key, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
+
+    # --- advance τ through the current cell -------------------------
+    p = st.org + (st.t + _PROBE_EPS)[:, None] * st.dirn
+    cell = jnp.floor(p / w).astype(jnp.int32)
+    majorant = _occupancy(mc, cell) * settings.density_scale
+    t1 = jnp.minimum(
+        jnp.maximum(_cell_exit_t(st.org, st.dirn, cell, w),
+                    st.t + _PROBE_EPS),
+        st.t_far,
+    )
+    dtau = (t1 - st.t) * majorant
+    crosses = st.tau > dtau  # τ survives the cell → move to next cell
+    t_coll = st.t + st.tau / jnp.maximum(majorant, _EPS)
+    new_t = jnp.where(crosses, t1, t_coll)
+    new_tau = jnp.where(crosses, st.tau - dtau, st.tau)
+
+    exited = crosses & (new_t >= st.t_far - _EPS)
+    candidate = ~crosses  # a collision candidate inside this cell
+
+    # --- one batched volume sample for all candidates ----------------
+    pos = st.org + new_t[:, None] * st.dirn
+    pos_obj = jnp.clip(pos / consts.dims, 0.0, 1.0)
+    values = sample_fn(pos_obj)
+    rgb, alpha = classify_controls(tf, values)
+    u_accept = jax.random.uniform(k1, (r,))
+    real = candidate & (
+        u_accept * jnp.maximum(majorant, _EPS)
+        < alpha * settings.density_scale
+    )
+    null = candidate & ~real  # null collision: draw a fresh τ, continue
+    new_tau = jnp.where(null, -jnp.log1p(-jax.random.uniform(k2, (r,))),
+                        new_tau)
+
+    # --- event handling ----------------------------------------------
+    act = st.active
+    radiance = st.radiance
+    throughput = st.throughput
+    scatter_index = st.scatter_index
+    shadow = st.shadow
+    org_new = st.org
+    dir_new = st.dirn
+    t_new = new_t
+    tfar_new = st.t_far
+    terminate = jnp.zeros((r,), bool)
+
+    # (1) shadow ray resolved (exit → add light; hit → nothing), then
+    #     becomes a scatter ray with a uniform-sphere direction
+    shadow_done = act & shadow & (exited | real)
+    radiance = jnp.where(
+        (shadow_done & exited)[:, None],
+        radiance + throughput * consts.light_rgb[None, :],
+        radiance,
+    )
+    sphere = _uniform_sphere(jax.random.uniform(k3, (r, 2))) * consts.s_inv
+    dir_new = jnp.where(shadow_done[:, None], sphere, dir_new)
+    shadow = jnp.where(shadow_done, False, shadow)
+
+    # (2) scatter/primary ray escaped → ambient light (not primaries)
+    escape = act & ~st.shadow & exited
+    radiance = jnp.where(
+        (escape & (scatter_index > 0))[:, None],
+        radiance + throughput * settings.light_ambient,
+        radiance,
+    )
+    terminate = terminate | escape
+
+    # (3) real collision on a scatter/primary ray → russian roulette,
+    #     move origin, apply phase, fire shadow ray toward the light
+    hit = act & ~st.shadow & real
+    # floor keeps the boost division finite when throughput reaches
+    # exactly zero (black TF colors) and u draws exactly 0.0 — a NaN
+    # here would poison the progressive accumulation permanently
+    rr_q = jnp.clip(jnp.max(throughput, axis=-1), 1e-6, 0.95)
+    rr_kill = hit & (scatter_index > RUSSIAN_ROULETTE_LENGTH) & (
+        jax.random.uniform(k4, (r,)) > rr_q
+    )
+    rr_boost = hit & (scatter_index > RUSSIAN_ROULETTE_LENGTH) & ~rr_kill
+    throughput = jnp.where(
+        rr_boost[:, None], throughput / rr_q[:, None], throughput
+    )
+    terminate = terminate | rr_kill
+    hit = hit & ~rr_kill
+    scatter_index = jnp.where(hit, scatter_index + 1, scatter_index)
+    org_new = jnp.where(hit[:, None], pos, org_new)
+    throughput = jnp.where(
+        hit[:, None], throughput * PHASE_FACTOR * rgb, throughput
+    )
+    dir_new = jnp.where(hit[:, None], consts.light_v[None, :], dir_new)
+    shadow = jnp.where(hit, True, shadow)
+
+    # segment restarts where the direction changed
+    restart = shadow_done | hit
+    tfar_restart = _restart_segment(org_new, dir_new, consts.box_lo,
+                                    consts.box_hi)
+    tfar_new = jnp.where(restart, tfar_restart, tfar_new)
+    t_new = jnp.where(restart, 0.0, t_new)
+    # dedicated key: drawing from the carried `key` would reuse the
+    # same key material the next superstep's split consumes, giving
+    # mechanically correlated tau/scatter decisions across events
+    new_tau2 = jnp.where(
+        restart, -jnp.log1p(-jax.random.uniform(k5, (r,))), new_tau
+    )
+
+    active = act & ~terminate
+    st = _PTState(
+        org=org_new, dirn=dir_new, t=t_new, t_far=tfar_new, tau=new_tau2,
+        throughput=throughput, radiance=radiance,
+        scatter_index=scatter_index, shadow=shadow, active=active,
+    )
+    return key, st
+
+
+# ---------------------------------------------------------------------------
+# Host-orchestrated bucketed compaction (render/compaction.py scheme).
+#
+# Paths die exponentially (escape + russian roulette after 4 scatters), so
+# the masked while_loop pays full-frame sampling/arithmetic long after most
+# rays finished — exactly the regime the reference built its wavefront PT
+# for (method_pathtracing.cu:679-813). Here: all per-ray state stays in
+# _PTState, live rays are kept in a power-of-2 prefix, one jitted program
+# per bucket size advances `events_per_dispatch` tracking events and
+# returns the live count; the host shrinks the bucket when the count
+# halves. Key discipline matches `pathtrace` exactly (one split(key,6) per
+# event), so an uncompacted run is bit-identical to the in-jit loop.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(6,))
+def _pt_events_prefix(sample_fn, settings: PathTraceSettings, m: int,
+                      mc, tf, consts: _PTConsts, state: _PTState,
+                      key: jax.Array, sample_ctx):
+    """Advance `events_per_dispatch` tracking events on the first `m` rays.
+
+    Returns (state, carried key, live count in the prefix)."""
+    fn = partial(sample_fn, sample_ctx)
+    pre = jax.tree_util.tree_map(lambda a: a[:m], state)
+
+    def body(carry, _):
+        st, k = carry
+        k, st = _pt_event(fn, settings, mc, tf, consts, st, k)
+        return (st, k), None
+
+    (sub, key), _ = jax.lax.scan(body, (pre, key), None,
+                                 length=settings.events_per_dispatch)
+    new_state = jax.tree_util.tree_map(
+        lambda full, part: jax.lax.dynamic_update_slice(
+            full, part, (0,) * full.ndim),
+        state, sub)
+    return new_state, key, jnp.sum(sub.active.astype(jnp.int32))
+
+
+@jax.jit
+def _pt_unpermute(perm, radiance, scatter_index):
+    """Scatter per-slot results back to pixel order → rgba [R, 4]."""
+    r = perm.shape[0]
+    rad = jnp.zeros((r, 3), radiance.dtype).at[perm].set(radiance)
+    si = jnp.zeros((r,), scatter_index.dtype).at[perm].set(scatter_index)
+    alpha = jnp.where(si > 0, 1.0, 0.0)
+    return jnp.concatenate([rad, alpha[:, None]], axis=-1)
+
+
+def _pt_consts(mc, settings, light_dir_world, scale, clip_lower, clip_upper):
+    dims = jnp.array(mc.volume_dims, jnp.float32)
+    light_dir = normalize(light_dir_world)
+    s_inv = (jnp.ones(3, jnp.float32) if scale is None
+             else 1.0 / jnp.asarray(scale, jnp.float32))
+    return _PTConsts(
+        light_v=light_dir * s_inv,
+        light_rgb=jnp.asarray(settings.light_rgb, jnp.float32),
+        s_inv=s_inv,
+        box_lo=jnp.zeros(3) if clip_lower is None else clip_lower,
+        box_hi=dims if clip_upper is None else clip_upper,
+        dims=dims,
+    )
+
+
+def pathtrace_compacted(
+    sample_fn,
+    org: jnp.ndarray,
+    dirn: jnp.ndarray,
+    t_near: jnp.ndarray,
+    t_far: jnp.ndarray,
+    mc: MacroCell,
+    tf: TransferFunction,
+    key: jax.Array,
+    settings: PathTraceSettings,
+    light_dir_world: jnp.ndarray,
+    sample_ctx=None,
+    scale=None,
+    clip_lower=None,
+    clip_upper=None,
+) -> jnp.ndarray:
+    """`pathtrace` with host-orchestrated bucketed ray compaction.
+
+    Must be called OUTSIDE jit (reads live counts on the host). sample_fn is
+    called as sample_fn(sample_ctx, positions) and must be a long-lived
+    callable (it keys the per-bucket program cache)."""
+    from instantvnr_tpu.render.compaction import _bucket, _compact_prefix
+
+    r = org.shape[0]
+    consts = _pt_consts(mc, settings, light_dir_world, scale,
+                        clip_lower, clip_upper)
+
+    k_tau, key = jax.random.split(key)
+    state = _PTState(
+        org=org + 0.0,  # fresh buffers: the bucket programs donate them
+        dirn=dirn + 0.0,
+        t=t_near + 0.0,
+        t_far=t_far + 0.0,
+        tau=-jnp.log1p(-jax.random.uniform(k_tau, (r,))),
+        throughput=jnp.ones((r, 3), jnp.float32),
+        radiance=jnp.zeros((r, 3), jnp.float32),
+        scatter_index=jnp.zeros((r,), jnp.int32),
+        shadow=jnp.zeros((r,), bool),
+        active=t_near < t_far,
+    )
+    perm = jnp.arange(r, dtype=jnp.int32)
+
+    m = r
+    events = 0
+    count = int(jnp.sum(state.active.astype(jnp.int32)))
+    if count > 0 and _bucket(count, r) < m:
+        (), state, perm = _compact_prefix(m, (), state, perm)
+        m = _bucket(count, r)
+    while count > 0 and events < settings.max_events:
+        state, key, n_live = _pt_events_prefix(
+            sample_fn, settings, m, mc, tf, consts, state, key, sample_ctx)
+        events += settings.events_per_dispatch
+        count = int(n_live)  # host sync: one scalar per dispatch
+        if count > 0 and _bucket(count, r) < m:
+            (), state, perm = _compact_prefix(m, (), state, perm)
+            m = _bucket(count, r)
+
+    return _pt_unpermute(perm, state.radiance, state.scatter_index)
+
+
+def warmup_pt_programs(sample_fn, settings: PathTraceSettings, mc, tf,
+                       r: int, sample_ctx=None, parallel: bool = True,
+                       max_workers: int = 8) -> int:
+    """Pre-compile the PT bucket-program family for frame size `r`
+    (compaction.warmup_programs analog; trivial executions, t_far=0)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from instantvnr_tpu.render.compaction import bucket_sizes, _compact_prefix
+
+    zeros = jnp.zeros((r,), jnp.float32)
+    dirz = jnp.zeros((r, 3), jnp.float32).at[:, 2].set(1.0)
+    consts = _pt_consts(mc, settings,
+                        jnp.asarray(settings.light_dir, jnp.float32),
+                        None, None, None)
+    sizes = bucket_sizes(r)
+
+    def warm_one(mm: int):
+        st = _PTState(
+            org=jnp.zeros((r, 3), jnp.float32), dirn=dirz + 0.0,
+            t=zeros + 0.0, t_far=zeros + 0.0, tau=zeros + 1.0,
+            throughput=jnp.ones((r, 3), jnp.float32),
+            radiance=jnp.zeros((r, 3), jnp.float32),
+            scatter_index=jnp.zeros((r,), jnp.int32),
+            shadow=jnp.zeros((r,), bool),
+            active=jnp.zeros((r,), bool),
+        )
+        st, _, _ = _pt_events_prefix(sample_fn, settings, mm, mc, tf,
+                                     consts, st, jax.random.PRNGKey(0),
+                                     sample_ctx)
+        _compact_prefix(mm, (), st, jnp.arange(r, dtype=jnp.int32))
+
+    if parallel:
+        with ThreadPoolExecutor(max_workers=min(max_workers,
+                                                len(sizes))) as ex:
+            list(ex.map(warm_one, sizes))
+    else:
+        for mm in sizes:
+            warm_one(mm)
+    _pt_unpermute(jnp.arange(r, dtype=jnp.int32),
+                  jnp.zeros((r, 3), jnp.float32), jnp.zeros((r,), jnp.int32))
+    return len(sizes)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _pt_rays(width: int, height: int, settings, cam_arrays, mc_dims, key,
+             xform=None):
+    """Jittered ray generation + clip-box intersection + light flip, as its
+    own program (the compacted path traces outside jit)."""
     from instantvnr_tpu.render.transform import (
         clip_bounds,
         default_transform,
@@ -269,7 +478,7 @@ def _pt_frame(sample_fn, width, height, settings, sample_ctx, cam_arrays,
     k_jit, k_pt = jax.random.split(key)
     jit2 = jax.random.uniform(k_jit, (width * height, 2))
     org_w, dirn_w = camera_rays(cam, width, height, jitter=jit2)
-    dims = jnp.array(mc.volume_dims, jnp.float32)
+    dims = jnp.asarray(mc_dims, jnp.float32)
     if xform is None:
         xform = default_transform(dims)
     org, dirn = rays_to_voxel(xform, dims, org_w, dirn_w)
@@ -282,9 +491,16 @@ def _pt_frame(sample_fn, width, height, settings, sample_ctx, cam_arrays,
     view = normalize(cam_arrays[1] - cam_arrays[0])
     light = jnp.asarray(settings.light_dir, jnp.float32)
     light = jnp.where(jnp.dot(view, light) > 0, -light, light)
+    return org, dirn, t0, t1, light, lo, hi, k_pt, xform.scale
 
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3), donate_argnums=(9,))
+def _pt_frame(sample_fn, width, height, settings, sample_ctx, cam_arrays,
+              mc, tf, key, accum, frame_index, xform=None):
+    org, dirn, t0, t1, light, lo, hi, k_pt, scale = _pt_rays(
+        width, height, settings, cam_arrays, mc.volume_dims, key, xform)
     rgba = pathtrace(partial(sample_fn, sample_ctx), org, dirn, t0, t1,
-                     mc, tf, k_pt, settings, light, scale=xform.scale,
+                     mc, tf, k_pt, settings, light, scale=scale,
                      clip_lower=lo, clip_upper=hi)
     accum = jnp.where(frame_index == 1, rgba, accum + rgba)
     return accum, accum / frame_index.astype(jnp.float32)
@@ -323,6 +539,18 @@ class PathTraceRenderer:
         self.transform = transform
         self.frame_index = 0
 
+    def warmup(self, parallel: bool = True):
+        """Pre-compile this renderer's programs (for the compacted tracer
+        that is the whole bucket-program family, in parallel)."""
+        if self.settings.compact:
+            return warmup_pt_programs(
+                self.sample_fn, self.settings, self.mc, self.tf,
+                self.width * self.height, sample_ctx=self.sample_ctx,
+                parallel=parallel)
+        self.render()
+        self.frame_index = 0
+        return 1
+
     def render(self):
         self.frame_index += 1
         self._key, sub = jax.random.split(self._key)
@@ -335,6 +563,20 @@ class PathTraceRenderer:
         )
         if self.frame_index == 1:
             self._accum = jnp.zeros((self.width * self.height, 4), jnp.float32)
+        if self.settings.compact:
+            from instantvnr_tpu.render.renderer import _accumulate
+
+            org, dirn, t0, t1, light, lo, hi, k_pt, scale = _pt_rays(
+                self.width, self.height, self.settings, cam_arrays,
+                tuple(int(d) for d in self.mc.volume_dims), sub,
+                self.transform)
+            rgba = pathtrace_compacted(
+                self.sample_fn, org, dirn, t0, t1, self.mc, self.tf, k_pt,
+                self.settings, light, sample_ctx=self.sample_ctx,
+                scale=scale, clip_lower=lo, clip_upper=hi)
+            self._accum, self._frame = _accumulate(
+                rgba, self._accum, jnp.int32(self.frame_index))
+            return self._frame
         self._accum, self._frame = _pt_frame(
             self.sample_fn, self.width, self.height, self.settings,
             self.sample_ctx, cam_arrays, self.mc, self.tf, sub, self._accum,

@@ -1,0 +1,156 @@
+"""Brick cache (render/brickcache.py): the macrocell-guided decoded-brick
+pool must reproduce the decoded-grid sampling convention exactly on
+occupied cells, and the wavefront driven by it must match the decoded-grid
+wavefront frame."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instantvnr_tpu.accel import macrocell as mcmod
+from instantvnr_tpu.config import (
+    EncodingConfig,
+    ModelConfig,
+    NetworkConfig,
+    TransferFunctionConfig,
+)
+from instantvnr_tpu.data import synthetic_volume
+from instantvnr_tpu.models import NeuralField, create_train_state, train_steps
+from instantvnr_tpu.models.metrics import decode_volume
+from instantvnr_tpu.ops.trilinear import sample_volume
+from instantvnr_tpu.render.brickcache import (
+    brick_cache_bytes,
+    brick_sample_fn,
+    build_brick_cache,
+    occupied_cells,
+)
+
+
+def _scene(dims=(32, 32, 32), train=60):
+    vol = synthetic_volume(dims, kind="vorts")
+    from instantvnr_tpu.utils.tfn import bake_transfer_function
+
+    tf = bake_transfer_function(TransferFunctionConfig())
+    mc = mcmod.build(vol.data, vol.dims, tf)
+    cfg = ModelConfig(
+        encoding=EncodingConfig(n_levels=4, n_features_per_level=4,
+                                log2_hashmap_size=12, base_resolution=4),
+        network=NetworkConfig(n_neurons=32, n_hidden_layers=2),
+    )
+    field = NeuralField.from_config(cfg)
+    state = create_train_state(jax.random.PRNGKey(0), field)
+    if train:
+        state = train_steps(field, vol.data, state, train, 4096)
+    return vol, tf, mc, field, state
+
+
+class TestBrickCache:
+    def test_matches_decoded_grid_on_occupied_cells(self):
+        vol, tf, mc, field, state = _scene()
+        ctx = build_brick_cache(field, state.params, mc, dilate=1)
+        decoded = decode_volume(field, state.params,
+                                tuple(int(d) for d in mc.volume_dims))
+
+        # random positions inside OCCUPIED macrocells (incl. cell borders)
+        occ = occupied_cells(mc, dilate=0)
+        rng = np.random.default_rng(0)
+        mx, my, _ = (int(d) for d in mc.dims)
+        pick = occ[rng.integers(0, occ.size, 512)]
+        cx, cy, cz = pick % mx, (pick // mx) % my, pick // (mx * my)
+        base = np.stack([cx, cy, cz], -1).astype(np.float32) * 16.0
+        pos_v = base + rng.random((512, 3), np.float32) * 16.0
+        p = jnp.asarray(pos_v) / jnp.asarray(
+            [float(d) for d in mc.volume_dims])
+
+        got = brick_sample_fn(ctx, p)
+        want = sample_volume(decoded, p)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=1e-5)
+
+    def test_boundary_and_miss_behavior(self):
+        vol, tf, mc, field, state = _scene(train=0)
+        ctx = build_brick_cache(field, state.params, mc, dilate=0)
+        # corners/edges of the domain sample finite values
+        p = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0],
+                         [0.0, 1.0, 0.5], [1.0, 0.0, 0.25]], jnp.float32)
+        v = np.asarray(brick_sample_fn(ctx, p))
+        assert np.isfinite(v).all()
+
+    def test_empty_tf_misses_return_zero(self):
+        vol, tf, mc, field, state = _scene(train=0)
+        # zero out the occupancy: every query must be a miss → 0.0
+        import dataclasses as dc
+
+        mc0 = dc.replace(mc, max_opacity=jnp.zeros_like(mc.max_opacity))
+        ctx = build_brick_cache(field, state.params, mc0, dilate=0)
+        p = jnp.asarray(np.random.default_rng(1).random((64, 3), np.float32))
+        v = np.asarray(brick_sample_fn(ctx, p))
+        np.testing.assert_array_equal(v, 0.0)
+
+    def test_cache_bytes_estimate(self):
+        vol, tf, mc, field, state = _scene(train=0)
+        n = max(int(occupied_cells(mc, dilate=1).size), 1)
+        assert brick_cache_bytes(mc, dilate=1) == n * 20**3 * 8 * 4
+
+    def test_wavefront_frame_matches_decoded_wavefront(self):
+        """The compacted wavefront fed by the brick cache must equal the
+        same wavefront fed by trilinear lookups of the decoded grid."""
+        from instantvnr_tpu.render.camera import Camera
+        from instantvnr_tpu.render.raymarch import RaymarchSettings
+        from instantvnr_tpu.render.renderer import (
+            Renderer,
+            reference_sample_fn,
+        )
+
+        vol, tf, mc, field, state = _scene()
+        dims = tuple(int(d) for d in mc.volume_dims)
+        decoded = decode_volume(field, state.params, dims)
+        ctx = build_brick_cache(field, state.params, mc, dilate=1)
+        cam = Camera(eye=(0.15 * dims[0], 0.1 * dims[1], -2.0 * dims[2]),
+                     center=(0, 0, 0), up=(0, 1, 0), fovy=45)
+
+        frames = {}
+        for name, fn, c in (("decoded", reference_sample_fn, decoded),
+                            ("brick", brick_sample_fn, ctx)):
+            r = Renderer(24, 24, mc, tf, fn, sample_ctx=c,
+                         settings=RaymarchSettings(n_iters=4, compact=True),
+                         seed=7)
+            r.set_camera(cam)
+            r.render()
+            frames[name] = np.asarray(r._frame)
+        assert np.isfinite(frames["brick"]).all()
+        assert frames["brick"][:, 3].max() > 0.1  # something rendered
+        np.testing.assert_allclose(frames["brick"], frames["decoded"],
+                                   rtol=0, atol=1e-4)
+
+    def test_gradient_shading_frame_matches(self):
+        """Gradient probes cross cell walls — dilate=1 must keep the shaded
+        brick frame equal to the decoded-grid shaded frame."""
+        from instantvnr_tpu.render.camera import Camera
+        from instantvnr_tpu.render.raymarch import RaymarchSettings
+        from instantvnr_tpu.render.renderer import (
+            Renderer,
+            reference_sample_fn,
+        )
+
+        vol, tf, mc, field, state = _scene()
+        dims = tuple(int(d) for d in mc.volume_dims)
+        decoded = decode_volume(field, state.params, dims)
+        ctx = build_brick_cache(field, state.params, mc, dilate=1)
+        cam = Camera(eye=(0.15 * dims[0], 0.1 * dims[1], -2.0 * dims[2]),
+                     center=(0, 0, 0), up=(0, 1, 0), fovy=45)
+
+        frames = {}
+        for name, fn, c in (("decoded", reference_sample_fn, decoded),
+                            ("brick", brick_sample_fn, ctx)):
+            r = Renderer(16, 16, mc, tf, fn, sample_ctx=c,
+                         settings=RaymarchSettings(n_iters=4,
+                                                   shading="gradient"),
+                         seed=3)
+            r.set_camera(cam)
+            r.render()
+            frames[name] = np.asarray(r._frame)
+        np.testing.assert_allclose(frames["brick"], frames["decoded"],
+                                   rtol=0, atol=1e-4)

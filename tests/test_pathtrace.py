@@ -172,3 +172,87 @@ def test_facade_clipping_on_pathtrace_mode():
     half = r.mapframe()
     assert np.isfinite(half).all()
     assert 0 < (half[..., 3] > 0.2).sum() < n_full
+
+
+class TestPathtraceCompaction:
+    """Host-orchestrated bucketed compaction for the tracker
+    (render/pathtrace.pathtrace_compacted). Scheduling-only change: with
+    compaction disabled (bucket ≥ R) the result is BIT-IDENTICAL to the
+    in-jit while_loop (same key chain, same ray order); with compaction
+    the Monte Carlo estimate must agree statistically."""
+
+    def _rays(self, scene, n=16, seed=0):
+        import jax
+
+        from instantvnr_tpu.render.pathtrace import _pt_rays
+
+        vol, tf, mc = scene
+        cam = Camera(eye=(5, 4, -60), center=(0, 0, 0), up=(0, 1, 0),
+                     fovy=45)
+        cam_arrays = (jnp.asarray(cam.eye, jnp.float32),
+                      jnp.asarray(cam.center, jnp.float32),
+                      jnp.asarray(cam.up, jnp.float32),
+                      jnp.float32(cam.fovy))
+        settings = PathTraceSettings(max_events=160)
+        return _pt_rays(n, n, settings, cam_arrays,
+                        tuple(int(d) for d in mc.volume_dims),
+                        jax.random.PRNGKey(seed)), settings
+
+    def test_uncompacted_bit_parity(self, scene, monkeypatch):
+        import jax
+        from functools import partial
+
+        import instantvnr_tpu.render.compaction as comp
+        from instantvnr_tpu.render.pathtrace import (
+            pathtrace,
+            pathtrace_compacted,
+        )
+        from instantvnr_tpu.render.renderer import reference_sample_fn
+
+        vol, tf, mc = scene
+        (org, dirn, t0, t1, light, lo, hi, k_pt, scale), settings = \
+            self._rays(scene)
+        # bucket floor ≥ R ⇒ the driver never compacts / never permutes
+        monkeypatch.setattr(comp, "_MIN_BUCKET", 1 << 20)
+        got = pathtrace_compacted(
+            reference_sample_fn, org, dirn, t0, t1, mc, tf, k_pt, settings,
+            light, sample_ctx=vol.data, scale=scale,
+            clip_lower=lo, clip_upper=hi)
+        want = pathtrace(
+            partial(reference_sample_fn, vol.data), org, dirn, t0, t1, mc,
+            tf, k_pt, settings, light, scale=scale,
+            clip_lower=lo, clip_upper=hi)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=1e-6)
+
+    def test_compacted_statistical_parity(self, scene):
+        """Mean image over many progressive frames matches the in-jit
+        tracker's mean (both are unbiased estimators of the same integral)."""
+        vol, tf, mc = scene
+        frames = 48
+        means = {}
+        for compact in (False, True):
+            r = PathTraceRenderer(
+                16, 16, mc, tf, vol.data, seed=11,
+                settings=PathTraceSettings(max_events=160, compact=compact))
+            r.set_camera(Camera(eye=(5, 4, -60), center=(0, 0, 0),
+                                up=(0, 1, 0), fovy=45))
+            for _ in range(frames):
+                r.render()
+            means[compact] = np.asarray(r._frame)
+        assert np.isfinite(means[True]).all()
+        # alpha (hit/miss) is deterministic per pixel ray distribution —
+        # compare means loosely (MC noise ~1/sqrt(48))
+        np.testing.assert_allclose(means[True].mean(), means[False].mean(),
+                                   rtol=0.15)
+        np.testing.assert_allclose(means[True], means[False], atol=0.35)
+
+    def test_warmup_compiles_bucket_family(self, scene):
+        from instantvnr_tpu.render.pathtrace import warmup_pt_programs
+        from instantvnr_tpu.render.renderer import reference_sample_fn
+
+        vol, tf, mc = scene
+        n = warmup_pt_programs(reference_sample_fn,
+                               PathTraceSettings(max_events=32),
+                               mc, tf, 24 * 24, sample_ctx=vol.data)
+        assert n >= 1
