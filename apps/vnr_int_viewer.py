@@ -167,9 +167,10 @@ class ViewerApp:
         for m in RenderMode:
             needs_neural = m.name.startswith(("DECODED", "NEURAL")) or \
                 m.name in ("PATHTRACE_NEURAL", "PATHTRACE_DECODED",
-                           "ISOSURFACE_DECODED")
+                           "ISOSURFACE_DECODED", "FULL_SHADOW_DECODED")
             needs_simple = m.name.startswith("REFERENCE") or \
-                m.name in ("PATHTRACE_REFERENCE", "ISOSURFACE_REFERENCE")
+                m.name in ("PATHTRACE_REFERENCE", "ISOSURFACE_REFERENCE",
+                           "FULL_SHADOW_REFERENCE")
             if needs_neural and nv is None:
                 continue
             if needs_simple and renderer.simple is None:

@@ -91,13 +91,19 @@ class RenderMode(enum.IntEnum):
     # (interactive half of the reference's vnr_int_isosurface app,
     # apps/int_isosurface.cu — implicit slab-sweep instead of MC+OptiX mesh,
     # render/isosurf.py; mesh extraction/OBJ export stays in ops/isosurface)
+    FULL_SHADOW_DECODED = 12  # reference mode 2 (VNR_OPTIX_FULL_SHADOW,
+    # api.h:39) on the decoded grid: per-sample directional-light shadow
+    # modulation via the precomputed shadow volume on the slab path
+    FULL_SHADOW_REFERENCE = 13  # same on the GT grid: shadow-volume-
+    # modulated wavefront (method_optix.cu:208-215 semantics)
 
     @property
     def requires_decoding(self) -> bool:
         """vnrRequireDecoding (api.h:62-88): does the mode render from the
         decoded grid (and therefore need decode/infer before frames)?"""
         return self in (RenderMode.DECODED_SLAB, RenderMode.PATHTRACE_DECODED,
-                        RenderMode.ISOSURFACE_DECODED)
+                        RenderMode.ISOSURFACE_DECODED,
+                        RenderMode.FULL_SHADOW_DECODED)
 
 
 class TransferFunctionObject:
@@ -469,8 +475,10 @@ class NeuralVolume:
             if settings is None:
                 settings = old.settings
             shadow_light = old._shadow_light
+            mode_shadows = getattr(old, "_mode_shadows", False)
         else:
             old = decoded = next_blob = shadow_light = None
+            mode_shadows = False
         if self._decoder is None:
             mc = self.simple.macrocell if self.simple is not None else self.macrocell
             tf = tf or (old.tf if old is not None else None) or \
@@ -486,6 +494,10 @@ class NeuralVolume:
             if shadow_light is not None:
                 light, rate = shadow_light
                 self._decoder.enable_shadows(light, sampling_rate=rate)
+                # carry shadow OWNERSHIP too: FULL_SHADOW_DECODED-enabled
+                # shadows must still be disabled by a later DECODED_SLAB
+                # set_mode after a resize rebuild
+                self._decoder._mode_shadows = mode_shadows
         else:
             self._decoder.set_params(self.state.params)
             if self._decoder.transform is not self.transform:
@@ -712,6 +724,15 @@ class VNRenderer:
             impl.settings = _dc.replace(
                 impl.settings, sampling_rate=self.sampling_rate,
                 density_scale=self.density_scale)
+            if getattr(impl, "_mode_shadows", False):
+                # shadows that FULL_SHADOW_DECODED enabled do not leak into
+                # the plain decoded mode (explicit enable_shadows() does);
+                # ownership lives on the SHARED cached decoder, not this
+                # renderer — other VNRenderers reuse the same impl
+                impl.disable_shadows()
+                impl.settings = _dc.replace(impl.settings,
+                                            shadow_ambient=0.35)
+                impl._mode_shadows = False
         elif mode in (RenderMode.NEURAL_WAVEFRONT,
                       RenderMode.NEURAL_WAVEFRONT_GRADIENT,
                       RenderMode.NEURAL_WAVEFRONT_SSH):
@@ -775,6 +796,37 @@ class VNRenderer:
                                settings=IsoSettings(
                                    sampling_rate=max(self.sampling_rate, 2.0)),
                                transform=xf)
+        elif mode == RenderMode.FULL_SHADOW_DECODED:
+            # reference mode 2 on the decoded grid: the slab path's
+            # shadow-volume modulation IS the per-sample transmittance
+            # (render/shadow.py); ambient floor = 1 − shadingScale to match
+            # lerp(shadingScale, c, c·shadow) (method_optix.cu:215)
+            assert self.neural is not None
+            impl = self.neural.ensure_decoded(self.width, self.height, tf=tf)
+            impl.settings = _dc.replace(
+                impl.settings, sampling_rate=self.sampling_rate,
+                density_scale=self.density_scale, shadow_ambient=0.05)
+            impl.enable_shadows(self._flipped_light(),
+                                sampling_rate=self.sampling_rate)
+            impl._mode_shadows = True
+        elif mode == RenderMode.FULL_SHADOW_REFERENCE:
+            # reference mode 2 on the GT grid: shadow-volume-modulated
+            # wavefront (RaymarchSettings.shading == "shadow")
+            assert self.simple is not None
+            from instantvnr_tpu.render.shadow import shadow_volume_for
+
+            impl = Renderer(
+                self.width, self.height, mc, tf, reference_sample_fn,
+                sample_ctx=self.simple.volume.data,
+                settings=RaymarchSettings(shading="shadow",
+                                          sampling_rate=self.sampling_rate,
+                                          density_scale=self.density_scale),
+                transform=xf,
+            )
+            self._shadow_light_used = self._flipped_light()
+            impl.set_shadow_volume(shadow_volume_for(
+                self.simple.volume.data, tf, self._shadow_light_used,
+                sampling_rate=self.sampling_rate))
         elif mode == RenderMode.PATHTRACE_NEURAL:
             # network inference inside the tracking loop — the reference's
             # neural path tracing (method_pathtracing.cu:679-813)
@@ -804,6 +856,35 @@ class VNRenderer:
     def set_camera(self, cam: Camera):
         self._camera = cam
         self._impl.set_camera(cam)
+        # FULL_SHADOW: the light flips against the view (renderer.cpp:98-100)
+        # and the precomputed shadow volume must follow the flip
+        if self.mode == RenderMode.FULL_SHADOW_DECODED:
+            self._impl.enable_shadows(self._flipped_light(),
+                                      sampling_rate=self.sampling_rate)
+        elif self.mode == RenderMode.FULL_SHADOW_REFERENCE:
+            light = self._flipped_light()
+            if light != getattr(self, "_shadow_light_used", None):
+                from instantvnr_tpu.render.shadow import shadow_volume_for
+
+                _, tf, _ = self._scene_parts()
+                self._shadow_light_used = light
+                self._impl.set_shadow_volume(shadow_volume_for(
+                    self.simple.volume.data, tf, light,
+                    sampling_rate=self.sampling_rate))
+
+    def _flipped_light(self) -> tuple:
+        """The frame light: the default directional light flipped against
+        the current view direction (renderer.cpp:98-100)."""
+        from instantvnr_tpu.render.raymarch import RaymarchSettings as _RS
+
+        light = np.asarray(_RS().light_dir, np.float32)
+        cam = self.camera
+        if cam is not None:
+            view = np.asarray(cam.center, np.float32) - np.asarray(
+                cam.eye, np.float32)
+            if float(np.dot(view, light)) > 0:
+                light = -light
+        return tuple(float(v) for v in light)
 
     def set_clipping_box(self, lower, upper):
         """vnrVolumeSetClippingBox + renderer refresh (api.cpp:322-338,
@@ -877,6 +958,7 @@ class VNRenderer:
         fresh across decodes and TF edits (render/shadow.py)."""
         assert self.mode == RenderMode.DECODED_SLAB, "shadows: decoded path"
         self._impl.enable_shadows(light_dir)
+        self._impl._mode_shadows = False  # user-owned from here on
 
     def disable_shadows(self):
         """Turn the decoded-path shadow volume off (mirror of
@@ -931,7 +1013,10 @@ class VNRenderer:
 
     @property
     def camera(self) -> Camera:
-        return self._camera or self._impl.camera
+        if self._camera is not None:
+            return self._camera
+        # mid-set_mode (from __init__) there is no impl yet — no camera
+        return self._impl.camera if self._impl is not None else None
 
     def render(self):
         """vnrRender (api.cpp:522)."""

@@ -57,7 +57,7 @@ def _bucket(count: int, r: int) -> int:
 @partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(7,))
 def _superstep_prefix(sample_fn, settings: RaymarchSettings, m: int,
                       mc, tf, light_dir, rays, state: _RayState,
-                      sample_ctx, scale):
+                      sample_ctx, scale, shadow_vol=None):
     """Run ONE superstep on the first `m` rays; everything else passes
     through. Returns (state, live_count_in_prefix)."""
     org, dirn, t_far, jitter = rays
@@ -65,7 +65,8 @@ def _superstep_prefix(sample_fn, settings: RaymarchSettings, m: int,
 
     pre = jax.tree_util.tree_map(lambda a: a[:m], state)
     sub = _superstep(fn, org[:m], dirn[:m], t_far[:m], jitter[:m],
-                     mc, tf, settings, light_dir, pre, scale=scale)
+                     mc, tf, settings, light_dir, pre, scale=scale,
+                     shadow_vol=shadow_vol)
     new_state = jax.tree_util.tree_map(
         lambda full, part: jax.lax.dynamic_update_slice(
             full, part, (0,) * full.ndim),
@@ -116,7 +117,7 @@ def bucket_sizes(r: int) -> list[int]:
 
 def warmup_programs(sample_fn, settings: RaymarchSettings, mc, tf, r: int,
                     sample_ctx=None, scale=None, parallel: bool = True,
-                    max_workers: int = 8) -> int:
+                    max_workers: int = 8, shadow_vol=None) -> int:
     """Pre-compile the whole bucket-program family for frame size `r`.
 
     Cold-start is dominated by the SERIAL compilation of the ~2·log2(r/8192)
@@ -140,7 +141,7 @@ def warmup_programs(sample_fn, settings: RaymarchSettings, mc, tf, r: int,
         # fresh state/rays per call: the programs donate their buffers
         st = init_ray_state(zeros + 0.0, zeros + 0.0)
         st, _ = _superstep_prefix(sample_fn, settings, m, mc, tf, light,
-                                  rays, st, sample_ctx, scale)
+                                  rays, st, sample_ctx, scale, shadow_vol)
         rr = tuple(x + 0.0 for x in rays)
         _compact_prefix(m, rr, st, jnp.arange(r, dtype=jnp.int32))
 
@@ -162,6 +163,8 @@ def warmup_programs(sample_fn, settings: RaymarchSettings, mc, tf, r: int,
         n += warmup_programs(sample_fn, ssh_shadow_settings(settings), mc,
                              tf, r, sample_ctx=sample_ctx, scale=scale,
                              parallel=parallel, max_workers=max_workers)
+    # (no shadow_vol in the SSH transmittance family: its settings use
+    # shading="none")
     return n
 
 
@@ -180,6 +183,7 @@ def raymarch_compacted(
     scale=None,  # [3] voxel→world scaling (render/transform.py)
     clip_lower=None,  # [3] voxel-space clip box (for SSH shadow rays)
     clip_upper=None,
+    shadow_vol=None,  # [dz,dy,dx] transmittance (shading == "shadow")
 ) -> jnp.ndarray:
     """`raymarch` with host-orchestrated bucketed ray compaction.
 
@@ -216,7 +220,7 @@ def raymarch_compacted(
     while count > 0 and steps < settings.max_supersteps:
         state, n_live = _superstep_prefix(
             sample_fn, settings, m, mc, tf, light_dir, rays, state,
-            sample_ctx, scale)
+            sample_ctx, scale, shadow_vol)
         steps += 1
         count = int(n_live)  # host sync: one scalar per superstep
         if count > 0 and _bucket(count, r) < m:

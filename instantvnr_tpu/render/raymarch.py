@@ -71,6 +71,13 @@ class RaymarchSettings:
     # self.step_rcp, method_raymarching.cu:365-399). None → sampling_rate.
     correction_sampling_rate: float | None = None
     fixed_steps: bool = False  # True → differentiable scan loop
+    # "shadow": per-sample directional-light shadow modulation — the
+    # reference's FULL_SHADOW mode (api.h:39, method_optix.cu:208-215:
+    # sampleColor = lerp(shadingScale, c, c·transmittance)). The per-sample
+    # shadow-ray march is replaced by the precomputed sheared-cumprod
+    # shadow volume (render/shadow.py) sampled trilinearly — same
+    # transmittance quantity, amortized (oracle-tested in test_shadow.py);
+    # callers pass it as `shadow_vol`.
     # host-orchestrated bucketed ray compaction (render/compaction.py) —
     # the TPU analog of the reference wavefront's stream compaction.
     # Only honored by Renderer.render (needs host-side counts, so it can't
@@ -78,7 +85,8 @@ class RaymarchSettings:
     compact: bool = False
 
     def __post_init__(self):
-        assert self.shading in ("none", "gradient", "ssh"), self.shading
+        assert self.shading in ("none", "gradient", "ssh",
+                                "shadow"), self.shading
 
 
 class _RayState(NamedTuple):
@@ -256,7 +264,8 @@ def init_ray_state(t_near: jnp.ndarray, t_far: jnp.ndarray) -> _RayState:
 
 def _superstep(sample_fn, org, dirn, t_far, jitter, mc: MacroCell,
                tf: TransferFunction, settings: "RaymarchSettings",
-               light_dir, state: _RayState, scale=None) -> _RayState:
+               light_dir, state: _RayState, scale=None,
+               shadow_vol=None) -> _RayState:
     """One bulk-synchronous superstep: EMIT → SAMPLE → COMPOSE.
 
     Shared by the in-jit loops of `raymarch` and the host-orchestrated
@@ -326,6 +335,18 @@ def _superstep(sample_fn, org, dirn, t_far, jitter, mc: MacroCell,
             settings.shading_scale * shaded
             + (1.0 - settings.shading_scale) * rgb_tf
         )
+    elif settings.shading == "shadow":
+        # FULL_SHADOW (method_optix.cu:208-215): modulate the TF color by
+        # the directional-light transmittance at the sample —
+        # lerp(shadingScale, c, c·shadow) = c·((1−s) + s·shadow)
+        from instantvnr_tpu.ops.trilinear import sample_volume
+
+        values = sample_fn(pos_obj.reshape(-1, 3)).reshape(r, k)
+        sh = sample_volume(shadow_vol, pos_obj.reshape(-1, 3)).reshape(r, k)
+        sh = jnp.clip(sh, 0.0, 1.0)
+        rgb_tf, _ = classify(tf, values)
+        s_ = settings.shading_scale
+        rgb_override = rgb_tf * ((1.0 - s_) + s_ * sh)[..., None]
     else:
         values = sample_fn(pos_obj.reshape(-1, 3)).reshape(r, k)
         rgb_override = None
@@ -360,6 +381,7 @@ def raymarch(
     scale=None,  # [3] voxel→world scaling (render/transform.py)
     clip_lower=None,  # [3] voxel-space clip box (api.h:146)
     clip_upper=None,
+    shadow_vol=None,  # [dz,dy,dx] transmittance (shading == "shadow")
 ) -> jnp.ndarray:
     """March rays through the volume; returns rgba [R,4].
 
@@ -390,7 +412,8 @@ def raymarch(
 
     def superstep(state: _RayState) -> _RayState:
         return _superstep(sample_fn, org, dirn, t_far, jitter, mc, tf,
-                          settings, light_dir, state, scale=scale)
+                          settings, light_dir, state, scale=scale,
+                          shadow_vol=shadow_vol)
 
     if settings.fixed_steps:
         def scan_body(st, _):

@@ -81,6 +81,7 @@ def _render_frame(
     accum: jnp.ndarray,
     frame_index: jnp.ndarray,
     xform=None,  # VolumeTransform (render/transform.py)
+    shadow_vol=None,  # [dz,dy,dx] transmittance (shading == "shadow")
 ):
     from instantvnr_tpu.render.transform import default_transform
 
@@ -94,7 +95,7 @@ def _render_frame(
     jitter = jax.random.uniform(key, (org.shape[0],), jnp.float32)
     rgba = raymarch(partial(sample_fn, sample_ctx), org, dirn, t0, t1, mc, tf,
                     jitter, settings, light_dir=light, scale=xform.scale,
-                    clip_lower=lo, clip_upper=hi)
+                    clip_lower=lo, clip_upper=hi, shadow_vol=shadow_vol)
 
     # progressive accumulation (writePixelColor, raytracing.h:196-207)
     accum = jnp.where(frame_index == 1, rgba, accum + rgba)
@@ -126,6 +127,7 @@ class Renderer:
         self._accum = jnp.zeros((width * height, 4), jnp.float32)
         self._frame = self._accum
         self.frame_index = 0
+        self.shadow_volume = None  # [dz,dy,dx] for shading == "shadow"
 
     # -- transactional updates (reference MainRenderer::set_*) --------------
 
@@ -150,6 +152,14 @@ class Renderer:
 
     def set_settings(self, settings: RaymarchSettings):
         self.settings = settings
+        self.reset_accumulation()
+
+    def set_shadow_volume(self, shadow_vol):
+        """Attach the directional-light transmittance grid for the
+        FULL_SHADOW variant (settings.shading == "shadow"); compute it
+        with render.shadow.shadow_volume_for. Traced pytree — no retrace
+        beyond the one None→array switch."""
+        self.shadow_volume = shadow_vol
         self.reset_accumulation()
 
     def set_transform(self, transform):
@@ -182,7 +192,8 @@ class Renderer:
             return warmup_programs(
                 self.sample_fn, self.settings, self.mc, self.tf,
                 self.width * self.height, sample_ctx=self.sample_ctx,
-                scale=self.transform.scale, parallel=parallel)
+                scale=self.transform.scale, parallel=parallel,
+                shadow_vol=self.shadow_volume)
         self.render()
         self.reset_accumulation()
         return 1
@@ -216,7 +227,8 @@ class Renderer:
                 self.sample_fn, org, dirn, t0, t1, self.mc, self.tf,
                 jitter, self.settings, light_dir=light,
                 sample_ctx=self.sample_ctx, scale=self.transform.scale,
-                clip_lower=lo, clip_upper=hi)
+                clip_lower=lo, clip_upper=hi,
+                shadow_vol=self.shadow_volume)
             self._accum, self._frame = _accumulate(
                 rgba, self._accum, jnp.int32(self.frame_index))
             return self._frame
@@ -224,6 +236,7 @@ class Renderer:
             self.sample_fn, self.width, self.height, self.settings,
             self.sample_ctx, cam_arrays, self.mc, self.tf, sub, self._accum,
             jnp.int32(self.frame_index), self.transform,
+            self.shadow_volume,
         )
         return self._frame
 
