@@ -29,8 +29,14 @@ def main():
         meta = {"step": int(state.opt.step), "loss": float(state.loss)}
         print("[view] format:         native exact-resume (.npz, "
               "full optimizer state)")
-    else:
-        field, params, mc, dims, meta = load_checkpoint(args.checkpoint)
+    elif args.checkpoint.endswith((".pt", ".pth", ".ckpt")):
+        # imported fV-SRN torch checkpoint (the reference FvsrnNetwork's
+        # inference-adapter role, fvsrn_network.cu:88-127)
+        from instantvnr_tpu.models.fvsrn_import import load_fvsrn_torch
+
+        field, params = load_fvsrn_torch(args.checkpoint)
+        mc, dims, meta = None, None, {}
+        print("[view] format:         fV-SRN torch checkpoint (imported)")
     print(f"[view] volume dims:    {dims}")
     print(f"[view] trained steps:  {meta.get('step', '?')}  "
           f"loss {meta.get('loss', '?')}")

@@ -1,0 +1,127 @@
+"""vnr_precompile — populate the persistent JAX compile cache for a config.
+
+Cold-start on a fresh host is dominated by XLA compilation of the
+wavefront/path-tracer bucket-program families and the slab pipeline
+(~1-4 min through a remote-compile link). This app traces and compiles
+every program family the interactive apps dispatch, so the NEXT process
+(viewer, vnr_cmd_render, bench) hits the persistent cache
+(--cache-dir, default /tmp/jax_cache) and its first frame is warm.
+
+The reference has no analog (CUDA kernels are AOT-compiled at build time);
+this is the JAX-world equivalent of shipping compiled fatbins.
+
+Usage:
+  python apps/vnr_precompile.py --size 512 --dims 128 [--modes all]
+  python apps/vnr_precompile.py --report   # time cold vs warm first frame
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from common import add_model_args, add_volume_args, load_model_config, \
+    load_simple_volume  # noqa: F401  (path side effect first)
+
+import jax
+
+
+def log(*a):
+    print("[precompile]", *a, file=sys.stderr, flush=True)
+
+
+def precompile(size: int, simple, model_cfg, modes: list[str]) -> dict:
+    """Compile the program families for frame size `size`. Returns
+    {family: seconds}."""
+    from instantvnr_tpu.api import NeuralVolume, RenderMode, VNRenderer
+
+    nv = NeuralVolume(model_cfg, simple=simple,
+                      train_batch=min(1 << 16, 1 << 14))
+    nv.train(1)  # compiles the train-step program family (chunked)
+    times = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        times[name] = time.time() - t0
+        log(f"{name}: {times[name]:.1f}s")
+
+    mode_map = {
+        "slab": RenderMode.DECODED_SLAB,
+        "wavefront": RenderMode.NEURAL_WAVEFRONT,
+        "wavefront_exact": RenderMode.NEURAL_WAVEFRONT,
+        "pathtrace": RenderMode.PATHTRACE_DECODED,
+        "pathtrace_neural": RenderMode.PATHTRACE_NEURAL,
+        "isosurface": RenderMode.ISOSURFACE_DECODED,
+        "reference": RenderMode.REFERENCE_RAYMARCH,
+    }
+    if modes == ["all"]:
+        modes = list(mode_map)
+
+    for name in modes:
+        mode = mode_map[name]
+        r = VNRenderer(nv if mode != RenderMode.REFERENCE_RAYMARCH
+                       else simple, width=size, height=size, mode=mode)
+        if name == "wavefront_exact":
+            r.set_streaming_cache("none")
+            r.set_mode(mode)
+        if name in ("pathtrace", "pathtrace_neural"):
+            import dataclasses
+
+            r._impl.settings = dataclasses.replace(r._impl.settings,
+                                                   compact=True)
+        # warmup() compiles the whole bucket family in parallel where the
+        # impl supports it; otherwise it renders one frame
+        timed(name, lambda r=r: (r._impl.warmup()
+                                 if hasattr(r._impl, "warmup")
+                                 else r.render()))
+        del r
+    return times
+
+
+def report(size: int, simple, model_cfg) -> None:
+    """Time the first frame of each interactive mode with the CURRENT cache
+    state (run once cold, then again after precompile to see the win)."""
+    from instantvnr_tpu.api import NeuralVolume, RenderMode, VNRenderer
+
+    nv = NeuralVolume(model_cfg, simple=simple,
+                      train_batch=min(1 << 16, 1 << 14))
+    nv.train(1)
+    for name, mode in (("slab", RenderMode.DECODED_SLAB),
+                       ("wavefront", RenderMode.NEURAL_WAVEFRONT)):
+        t0 = time.time()
+        r = VNRenderer(nv, width=size, height=size, mode=mode)
+        r.render()
+        f = r.mapframe()
+        log(f"{name} first frame (incl. setup): {time.time() - t0:.2f}s "
+            f"(sum {float(f.sum()):.1f})")
+        del r
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    add_volume_args(p)
+    add_model_args(p)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--modes", nargs="+", default=["all"],
+                   help="program families to compile (default: all)")
+    p.add_argument("--cache-dir", default="/tmp/jax_cache")
+    p.add_argument("--report", action="store_true",
+                   help="time first frames with the current cache instead")
+    args = p.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    simple = load_simple_volume(args)
+    model_cfg = load_model_config(args)
+    t0 = time.time()
+    if args.report:
+        report(args.size, simple, model_cfg)
+    else:
+        precompile(args.size, simple, model_cfg, args.modes)
+    log(f"total: {time.time() - t0:.1f}s (cache: {args.cache_dir})")
+
+
+if __name__ == "__main__":
+    main()

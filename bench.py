@@ -3,18 +3,25 @@
 Mirrors the reference's headline benchmark (`apps/batch_renderer.cpp:196-238`:
 768² frames, 5 warmup, per-frame fps; README.md:24 claims 10–60 fps on an
 RTX 3090) on the driver's north-star config: vorts-like 128³ volume, default
-model schema, 512² frame, sample-streaming neural rendering with macrocell
-skipping. Baseline for vs_baseline is 10 fps (the reference's interactive
-floor; its tuned wavefront tops out at 7.2 fps on the in-code N_ITERS table,
-method_raymarching.cu:43-49).
+model schema, 512² frame. Baseline for vs_baseline is 10 fps (the
+reference's interactive floor; its tuned wavefront tops out at 7.2 fps on
+the in-code N_ITERS table, method_raymarching.cu:43-49).
+
+Stage hygiene (VERDICT r2 item 4): every stage warms ITS OWN programs
+before its timed section, and the overlapped wavefront warmup thread is
+joined before any other stage is timed — no stage's number includes another
+stage's compile. Cold-start costs are reported separately (warmup s, first
+frame s); apps/vnr_precompile.py pre-populates the persistent cache so a
+fresh process starts warm.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus a
-"secondary" object carrying the reference protocol's other numbers
-(batch_renderer.cpp:196-238 reports per-frame fps AND training samples/s):
-neural-wavefront fps (network inference inside the ray-march loop, the
-reference's mode-5 flagship), training Msamples/s at both the benchmarked
-hash schema (2^14 — see note below) and the untouched reference schema
-(2^19, example-model.json), and PSNR. Extra context lines go to stderr.
+"secondary" object: brick/exact wavefront fps (the sample-streaming
+mode-5 flagship: brick = macrocell-guided decoded-brick cache, exact =
+per-sample network evaluation), slab fps (512/768/shaded/512³), compacted
+path tracing (decoded AND neural), isosurface, training Msamples/s at the
+bench schema (2^14) and the untouched reference schema (2^19), PSNR, SSIM,
+the reference-protocol 1000-step PSNR, and compression at 128³ and 512³.
+Extra context lines go to stderr.
 """
 from __future__ import annotations
 
@@ -36,6 +43,23 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _sync(x):
+    # block_until_ready does not reliably block through the device tunnel;
+    # force a scalar readback (utils/profiling.sync semantics)
+    return float(jnp.asarray(x).ravel()[0])
+
+
+def _time_frames(r, frames: int, warm: int = 3) -> float:
+    for _ in range(warm):
+        r.render()
+    _sync(r._frame)
+    t0 = time.time()
+    for _ in range(frames):
+        r.render()
+    _sync(r._frame)
+    return frames / (time.time() - t0)
+
+
 def main(report=None):
     if report is None:
         report = {}
@@ -45,7 +69,7 @@ def main(report=None):
     from instantvnr_tpu.config import ModelConfig, TransferFunctionConfig
     from instantvnr_tpu.data import synthetic_volume
     from instantvnr_tpu.models import NeuralField, create_train_state, train_steps
-    from instantvnr_tpu.models.metrics import psnr_vs
+    from instantvnr_tpu.models.metrics import psnr_vs, ssim_arrays, decode_volume
     from instantvnr_tpu.utils.tfn import bake_transfer_function
 
     dev = jax.devices()[0]
@@ -57,20 +81,21 @@ def main(report=None):
     # Reference default schema (example-model.json) with the hash table
     # capped at 2^14/level FOR THE TRAIN+RENDER PIPELINE below: XLA's
     # scatter-add (the only scatter TPU v5e offers) scales badly in table
-    # size (281 ms/step at 2^16 vs 85 ms at 2^14) while 128^3 PSNR barely
-    # moves (53.2 -> 51.7 dB, target >30). The untouched 2^19 reference
-    # schema is measured separately below and reported in "secondary".
+    # size while 128^3 PSNR barely moves (53.2 -> 51.7 dB, target >30). The
+    # untouched 2^19 reference schema is measured separately below.
     cfg = ModelConfig()
     cfg = dataclasses.replace(
         cfg, encoding=dataclasses.replace(cfg.encoding, log2_hashmap_size=14))
     field = NeuralField.from_config(cfg)
 
-    # compression ratio (README.md:24 claims 10-1000×): raw f32 grid vs the
-    # fp16 checkpoint parameter payload of the benchmarked schema
-    raw_bytes = dims[0] * dims[1] * dims[2] * 4
-    report["compression"] = raw_bytes / (field.n_params * 2)
-    log(f"compression: {report['compression']:.1f}x "
-        f"({field.n_params} params fp16 vs {raw_bytes} B raw f32)")
+    # compression (README.md:24 claims 10-1000×): fp16 parameter payload vs
+    # raw f32 grid, at the bench volume AND a 512³ volume (the reference's
+    # ratios come from large volumes; 128³ under-sells by construction)
+    report["compression"] = dims[0] ** 3 * 4 / (field.n_params * 2)
+    report["compression_512"] = 512 ** 3 * 4 / (field.n_params * 2)
+    log(f"compression: {report['compression']:.1f}x @128^3, "
+        f"{report['compression_512']:.0f}x @512^3 "
+        f"({field.n_params} params fp16 vs raw f32)")
 
     tf = bake_transfer_function(TransferFunctionConfig())
     mc = mcmod.build(vol.data, vol.dims, tf)
@@ -82,11 +107,10 @@ def main(report=None):
 
     state = create_train_state(jax.random.PRNGKey(0), field)
 
-    # ---- flagship mode 5 renderer: sample-streaming neural wavefront ----
-    # Built BEFORE training and warmed in a background thread while the
-    # training stages run: program shapes don't depend on the trained
-    # values, so the bucket-family compile overlaps training on a cold
-    # cache (compile is the dominant cold cost through a remote link).
+    # ---- exact neural wavefront, built early: its bucket-family compile
+    # overlaps the training stages on a cold cache (program shapes don't
+    # depend on trained values). The thread is JOINED before any other
+    # stage is timed.
     rw, warm_thread, warm_err = None, None, []
     try:
         from instantvnr_tpu.models.network import render_params
@@ -102,8 +126,8 @@ def main(report=None):
         def _warm():
             try:
                 nb = rw.warmup()
-                log(f"wavefront warmup ({nb} buckets, parallel, overlapped "
-                    f"with training): {time.time() - t_warm:.1f}s")
+                log(f"exact-wavefront warmup ({nb} buckets, parallel, "
+                    f"overlapped with training): {time.time() - t_warm:.1f}s")
             except Exception as e:  # noqa: BLE001
                 warm_err.append(e)
 
@@ -114,13 +138,12 @@ def main(report=None):
     except Exception as e:  # noqa: BLE001
         log(f"wavefront setup failed: {e!r}")
 
-    # short pretrain so the rendered content is real (vnr_cmd_train analog)
+    # ---- training (the reference trains in chunks of 10, batch_trainer) --
     t0 = time.time()
     n_steps, batch = 150, 1 << 16
-    # chunks of 10 steps, the reference's training pattern (batch_trainer.cpp:97)
     for _ in range(n_steps // 10):
         state = train_steps(field, vol.data, state, 10, batch)
-    _ = float(state.loss)  # forced host sync (tunnel block_until_ready lies)
+    _ = float(state.loss)
     dt_train = time.time() - t0
     log(f"train {n_steps}x{batch} (hash 2^14): {dt_train:.1f}s "
         f"({n_steps * batch / dt_train / 1e6:.1f} Msamples/s incl. compile)")
@@ -134,19 +157,23 @@ def main(report=None):
     report["train_msps"] = 100 * batch / dt / 1e6
     log(f"train throughput (hash 2^14): {report['train_msps']:.2f} Msamples/s")
 
-    log("computing PSNR...")
+    # join the overlapped warmup BEFORE timing anything else (stage hygiene)
+    if warm_thread is not None:
+        warm_thread.join()
+
+    log("computing PSNR + SSIM...")
     p = float(psnr_vs(field, state.params, vol.data))
     report["psnr"] = p
-    log(f"PSNR: {p:.2f} dB")
+    decoded_for_ssim = decode_volume(field, state.params, dims)
+    report["ssim"] = float(ssim_arrays(decoded_for_ssim, vol.data))
+    del decoded_for_ssim
+    log(f"PSNR: {p:.2f} dB   SSIM: {report['ssim']:.4f}")
 
-    # untouched reference schema (2^19, example-model.json): measured, not
-    # silently downgraded (VERDICT r1). Fresh state; a few timed steps.
+    # untouched reference schema (2^19, example-model.json): throughput
     try:
         cfg19 = ModelConfig()
         field19 = NeuralField.from_config(cfg19)
         state19 = create_train_state(jax.random.PRNGKey(0), field19)
-        # n_steps is a static arg — warm with the SAME chunk size as the
-        # timed call or the timing measures compilation
         state19 = train_steps(field19, vol.data, state19, 5, batch)
         _ = float(state19.loss)
         t0 = time.time()
@@ -156,42 +183,97 @@ def main(report=None):
         report["train_msps_full"] = 5 * batch / dt19 / 1e6
         log(f"train throughput (hash 2^19, reference schema): "
             f"{report['train_msps_full']:.2f} Msamples/s")
+
+        # reference-protocol run: 1000 steps (batch_trainer.cpp:42) at the
+        # untouched schema, PSNR+SSIM after (VERDICT r2: first-class, not
+        # notes). Continues from the 10 steps above (same protocol).
+        t0 = time.time()
+        for _ in range(99):
+            state19 = train_steps(field19, vol.data, state19, 10, batch)
+        _ = float(state19.loss)
+        report["psnr_1000_ref"] = float(psnr_vs(field19, state19.params,
+                                                vol.data))
+        d19 = decode_volume(field19, state19.params, dims)
+        report["ssim_1000_ref"] = float(ssim_arrays(d19, vol.data))
+        del d19
+        log(f"reference protocol (1000 steps @2^19): "
+            f"PSNR {report['psnr_1000_ref']:.2f} dB, "
+            f"SSIM {report['ssim_1000_ref']:.4f} "
+            f"({time.time() - t0:.0f}s)")
         del state19, field19
     except Exception as e:  # noqa: BLE001 — keep the bench alive
-        log(f"2^19 training measurement failed: {e!r}")
+        log(f"2^19 stage failed: {e!r}")
 
-    # ---- flagship mode 5: sample-streaming neural wavefront ----
-    # (network inference inside the march loop, method_raymarching.cu:687-973;
-    # TPU-native scheduling: host-orchestrated bucketed ray compaction,
-    # render/compaction.py; warmup overlapped with training above)
+    # ---- flagship mode 5a: brick-cache sample streaming ------------------
+    # (macrocell-guided decoded-brick pool, render/brickcache.py — the
+    # TPU-native sample-streaming fast path; round-3 redesign)
+    brick_frame = None
+    try:
+        from instantvnr_tpu.render.brickcache import (
+            brick_sample_fn,
+            build_brick_cache,
+        )
+
+        t0 = time.time()
+        ctx = build_brick_cache(field, state.params, mc, dilate=1)
+        _sync(ctx["packed"])
+        log(f"brick cache build: {time.time() - t0:.2f}s "
+            f"({ctx['packed'].nbytes / 1e6:.0f} MB)")
+        bset = RaymarchSettings(n_iters=8, max_skips=1, compact=True)
+        rb = Renderer(size, size, mc, tf, brick_sample_fn, sample_ctx=ctx,
+                      settings=bset)
+        rb.set_camera(cam)
+        t0 = time.time()
+        rb.warmup()
+        log(f"brick-wavefront warmup: {time.time() - t0:.1f}s")
+        t0 = time.time()
+        rb.render(); _sync(rb._frame)
+        log(f"brick-wavefront first frame: {time.time() - t0:.2f}s")
+        report["brick_fps"] = _time_frames(rb, 6, warm=0)
+        log(f"brick wavefront {size}x{size}: {report['brick_fps']:.3f} fps")
+        rb.reset_accumulation()
+        rb.render()
+        brick_frame = np.asarray(rb._frame)
+        del rb
+        # the reference's own benchmark frame size, streaming mode
+        rb768 = Renderer(768, 768, mc, tf, brick_sample_fn, sample_ctx=ctx,
+                         settings=bset)
+        rb768.set_camera(cam)
+        rb768.warmup()
+        report["brick_fps_768"] = _time_frames(rb768, 4, warm=1)
+        log(f"brick wavefront 768x768: {report['brick_fps_768']:.3f} fps")
+        del rb768
+    except Exception as e:  # noqa: BLE001
+        log(f"brick wavefront stage failed: {e!r}")
+
+    # ---- flagship mode 5b: exact sample streaming (per-sample network
+    # evaluation — the reference's literal mode-5 semantics) ---------------
     try:
         if rw is None:
             raise RuntimeError("wavefront renderer setup failed earlier")
-        if warm_thread is not None:
-            warm_thread.join()
         if warm_err:
             raise warm_err[0]
         rw.set_sample_ctx(render_params(state.params, field))  # no retrace
         t0 = time.time()
         rw.render()
-        _ = float(rw._frame.ravel()[0])
-        log(f"wavefront first frame: {time.time() - t0:.1f}s")
-        t0 = time.time()
-        wf_frames = 3
-        for _ in range(wf_frames):
+        _sync(rw._frame)
+        log(f"exact-wavefront first frame: {time.time() - t0:.1f}s")
+        report["wavefront_fps"] = _time_frames(rw, 3, warm=0)
+        log(f"exact neural wavefront {size}x{size}: "
+            f"{report['wavefront_fps']:.3f} fps")
+        if brick_frame is not None:
+            rw.reset_accumulation()
             rw.render()
-        _ = float(rw._frame.ravel()[0])
-        wf_fps = wf_frames / (time.time() - t0)
-        report["wavefront_fps"] = wf_fps
-        log(f"neural wavefront {size}x{size}: {wf_fps:.3f} fps")
+            exact_frame = np.asarray(rw._frame)
+            mse = float(np.mean((brick_frame - exact_frame) ** 2))
+            report["brick_vs_exact_psnr"] = 10 * np.log10(1.0 / max(mse, 1e-12))
+            log(f"brick-vs-exact frame PSNR: "
+                f"{report['brick_vs_exact_psnr']:.1f} dB")
         del rw
     except Exception as e:  # noqa: BLE001
-        log(f"wavefront measurement failed: {e!r}")
+        log(f"exact wavefront measurement failed: {e!r}")
 
-    # ---- interactive pipeline: progressive neural decode + slab render ----
-    # (the reference's DECODING mode, rebuilt MXU-native, render/slabmarch.py;
-    # skip structure = the GT-derived macrocell, matching the reference's
-    # set_external aliasing of the ground-truth macrocell)
+    # ---- interactive pipeline: progressive neural decode + slab render ---
     from instantvnr_tpu.render.decoded import DecodedRenderer
     from instantvnr_tpu.render.slabmarch import SlabSettings
 
@@ -200,42 +282,24 @@ def main(report=None):
     r.set_camera(cam)
     t0 = time.time()
     r.decode_all()
-    _ = float(r.decoded.ravel()[0])
+    _sync(r.decoded)
     log(f"full decode {dims}: {time.time()-t0:.2f}s "
         f"({r.n_blobs} blobs; progressive per-frame decoding available)")
 
-    warmup = 5  # batch_renderer.cpp:199
-    frames = 20
-    for _ in range(warmup):
-        r.render()
-    _ = float(r._frame.ravel()[0])
-    t0 = time.time()
-    for _ in range(frames):
-        r.render()
-    _ = float(r._frame.ravel()[0])
-    dt = time.time() - t0
-    fps = frames / dt
-    report["fps"] = fps
+    report["fps"] = _time_frames(r, 20, warm=5)  # batch_renderer.cpp:199
     report["metric"] = (f"neural decode+slab-render fps @ {size}x{size} "
                         f"(vorts 128^3, hash 2^14)")
-    rays_per_s = fps * size * size
-    log(f"render {size}x{size}: {fps:.2f} fps, {rays_per_s/1e6:.1f} Mrays/s")
+    log(f"render {size}x{size}: {report['fps']:.2f} fps, "
+        f"{report['fps'] * size * size / 1e6:.1f} Mrays/s")
 
-    # gradient-shaded variant (mode 4/SCIVIS-style shading of the same grid)
+    # gradient-shaded variant (mode 4-style shading of the same grid)
     try:
         rsh = DecodedRenderer(size, size, mc, tf, dims, field=field,
                               params=state.params,
                               settings=SlabSettings(shading="gradient"),
                               initial_volume=r.decoded)
         rsh.set_camera(cam)
-        for _ in range(3):
-            rsh.render()
-        _ = float(rsh._frame.ravel()[0])
-        t0 = time.time()
-        for _ in range(10):
-            rsh.render()
-        _ = float(rsh._frame.ravel()[0])
-        report["fps_shaded"] = 10 / (time.time() - t0)
+        report["fps_shaded"] = _time_frames(rsh, 10, warm=3)
         log(f"render shaded {size}x{size}: {report['fps_shaded']:.2f} fps")
         del rsh
     except Exception as e:  # noqa: BLE001
@@ -247,56 +311,75 @@ def main(report=None):
                                params=state.params, settings=SlabSettings(),
                                initial_volume=r.decoded)
         r768.set_camera(cam)
-        for _ in range(3):
-            r768.render()
-        _ = float(r768._frame.ravel()[0])
-        t0 = time.time()
-        for _ in range(10):
-            r768.render()
-        _ = float(r768._frame.ravel()[0])
-        report["fps_768"] = 10 / (time.time() - t0)
+        report["fps_768"] = _time_frames(r768, 10, warm=3)
         log(f"render 768x768: {report['fps_768']:.2f} fps")
+        del r768
     except Exception as e:  # noqa: BLE001
         log(f"768 stage failed: {e!r}")
 
-    # first-hit isosurface of the decoded network (the int_isosurface app's
-    # interactive viewing, render/isosurf.py slab sweep)
+    # first-hit isosurface of the decoded network (render/isosurf.py)
     try:
         from instantvnr_tpu.render.isosurf import IsoRenderer
 
         ri = IsoRenderer(size, size, r.decoded, tf, isovalue=0.5)
         ri.set_camera(cam)
-        for _ in range(3):
-            ri.render()
-        _ = float(ri._frame.ravel()[0])
-        t0 = time.time()
-        for _ in range(10):
-            ri.render()
-        _ = float(ri._frame.ravel()[0])
-        report["iso_fps"] = 10 / (time.time() - t0)
+        report["iso_fps"] = _time_frames(ri, 10, warm=3)
         log(f"isosurface {size}x{size}: {report['iso_fps']:.2f} fps")
+        del ri
     except Exception as e:  # noqa: BLE001
         log(f"isosurface stage failed: {e!r}")
 
-    # progressive path tracing of the decoded grid (MethodPathTracing,
-    # method_pathtracing.cu; per-accumulation-frame fps)
+    # progressive path tracing, host-orchestrated bucketed compaction
+    # (round 3; paths die exponentially — method_pathtracing.cu RR)
     try:
-        from instantvnr_tpu.render.pathtrace import PathTraceRenderer
+        from instantvnr_tpu.render.pathtrace import (
+            PathTraceRenderer,
+            PathTraceSettings,
+        )
 
-        rpt = PathTraceRenderer(size, size, mc, tf, r.decoded)
+        rpt = PathTraceRenderer(size, size, mc, tf, r.decoded,
+                                settings=PathTraceSettings(compact=True))
         rpt.set_camera(cam)
-        for _ in range(3):
-            rpt.render()
-        _ = float(rpt._frame.ravel()[0])
         t0 = time.time()
-        for _ in range(10):
-            rpt.render()
-        _ = float(rpt._frame.ravel()[0])
-        report["pt_fps"] = 10 / (time.time() - t0)
+        rpt.warmup()
+        log(f"pathtrace warmup: {time.time() - t0:.1f}s")
+        report["pt_fps"] = _time_frames(rpt, 10, warm=3)
         log(f"pathtrace {size}x{size}: {report['pt_fps']:.2f} fps")
         del rpt
     except Exception as e:  # noqa: BLE001
         log(f"pathtrace stage failed: {e!r}")
+
+    # neural path tracing: brick-cache sampling inside the tracking loop
+    # (reference PATHTRACING_SAMPLE_STREAMING)
+    try:
+        from instantvnr_tpu.render.brickcache import brick_sample_fn as _bfn
+
+        rptn = PathTraceRenderer(size, size, mc, tf, ctx, sample_fn=_bfn,
+                                 settings=PathTraceSettings(compact=True))
+        rptn.set_camera(cam)
+        rptn.warmup()
+        report["pt_neural_fps"] = _time_frames(rptn, 10, warm=3)
+        log(f"pathtrace neural {size}x{size}: "
+            f"{report['pt_neural_fps']:.2f} fps")
+        del rptn
+    except Exception as e:  # noqa: BLE001
+        log(f"neural pathtrace stage failed: {e!r}")
+
+    # ---- 512³ volume: large-scale slab fps (round-1 stage restored) ------
+    try:
+        dims5 = (512, 512, 512)
+        vol5 = synthetic_volume(dims5, kind="vorts")
+        mc5 = mcmod.build(vol5.data, dims5, tf)
+        r5 = DecodedRenderer(size, size, mc5, tf, dims5,
+                             settings=SlabSettings(),
+                             initial_volume=vol5.data)
+        r5.set_camera(Camera(eye=(0.15 * 512, 0.1 * 512, -2.0 * 512),
+                             center=(0, 0, 0), up=(0, 1, 0), fovy=45))
+        report["fps_512cube"] = _time_frames(r5, 10, warm=3)
+        log(f"render 512x512 of 512^3: {report['fps_512cube']:.2f} fps")
+        del r5, vol5, mc5
+    except Exception as e:  # noqa: BLE001
+        log(f"512^3 stage failed: {e!r}")
 
     _emit_line(_json_line(report))
 
@@ -304,25 +387,29 @@ def main(report=None):
 def _json_line(report):
     """Assemble the ONE driver-facing JSON line from whatever stages ran."""
     secondary = {}
-    if "wavefront_fps" in report:
-        secondary["neural_wavefront_fps_512"] = round(report["wavefront_fps"], 3)
-    if "train_msps" in report:
-        secondary["train_msamples_per_s_hash14"] = round(report["train_msps"], 3)
-    if "train_msps_full" in report:
-        secondary["train_msamples_per_s_hash19_ref_schema"] = round(
-            report["train_msps_full"], 3)
-    if "fps_768" in report:
-        secondary["slab_fps_768"] = round(report["fps_768"], 3)
-    if "fps_shaded" in report:
-        secondary["slab_fps_512_shaded"] = round(report["fps_shaded"], 3)
-    if "iso_fps" in report:
-        secondary["isosurface_fps_512"] = round(report["iso_fps"], 3)
-    if "pt_fps" in report:
-        secondary["pathtrace_fps_512"] = round(report["pt_fps"], 3)
-    if "psnr" in report:
-        secondary["psnr_db"] = round(report["psnr"], 2)
-    if "compression" in report:
-        secondary["compression_x_fp16_params"] = round(report["compression"], 1)
+    pairs = [
+        ("brick_fps", "brick_wavefront_fps_512"),
+        ("brick_fps_768", "brick_wavefront_fps_768"),
+        ("wavefront_fps", "neural_wavefront_fps_512"),
+        ("brick_vs_exact_psnr", "brick_vs_exact_frame_psnr_db"),
+        ("train_msps", "train_msamples_per_s_hash14"),
+        ("train_msps_full", "train_msamples_per_s_hash19_ref_schema"),
+        ("fps_768", "slab_fps_768"),
+        ("fps_shaded", "slab_fps_512_shaded"),
+        ("fps_512cube", "slab_fps_512_of_512cube"),
+        ("iso_fps", "isosurface_fps_512"),
+        ("pt_fps", "pathtrace_fps_512"),
+        ("pt_neural_fps", "pathtrace_neural_fps_512"),
+        ("psnr", "psnr_db"),
+        ("ssim", "ssim"),
+        ("psnr_1000_ref", "psnr_db_1000steps_ref_schema"),
+        ("ssim_1000_ref", "ssim_1000steps_ref_schema"),
+        ("compression", "compression_x_fp16_params_128cube"),
+        ("compression_512", "compression_x_fp16_params_512cube"),
+    ]
+    for key, name in pairs:
+        if key in report:
+            secondary[name] = round(report[key], 4 if "ssim" in name else 3)
     return {
         "metric": report.get(
             "metric", "neural decode+slab-render fps @ 512x512 (hash 2^14)"),

@@ -97,12 +97,27 @@ class FvsrnField:
     # duck-typed hook consumed by models.network.network_apply — the
     # AbstractNetwork dispatch point
     def apply_params(self, params: dict, coords: jnp.ndarray) -> jnp.ndarray:
-        """coords [B,3] in [0,1]³ → values [B,1] float32."""
+        """coords [B,3] in [0,1]³ → values [B,1] float32.
+
+        Imported checkpoints (models/fvsrn_import.py) may carry two extra
+        pytree entries the natively-trained params don't have:
+          "fourier": [M, 3] frequency matrix → features
+                     [sin(2π·F·p), cos(2π·F·p)] replace the default
+                     log-linear bands;
+          "bias":    per-layer bias vectors (torch nn.Linear has biases;
+                     the native/tcnn-convention MLP does not).
+        """
         compute_dtype = jnp.dtype(self.cfg.compute_dtype)
         lat = _latent_interp(params["table"], coords, self.cfg.latent_res,
                              self.cfg.latent_features)
-        four = _fourier_features(coords, self.cfg.fourier_bands)
+        if "fourier" in params:
+            four = _fourier_matrix_features(coords, params["fourier"])
+        else:
+            four = _fourier_features(coords, self.cfg.fourier_bands)
         x = jnp.concatenate([lat, four], axis=-1)
+        if "bias" in params:
+            return _mlp_apply_bias(params["mlp"], params["bias"], x,
+                                   self.cfg.network, compute_dtype)
         return mlp_apply(params["mlp"], x, self.cfg.network,
                          compute_dtype=compute_dtype)
 
@@ -141,6 +156,38 @@ def _latent_interp(table: jnp.ndarray, coords: jnp.ndarray,
     w = cw[..., 0] * cw[..., 1] * cw[..., 2]  # [B,8]
     feats = table[idx] * w[..., None]  # [B,8,F]
     return feats.sum(axis=1)
+
+
+def _fourier_matrix_features(coords: jnp.ndarray,
+                             fmat: jnp.ndarray) -> jnp.ndarray:
+    """Fourier features from an explicit frequency matrix F [M, 3]
+    (imported fV-SRN checkpoints carry the trained/constructed matrix):
+    [sin(2π·F·p), cos(2π·F·p)] over raw [0,1] coords → [B, 2M]."""
+    ang = 2.0 * math.pi * (coords @ fmat.T)  # [B, M]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+def _mlp_apply_bias(weights: list, biases: list, x: jnp.ndarray,
+                    cfg: NetworkConfig, compute_dtype) -> jnp.ndarray:
+    """mlp_apply with per-layer biases (torch nn.Linear convention, for
+    imported fV-SRN checkpoints; the native path is bias-free like tcnn).
+    weights: [in, out] per layer; biases: [out] per layer."""
+    from instantvnr_tpu.ops.mlp import _activation
+
+    act = _activation(cfg.activation)
+    out_act = _activation(cfg.output_activation)
+    precision = (None if compute_dtype == jnp.bfloat16
+                 else jax.lax.Precision.HIGHEST)
+    h = x.astype(compute_dtype)
+    for w, b in zip(weights[:-1], biases[:-1]):
+        h = jnp.dot(h, w.astype(compute_dtype),
+                    preferred_element_type=jnp.float32,
+                    precision=precision) + b.astype(jnp.float32)
+        h = act(h).astype(compute_dtype)
+    y = jnp.dot(h, weights[-1].astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+                precision=precision) + biases[-1].astype(jnp.float32)
+    return out_act(y)
 
 
 def _fourier_features(coords: jnp.ndarray, bands: int) -> jnp.ndarray:

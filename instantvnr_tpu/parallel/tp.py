@@ -123,7 +123,7 @@ def tp_apply(field: NeuralField, tp_local: dict, level_params_local: dict,
     (hash_encode_traced_splitgrad); None keeps plain autodiff — fine for
     inference-only uses."""
     cfg = field.cfg
-    lps = field.spec.n_levels // jax.lax.psum(1, axis_name)
+    lps = field.spec.n_levels // jax.lax.axis_size(axis_name)
     compute_dtype = jnp.dtype(cfg.compute_dtype)
     precision = (None if compute_dtype == jnp.bfloat16
                  else jax.lax.Precision.HIGHEST)
@@ -196,8 +196,9 @@ def make_tp_train_step(field: NeuralField, mesh: Mesh, batch: int,
         loss, grads = jax.value_and_grad(local_loss)(
             state.params, lp_local, coords, targets
         )
-        grads = jax.lax.pmean(grads, "data")
-        loss = jax.lax.pmean(loss, "data")
+        from instantvnr_tpu.parallel.train import fused_pmean
+
+        grads, loss = fused_pmean((grads, loss), "data")
         l2_mask = {"table": False, "w1": True,
                    "mlp_rest": [True] * len(state.params["mlp_rest"])}
         params, opt = adam_update(field.cfg.optimizer, state.params, grads,

@@ -32,6 +32,29 @@ def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
     return jax.tree.map(lambda x: jax.device_put(x, rep), state)
 
 
+def fused_pmean(tree, axis_name: str):
+    """pmean a whole pytree as ONE collective: flatten every leaf into a
+    single f32 vector, one psum, unflatten.
+
+    jax.lax.pmean over a pytree emits one psum EQUATION PER LEAF; XLA's
+    all-reduce combiner usually merges small ones at compile time, but that
+    is a heuristic (size thresholds), not a guarantee — this makes the
+    single-collective property structural, so the multichip dryrun can
+    assert it (parallel/inspect.py). The concatenate/split copies fuse
+    into the surrounding elementwise work.
+    """
+    leaves, treedef = jax.tree.flatten(tree)
+    flat = jnp.concatenate(
+        [jnp.ravel(l).astype(jnp.float32) for l in leaves])
+    flat = jax.lax.pmean(flat, axis_name)
+    out, off = [], 0
+    for l in leaves:
+        n = l.size
+        out.append(flat[off:off + n].reshape(l.shape).astype(l.dtype))
+        off += n
+    return jax.tree.unflatten(treedef, out)
+
+
 def make_dp_train_step(field: NeuralField, mesh: Mesh, batch: int,
                        n_steps: int = 1):
     """Build a jitted data-parallel train step (n_steps fused via scan).
@@ -54,8 +77,7 @@ def make_dp_train_step(field: NeuralField, mesh: Mesh, batch: int,
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params, coords, targets)
         # gradient all-reduce: ONE fused mean-psum over the data axis
-        grads = jax.lax.pmean(grads, "data")
-        loss = jax.lax.pmean(loss, "data")
+        grads, loss = fused_pmean((grads, loss), "data")
         params, opt = adam_update(
             field.cfg.optimizer, state.params, grads, state.opt,
             l2_mask=mlp_l2_mask(state.params),
@@ -90,8 +112,7 @@ def make_dp_hostbatch_step(field: NeuralField, mesh: Mesh):
     def step(state: TrainState, coords, targets):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, coords,
                                                   targets)
-        grads = jax.lax.pmean(grads, "data")
-        loss = jax.lax.pmean(loss, "data")
+        grads, loss = fused_pmean((grads, loss), "data")
         key, _ = jax.random.split(state.key)  # keep RNG streams advancing
         params, opt = adam_update(
             field.cfg.optimizer, state.params, grads, state.opt,

@@ -74,22 +74,86 @@ def _superstep_prefix(sample_fn, settings: RaymarchSettings, m: int,
     return new_state, jnp.sum(sub.active.astype(jnp.int32))
 
 
+_FINISH_BUCKET = 32768  # ≤ this, run one run-to-completion program: each
+# extra dispatch costs ~25 ms through the device link while a superstep at
+# 32768 rays computes for ~9 ms — finishing the tail inside ONE while_loop
+# program beats per-superstep dispatch (measured round 3: tail steps at
+# 16384/8192 were ~30 ms each, ~85% fixed overhead)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(7,))
+def _finish_prefix(sample_fn, settings: RaymarchSettings, m: int,
+                   mc, tf, light_dir, rays, state, sample_ctx, scale,
+                   shadow_vol=None, budget=None):
+    """March the first `m` rays to completion in ONE device program
+    (in-jit while_loop), for the small-bucket tail. `budget` (traced
+    scalar) caps the remaining supersteps so the total across dispatches
+    still honors settings.max_supersteps exactly."""
+    org, dirn, t_far, jitter = rays
+    fn = partial(sample_fn, sample_ctx)
+    pre = jax.tree_util.tree_map(lambda a: a[:m], state)
+    if budget is None:
+        budget = jnp.int32(settings.max_supersteps)
+
+    def cond(carry):
+        st, i = carry
+        return jnp.any(st.active) & (i < budget)
+
+    def body(carry):
+        st, i = carry
+        st = _superstep(fn, org[:m], dirn[:m], t_far[:m], jitter[:m],
+                        mc, tf, settings, light_dir, st, scale=scale,
+                        shadow_vol=shadow_vol)
+        return st, i + 1
+
+    sub, _ = jax.lax.while_loop(cond, body, (pre, jnp.int32(0)))
+    return jax.tree_util.tree_map(
+        lambda full, part: jax.lax.dynamic_update_slice(
+            full, part, (0,) * full.ndim),
+        state, sub)
+
+
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2, 3))
-def _compact_prefix(m: int, rays, state: _RayState, perm):
+def _compact_prefix(m: int, rays, state, perm):
     """Within the prefix [0:m], move live rays to the front (stable).
 
     Permutes the per-ray inputs, the marching state, and the slot→pixel
     permutation together, so position i always refers to one coherent ray.
-    """
-    order = jnp.argsort(~state.active[:m], stable=True)  # live first
 
-    def perm_prefix(x):
-        return x.at[:m].set(jnp.take(x[:m], order, axis=0))
+    Cost shape (v5e): per-row gather cost is FLAT in row width
+    (NOTES_ROUND2), so the ~15 per-leaf [m] gathers are packed into ONE
+    [m, C] row-gather (~13 ns/ray instead of ~200); the stable partition
+    comes from cumsum + one iota scatter instead of a sort. Measured
+    ~70 → ~10 ms at m=262144 (scratch/superstep_phases.py round 3).
+    Int leaves ride the f32 matrix exactly (values < 2^24)."""
+    active = state.active[:m]
+    # stable partition destinations: live rays keep order at the front,
+    # dead rays keep order behind them
+    live = active.astype(jnp.int32)
+    n_live = jnp.sum(live)
+    pos_live = jnp.cumsum(live) - 1
+    pos_dead = n_live + jnp.cumsum(1 - live) - 1
+    dest = jnp.where(active, pos_live, pos_dead)
+    iota = jnp.arange(m, dtype=jnp.int32)
+    order = jnp.zeros((m,), jnp.int32).at[dest].set(iota)
 
-    rays = jax.tree_util.tree_map(perm_prefix, rays)
-    state = jax.tree_util.tree_map(perm_prefix, state)
-    perm = perm_prefix(perm)
-    return rays, state, perm
+    leaves, treedef = jax.tree_util.tree_flatten((rays, state, perm))
+    cols = []
+    for l in leaves:
+        c = l[:m].reshape(m, -1)
+        assert jnp.issubdtype(c.dtype, jnp.floating) or c.dtype in (
+            jnp.int32, jnp.bool_), c.dtype
+        cols.append(c.astype(jnp.float32))
+    widths = [c.shape[1] for c in cols]
+    packed = jnp.concatenate(cols, axis=1)  # [m, C]
+    packed = jnp.take(packed, order, axis=0)  # ONE row-gather
+
+    out, off = [], 0
+    for l, w_ in zip(leaves, widths):
+        c = packed[:, off:off + w_].astype(l.dtype).reshape(l[:m].shape)
+        out.append(l.at[:m].set(c))
+        off += w_
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 @jax.jit
@@ -140,8 +204,13 @@ def warmup_programs(sample_fn, settings: RaymarchSettings, mc, tf, r: int,
     def warm_one(m: int):
         # fresh state/rays per call: the programs donate their buffers
         st = init_ray_state(zeros + 0.0, zeros + 0.0)
-        st, _ = _superstep_prefix(sample_fn, settings, m, mc, tf, light,
-                                  rays, st, sample_ctx, scale, shadow_vol)
+        if m <= _FINISH_BUCKET:
+            st = _finish_prefix(sample_fn, settings, m, mc, tf, light,
+                                rays, st, sample_ctx, scale, shadow_vol)
+        else:
+            st, _ = _superstep_prefix(sample_fn, settings, m, mc, tf, light,
+                                      rays, st, sample_ctx, scale,
+                                      shadow_vol)
         rr = tuple(x + 0.0 for x in rays)
         _compact_prefix(m, rr, st, jnp.arange(r, dtype=jnp.int32))
 
@@ -218,6 +287,14 @@ def raymarch_compacted(
         rays, state, perm = _compact_prefix(m, rays, state, perm)
         m = _bucket(count, r)
     while count > 0 and steps < settings.max_supersteps:
+        if m <= _FINISH_BUCKET:
+            # small tail: march to completion in one program (the
+            # per-superstep dispatch overhead dominates at these sizes)
+            state = _finish_prefix(
+                sample_fn, settings, m, mc, tf, light_dir, rays, state,
+                sample_ctx, scale, shadow_vol,
+                jnp.int32(settings.max_supersteps - steps))
+            break
         state, n_live = _superstep_prefix(
             sample_fn, settings, m, mc, tf, light_dir, rays, state,
             sample_ctx, scale, shadow_vol)

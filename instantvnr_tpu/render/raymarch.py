@@ -42,7 +42,7 @@ import jax.numpy as jnp
 
 from instantvnr_tpu.accel.macrocell import MACROCELL_SIZE, MacroCell
 from instantvnr_tpu.config import NEARLY_ONE, env_int
-from instantvnr_tpu.utils.tfn import TransferFunction, classify
+from instantvnr_tpu.utils.tfn import TransferFunction, classify_controls
 
 _EPS = 1e-6
 # step past a cell boundary when probing the next cell, in t units
@@ -206,7 +206,10 @@ def _compose(values, t_x, t_y, valid, state_alpha, state_color,
     track_best: optional (best_w, best_pos, best_rgb) carried argmax state
     for SSH (requires pos_obj [R, K, 3]); returns it updated.
     """
-    rgb_tf, alpha_s = classify(tf, values)  # [R,K,3], [R,K]
+    # control-point classification: pure VPU math, measured 5× cheaper
+    # than the LUT gather on v5e (43.5 → 8.8 ms / 2M samples,
+    # scratch/superstep_phases.py); falls back to the LUT past 64 segments
+    rgb_tf, alpha_s = classify_controls(tf, values)  # [R,K,3], [R,K]
     rgb = rgb_tf if rgb_override is None else rgb_override
     dt = t_y - t_x
     # opacity correction (raytracing.h:166-170) + density scale
@@ -328,7 +331,7 @@ def _superstep(sample_fn, org, dirn, t_far, jitter, mc: MacroCell,
 
             shade_dir = _nrm(dirn * scale)
             normal = -grad / (dims * scale)
-        rgb_tf, _ = classify(tf, values)
+        rgb_tf, _ = classify_controls(tf, values)
         shaded = _shade_scivis(shade_dir[:, None, :], normal, rgb_tf,
                                light_dir=light_dir)
         rgb_override = (
@@ -344,7 +347,7 @@ def _superstep(sample_fn, org, dirn, t_far, jitter, mc: MacroCell,
         values = sample_fn(pos_obj.reshape(-1, 3)).reshape(r, k)
         sh = sample_volume(shadow_vol, pos_obj.reshape(-1, 3)).reshape(r, k)
         sh = jnp.clip(sh, 0.0, 1.0)
-        rgb_tf, _ = classify(tf, values)
+        rgb_tf, _ = classify_controls(tf, values)
         s_ = settings.shading_scale
         rgb_override = rgb_tf * ((1.0 - s_) + s_ * sh)[..., None]
     else:

@@ -153,6 +153,17 @@ def main():
         jnp.asarray(settings.light_dir, jnp.float32), xform)
     jit_f = jax.random.uniform(jax.random.PRNGKey(9), (r,))
 
+    # time one compaction at full size
+    rays0 = tuple(x + 0.0 for x in (org_f, dirn_f, t1_f, jit_f))
+    st0 = init_ray_state(t0_f + 0.0, rays0[2])
+    st0, _ = _superstep_prefix(brick_sample_fn, settings, r, mc, tf, light,
+                               rays0, st0, ctx, None)
+    t0 = time.time()
+    rays0, st0, p0 = _compact_prefix(r, rays0, st0,
+                                     jnp.arange(r, dtype=jnp.int32))
+    sync(st0.t)
+    log(f"compact @m={r}: {(time.time()-t0)*1e3:.1f} ms (incl 1 dispatch)")
+
     for trial in range(2):
         rays = tuple(x + 0.0 for x in (org_f, dirn_f, t1_f, jit_f))
         state_f = init_ray_state(t0_f + 0.0, rays[2])

@@ -70,6 +70,13 @@ class TestApps:
         text = open(obj).read()
         assert text.count("\nf ") > 100
 
+    def test_precompile_app(self, tmp_path):
+        r = run_app("vnr_precompile.py", "--synthetic", "sphere", "--dims",
+                    "16", "--size", "16", "--modes", "slab", "wavefront",
+                    "--cache-dir", str(tmp_path / "cache"))
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "total:" in r.stderr
+
     def test_env_knob_n_iters(self, monkeypatch):
         from instantvnr_tpu.render.raymarch import RaymarchSettings
 

@@ -435,3 +435,66 @@ class TestSlabSharded:
         assert ref[:, 3].max() > 0.05
         np.testing.assert_allclose(got, ref, atol=1e-3)
         assert np.abs(got - unshadowed).max() > 1e-3  # shadows do something
+
+
+class TestCollectiveProfiles:
+    """Structural pins (parallel/inspect.py): the hot steps' collective
+    counts are asserted, not assumed — VERDICT r2 item 9. The dryrun
+    enforces the same pins; this keeps them in the CPU suite too."""
+
+    def test_dp_step_is_one_fused_psum(self):
+        from instantvnr_tpu.parallel.inspect import count_collectives
+        from instantvnr_tpu.parallel.train import (
+            make_dp_train_step,
+            replicate_state,
+        )
+
+        field = small_field(n_levels=8)
+        vol = synthetic_volume((16, 16, 16), kind="sphere")
+        mesh = make_mesh(jax.devices())
+        state = replicate_state(
+            create_train_state(jax.random.PRNGKey(0), field), mesh)
+        step = make_dp_train_step(field, mesh, batch=64 * len(jax.devices()))
+        assert count_collectives(step, state, vol.data) == {"psum": 1}
+
+    def test_tp_step_is_three_psums(self):
+        from instantvnr_tpu.parallel import tp as tpmod
+        from instantvnr_tpu.parallel.inspect import count_collectives
+
+        field = small_field(n_levels=8)
+        vol = synthetic_volume((16, 16, 16), kind="sphere")
+        mesh = make_mesh(jax.devices(), tp=2)
+        state = tpmod.create_tp_train_state(jax.random.PRNGKey(0), field,
+                                            mesh)
+        step = tpmod.make_tp_train_step(field, mesh,
+                                        batch=64 * mesh.shape["data"])
+        # fwd activation psum + its autodiff transpose + ONE fused grad psum
+        assert count_collectives(step, state, vol.data) == {"psum": 3}
+
+    def test_fused_pmean_matches_leafwise(self):
+        from functools import partial
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from instantvnr_tpu.parallel.train import fused_pmean
+
+        mesh = make_mesh(jax.devices())
+        tree = {"a": jnp.arange(24.0).reshape(8, 3),
+                "b": (jnp.ones((8, 2)) * jnp.arange(8)[:, None], jnp.arange(8.0))}
+
+        @partial(shard_map, mesh=mesh, in_specs=(P("data"),),
+                 out_specs=P(), check_vma=False)
+        def fused(t):
+            return fused_pmean(t, "data")
+
+        @partial(shard_map, mesh=mesh, in_specs=(P("data"),),
+                 out_specs=P(), check_vma=False)
+        def leafwise(t):
+            return jax.lax.pmean(t, "data")
+
+        a = fused(tree)
+        b = leafwise(tree)
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-6)

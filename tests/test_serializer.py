@@ -345,3 +345,62 @@ class TestNativeCheckpoint:
         for a, b in zip(jax.tree.leaves(nv.state.params),
                         jax.tree.leaves(nv2.state.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestNlohmannFixture:
+    """Fixtures written by the REAL nlohmann::json (json::to_bson — the
+    exact library call the reference uses, network.cu:858-877), generated
+    by tests/fixtures/gen_tcnn_bson.cpp with documented deterministic
+    values. No repo code was involved in producing the bytes."""
+
+    FIX = "tests/fixtures/tcnn_checkpoint_pristine.bson"
+    TAGGED = "tests/fixtures/tcnn_checkpoint_tagged.bson"
+
+    @staticmethod
+    def _pattern(n):
+        """v(i) = 1 + ((i·2654435761 mod 2^32) mod 1024)/1024, exactly
+        representable in fp16 (matches half_bits in gen_tcnn_bson.cpp)."""
+        i = np.arange(n, dtype=np.uint64)
+        h = ((i * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) \
+            % np.uint64(1024)
+        return (np.uint16(0x3C00) | h.astype(np.uint16)).view(np.float16)
+
+    def test_load_nlohmann_written_checkpoint(self):
+        field2, params2, mc2, dims2, meta = load_checkpoint(self.FIX)
+        assert dims2 == (32, 32, 32)
+        assert field2.cfg.encoding.n_levels == 4
+        assert field2.cfg.encoding.log2_hashmap_size == 12
+        assert field2.cfg.network.n_neurons == 32
+
+        # blob layout: W0 [32x16] row-major, W1 [32x32], W2 padded [16x32],
+        # then the grid entry-major — all from the deterministic pattern
+        n_mlp = 32 * 16 + 32 * 32 + 16 * 32
+        n_entries = 64 + 512 + 4096 + 4096
+        pat = self._pattern(n_mlp + n_entries * 4).astype(np.float32)
+        w0 = pat[: 32 * 16].reshape(32, 16).T
+        w1 = pat[32 * 16: 32 * 16 + 32 * 32].reshape(32, 32).T
+        w2 = pat[32 * 16 + 32 * 32: n_mlp].reshape(16, 32).T[:, :1]
+        np.testing.assert_array_equal(np.asarray(params2["mlp"][0]), w0)
+        np.testing.assert_array_equal(np.asarray(params2["mlp"][1]), w1)
+        np.testing.assert_array_equal(np.asarray(params2["mlp"][2]), w2)
+        np.testing.assert_array_equal(
+            np.asarray(params2["table"]),
+            pat[n_mlp:].reshape(n_entries, 4))
+
+        # macrocell: stored (0.125c − 1, 0.125c + 1); loader undoes the
+        # reference's ±1 offset
+        c = np.arange(8, dtype=np.float32).reshape(2, 2, 2)
+        np.testing.assert_allclose(np.asarray(mc2.value_lo), 0.125 * c,
+                                   atol=0)
+        np.testing.assert_allclose(np.asarray(mc2.value_hi), 0.125 * c,
+                                   atol=0)
+
+    def test_roundtrip_reproduces_nlohmann_bytes(self, tmp_path):
+        """load the nlohmann-written file, save it with OUR writer (adding
+        the step/loss extras), and match nlohmann's own bytes for that
+        document — writer and library agree bit-for-bit."""
+        field2, params2, mc2, dims2, _ = load_checkpoint(self.FIX)
+        p = tmp_path / "roundtrip.bson"
+        save_checkpoint(str(p), field2, params2, mc2, dims2, step=3,
+                        loss=0.125)
+        assert p.read_bytes() == open(self.TAGGED, "rb").read()
