@@ -37,6 +37,8 @@ def main():
         field, params = load_fvsrn_torch(args.checkpoint)
         mc, dims, meta = None, None, {}
         print("[view] format:         fV-SRN torch checkpoint (imported)")
+    else:
+        field, params, mc, dims, meta = load_checkpoint(args.checkpoint)
     print(f"[view] volume dims:    {dims}")
     print(f"[view] trained steps:  {meta.get('step', '?')}  "
           f"loss {meta.get('loss', '?')}")

@@ -1,7 +1,20 @@
 """Golden-statistics regression tests: fixed scenes rendered through every
 path, with image statistics pinned. Catches silent numeric drift in the
 renderers (the reference had no tests at all — SURVEY §4 — so these pins
-were captured from the verified round-1 implementation)."""
+were captured from the verified round-1 implementation).
+
+These pins are DRIFT DETECTORS only; correctness lives in the independent
+NumPy marcher of tests/test_oracle.py. When an INTENTIONAL numerics change
+lands (new TF classification, different sampling semantics), re-verify
+against the oracle first, then regenerate the pins by printing the fresh
+statistics and updating the approx() targets:
+
+    python -m pytest tests/test_golden.py -q   # see which pins moved
+    python - <<'PY'
+    # rerun each test body by hand and print stats(img) — the fixtures
+    # below are plain constructors, no hidden state
+    PY
+"""
 import numpy as np
 import pytest
 
