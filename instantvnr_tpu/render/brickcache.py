@@ -161,6 +161,53 @@ def build_brick_cache(field, params, mc: MacroCell, dilate: int = 1,
     }
 
 
+def build_brick_cache_from_grid(vol, mc: MacroCell, dilate: int = 1,
+                                dtype=jnp.float32) -> dict:
+    """Corner-packed brick pool for a DECODED/GT grid (no network).
+
+    Brick texels are the grid voxels themselves (g = cell·16 − GHOST +
+    local, clamp addressing — identical lattice to `build_brick_cache`, but
+    exact: no decode), so `brick_sample_fn` reproduces
+    `ops.trilinear.sample_volume` on occupied cells up to trilinear
+    summation order (packed sum-of-8 vs nested lerps, ≲1e-7). Worth it
+    because `sample_volume` issues 8 independent corner gathers while the
+    packed pool needs 2 (LUT + one [8]-row) and v5e gather cost is per ROW,
+    flat in width (NOTES_ROUND1) — ~4× cheaper sampling for any
+    gather-bound consumer (the compacted path tracer above all; its
+    samples only ever land in occupied cells, so the pool is exhaustive).
+    vol: [dz, dy, dx]; memory = occupied_cells · 20³ · 8 · itemsize.
+    """
+    cells = occupied_cells(mc, dilate=dilate)
+    mc_dims = tuple(int(d) for d in mc.dims)
+    vol_np = np.asarray(vol)
+    dz, dy, dx = vol_np.shape
+    lut = np.full(mc_dims[0] * mc_dims[1] * mc_dims[2], -1, np.int32)
+    lut[cells] = np.arange(cells.size, dtype=np.int32)
+    if cells.size == 0:
+        cells = np.zeros((1,), np.int32)
+
+    cx = cells % mc_dims[0]
+    cy = (cells // mc_dims[0]) % mc_dims[1]
+    cz = cells // (mc_dims[0] * mc_dims[1])
+    l1 = np.arange(BRICK, dtype=np.int32)
+    lz, ly, lx = np.meshgrid(l1, l1, l1, indexing="ij")
+    gx = np.clip(cx[:, None] * MACROCELL_SIZE - GHOST + lx.reshape(-1)[None],
+                 0, dx - 1)
+    gy = np.clip(cy[:, None] * MACROCELL_SIZE - GHOST + ly.reshape(-1)[None],
+                 0, dy - 1)
+    gz = np.clip(cz[:, None] * MACROCELL_SIZE - GHOST + lz.reshape(-1)[None],
+                 0, dz - 1)
+    pool = vol_np[gz, gy, gx].astype(np.float32)  # [n, BRICK³]
+    packed = _pack_corners(jnp.asarray(pool.reshape(-1)).astype(dtype))
+    return {
+        "lut": jnp.asarray(lut),
+        "packed": packed,
+        "dims": jnp.asarray([dx, dy, dz], jnp.float32),
+        "mcdims": jnp.asarray(mc_dims, jnp.int32),
+        "_render": (),
+    }
+
+
 def brick_cache_bytes(mc: MacroCell, dilate: int = 1,
                       dtype=jnp.float32) -> int:
     """Device bytes the packed pool would take (for auto/memory gating)."""

@@ -5,9 +5,11 @@ suspends/resumes per-ray `DeltaTrackingIter` payloads through atomic queues
 (:82-172, :679-813); here every ray advances ONE tracking event per
 bulk-synchronous superstep of a masked lax.while_loop:
 
-  event = consume the remaining optical depth τ through the current
-  macrocell (majorant = cell max-opacity × density_scale — the per-cell
-  varying majorant of delta_tracking, :261-359), which yields one of
+  event = consume the remaining optical depth τ through up to
+  cell_skips+1 macrocells (majorant = cell max-opacity × density_scale —
+  the per-cell varying majorant of delta_tracking, :261-359; crossings
+  whose τ budget survives consume no RNG and no volume sample, so they
+  fold into the event as pure VPU work), which yields one of
     - cell exit   → move to the next cell (τ partially consumed)
     - volume exit → escape lighting / shadow-ray resolution
     - collision candidate → ONE batched volume sample + TF classification,
@@ -63,6 +65,30 @@ class PathTraceSettings:
     # the per-dispatch scalar readback; keep ≤ ~10 (long device programs
     # fault through the tunnel)
     events_per_dispatch: int = 8
+    # buckets ≤ this run ONE run-to-completion while_loop program instead of
+    # per-dispatch event chunks (compaction._FINISH_BUCKET analog): each
+    # dispatch costs ~25-30 ms of device-link latency while a PT event at
+    # 16384 rays computes for well under 1 ms, so the exponential tail
+    # (RR after 4 scatters) is pure dispatch overhead without this.
+    # Measured @512² decoded (scratch/pt_finish_sweep.py): 0→0.78,
+    # 16384→1.14, 32768→0.99, 65536→0.71 fps — larger finishers lose
+    # because the while_loop pays full-bucket compute while paths decay.
+    finish_bucket: int = 16384
+    # extra τ-consuming cell crossings folded into each tracking event
+    # (raymarch._emit_samples skip-loop analog): crossing a cell whose
+    # majorant budget is exhausted consumes no RNG and needs no volume
+    # sample — pure VPU work. Measured @512² decoded: 0→1.15, 2→1.21,
+    # 4→1.05, 8→0.88 fps — vorts majorants are high enough that most
+    # events are already collision candidates, so keep this small.
+    cell_skips: int = 2
+    # wrap a plain decoded/GT grid ctx into a corner-packed brick pool
+    # (render/brickcache.build_brick_cache_from_grid): 2 gathers/sample
+    # instead of sample_volume's 8, exact on occupied cells up to float
+    # summation order — and PT samples only ever land in occupied cells.
+    # None = auto (on when the pool fits grid_bricks_max_bytes),
+    # True/False = force.
+    grid_bricks: bool | None = None
+    grid_bricks_max_bytes: int = 2 << 30
 
 
 class _PTState(NamedTuple):
@@ -172,7 +198,9 @@ class _PTConsts(NamedTuple):
 def _pt_event(sample_fn, settings: PathTraceSettings, mc: MacroCell,
               tf: TransferFunction, consts: _PTConsts, st: _PTState,
               key: jax.Array):
-    """ONE delta-tracking event for every ray in `st` (masked).
+    """ONE delta-tracking event for every ray in `st` (masked): advance
+    through up to settings.cell_skips τ-surviving cell crossings, then
+    resolve the final cell (collision candidate / exit / plain crossing).
 
     Shared verbatim by the in-jit while_loop (`pathtrace`) and the
     host-orchestrated compaction driver (`pathtrace_compacted`), so the two
@@ -184,20 +212,44 @@ def _pt_event(sample_fn, settings: PathTraceSettings, mc: MacroCell,
     w = float(MACROCELL_SIZE)
     key, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
 
-    # --- advance τ through the current cell -------------------------
-    p = st.org + (st.t + _PROBE_EPS)[:, None] * st.dirn
+    # --- advance τ through up to cell_skips+1 cells -------------------
+    # a crossing whose τ budget survives the cell consumes no RNG and
+    # needs no volume sample, so several fold into one event as pure VPU
+    # work (occupancy gather + boundary math) — the emit-skip-loop analog
+    def _adv(_, c):
+        t, tau = c
+        p = st.org + (t + _PROBE_EPS)[:, None] * st.dirn
+        cell = jnp.floor(p / w).astype(jnp.int32)
+        majorant = _occupancy(mc, cell) * settings.density_scale
+        t1 = jnp.minimum(
+            jnp.maximum(_cell_exit_t(st.org, st.dirn, cell, w),
+                        t + _PROBE_EPS),
+            st.t_far,
+        )
+        dtau = (t1 - t) * majorant
+        cross = (tau > dtau) & (t < st.t_far - _EPS)
+        t = jnp.where(cross, t1, t)
+        tau = jnp.where(cross, tau - dtau, tau)
+        return (t, tau)
+
+    t_a, tau_a = jax.lax.fori_loop(0, settings.cell_skips, _adv,
+                                   (st.t, st.tau))
+
+    # final cell of this event: collision candidate / volume exit /
+    # (skip budget exhausted) one more plain crossing
+    p = st.org + (t_a + _PROBE_EPS)[:, None] * st.dirn
     cell = jnp.floor(p / w).astype(jnp.int32)
     majorant = _occupancy(mc, cell) * settings.density_scale
     t1 = jnp.minimum(
         jnp.maximum(_cell_exit_t(st.org, st.dirn, cell, w),
-                    st.t + _PROBE_EPS),
+                    t_a + _PROBE_EPS),
         st.t_far,
     )
-    dtau = (t1 - st.t) * majorant
-    crosses = st.tau > dtau  # τ survives the cell → move to next cell
-    t_coll = st.t + st.tau / jnp.maximum(majorant, _EPS)
+    dtau = (t1 - t_a) * majorant
+    crosses = tau_a > dtau  # τ survives the cell → move to next cell
+    t_coll = t_a + tau_a / jnp.maximum(majorant, _EPS)
     new_t = jnp.where(crosses, t1, t_coll)
-    new_tau = jnp.where(crosses, st.tau - dtau, st.tau)
+    new_tau = jnp.where(crosses, tau_a - dtau, tau_a)
 
     exited = crosses & (new_t >= st.t_far - _EPS)
     candidate = ~crosses  # a collision candidate inside this cell
@@ -334,6 +386,33 @@ def _pt_events_prefix(sample_fn, settings: PathTraceSettings, m: int,
     return new_state, key, jnp.sum(sub.active.astype(jnp.int32))
 
 
+@partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(6,))
+def _pt_finish_prefix(sample_fn, settings: PathTraceSettings, m: int,
+                      mc, tf, consts: _PTConsts, state: _PTState,
+                      key: jax.Array, sample_ctx, budget):
+    """Trace the first `m` rays to COMPLETION in ONE device program
+    (in-jit while_loop over tracking events), for the small-bucket tail.
+    `budget` (traced scalar) caps the remaining events so the total across
+    dispatches still honors settings.max_events exactly."""
+    fn = partial(sample_fn, sample_ctx)
+    pre = jax.tree_util.tree_map(lambda a: a[:m], state)
+
+    def cond(carry):
+        st, _, i = carry
+        return jnp.any(st.active) & (i < budget)
+
+    def body(carry):
+        st, k, i = carry
+        k, st = _pt_event(fn, settings, mc, tf, consts, st, k)
+        return st, k, i + 1
+
+    sub, _, _ = jax.lax.while_loop(cond, body, (pre, key, jnp.int32(0)))
+    return jax.tree_util.tree_map(
+        lambda full, part: jax.lax.dynamic_update_slice(
+            full, part, (0,) * full.ndim),
+        state, sub)
+
+
 @jax.jit
 def _pt_unpermute(perm, radiance, scatter_index):
     """Scatter per-slot results back to pixel order → rgba [R, 4]."""
@@ -408,6 +487,13 @@ def pathtrace_compacted(
         (), state, perm = _compact_prefix(m, (), state, perm)
         m = _bucket(count, r)
     while count > 0 and events < settings.max_events:
+        if m <= settings.finish_bucket:
+            # small tail: trace to completion in one program — at these
+            # sizes the per-dispatch link latency dominates the compute
+            state = _pt_finish_prefix(
+                sample_fn, settings, m, mc, tf, consts, state, key,
+                sample_ctx, jnp.int32(settings.max_events - events))
+            break
         state, key, n_live = _pt_events_prefix(
             sample_fn, settings, m, mc, tf, consts, state, key, sample_ctx)
         events += settings.events_per_dispatch
@@ -445,9 +531,14 @@ def warmup_pt_programs(sample_fn, settings: PathTraceSettings, mc, tf,
             shadow=jnp.zeros((r,), bool),
             active=jnp.zeros((r,), bool),
         )
-        st, _, _ = _pt_events_prefix(sample_fn, settings, mm, mc, tf,
-                                     consts, st, jax.random.PRNGKey(0),
-                                     sample_ctx)
+        if mm <= settings.finish_bucket:
+            st = _pt_finish_prefix(sample_fn, settings, mm, mc, tf, consts,
+                                   st, jax.random.PRNGKey(0), sample_ctx,
+                                   jnp.int32(settings.max_events))
+        else:
+            st, _, _ = _pt_events_prefix(sample_fn, settings, mm, mc, tf,
+                                         consts, st, jax.random.PRNGKey(0),
+                                         sample_ctx)
         _compact_prefix(mm, (), st, jnp.arange(r, dtype=jnp.int32))
 
     if parallel:
@@ -522,6 +613,23 @@ class PathTraceRenderer:
         self.sample_fn = sample_fn or reference_sample_fn
         self.sample_ctx = volume_or_ctx
         self.settings = settings or PathTraceSettings()
+        # plain grid ctx → corner-packed brick pool (2 gathers/sample vs
+        # 8; exact to summation order for the tracker, whose samples only
+        # land in occupied cells) unless forced off or too big to cache
+        if (sample_fn is None and self.settings.grid_bricks is not False
+                and getattr(volume_or_ctx, "ndim", 0) == 3):
+            from instantvnr_tpu.render.brickcache import (
+                brick_cache_bytes,
+                brick_sample_fn,
+                build_brick_cache_from_grid,
+            )
+
+            if (self.settings.grid_bricks
+                    or brick_cache_bytes(mc)
+                    <= self.settings.grid_bricks_max_bytes):
+                self.sample_ctx = build_brick_cache_from_grid(
+                    volume_or_ctx, mc)
+                self.sample_fn = brick_sample_fn
         self.transform = transform or default_transform(mc.volume_dims)
         self.camera = Camera.default_for_dims(mc.volume_dims)
         self._key = jax.random.PRNGKey(seed)

@@ -125,6 +125,62 @@ class TestBrickCache:
         np.testing.assert_allclose(frames["brick"], frames["decoded"],
                                    rtol=0, atol=1e-4)
 
+    def test_grid_pool_exact_on_occupied_cells(self):
+        """`build_brick_cache_from_grid` re-tiles the grid voxels
+        themselves, so on occupied cells it must equal
+        `ops.trilinear.sample_volume` up to trilinear summation order
+        (packed sum-of-8 vs nested lerps; ≲1e-7 relative) — unlike the
+        neural pool, there is no decode in the way."""
+        from instantvnr_tpu.render.brickcache import (
+            build_brick_cache_from_grid,
+        )
+
+        vol, tf, mc, _, _ = _scene(train=0)
+        ctx = build_brick_cache_from_grid(vol.data, mc, dilate=1)
+
+        occ = occupied_cells(mc, dilate=0)
+        rng = np.random.default_rng(2)
+        mx, my, _ = (int(d) for d in mc.dims)
+        pick = occ[rng.integers(0, occ.size, 512)]
+        cx, cy, cz = pick % mx, (pick // mx) % my, pick // (mx * my)
+        base = np.stack([cx, cy, cz], -1).astype(np.float32) * 16.0
+        pos_v = base + rng.random((512, 3), np.float32) * 16.0
+        p = jnp.asarray(pos_v) / jnp.asarray(
+            [float(d) for d in mc.volume_dims])
+
+        got = np.asarray(brick_sample_fn(ctx, p))
+        want = np.asarray(sample_volume(jnp.asarray(vol.data), p))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    def test_pathtracer_grid_bricks_matches(self):
+        """PathTraceRenderer's auto grid→brick-pool rewrite is a pure
+        sampling-layout change: the tracker only *uses* samples at
+        collision candidates (majorant>0 ⇒ occupied cell, where the pool
+        is exact up to summation order), so same-seed frames must agree
+        to float tolerance with it on and off."""
+        from instantvnr_tpu.render.camera import Camera
+        from instantvnr_tpu.render.pathtrace import (
+            PathTraceRenderer,
+            PathTraceSettings,
+        )
+
+        vol, tf, mc, _, _ = _scene(train=0)
+        cam = Camera(eye=(5, 4, -60), center=(0, 0, 0), up=(0, 1, 0),
+                     fovy=45)
+        frames = {}
+        for bricks in (False, True):
+            r = PathTraceRenderer(
+                16, 16, mc, tf, vol.data, seed=17,
+                settings=PathTraceSettings(max_events=160,
+                                           grid_bricks=bricks))
+            r.set_camera(cam)
+            for _ in range(4):
+                r.render()
+            frames[bricks] = np.asarray(r._frame)
+        assert frames[True][:, 3].max() > 0.1  # something rendered
+        np.testing.assert_allclose(frames[True], frames[False],
+                                   rtol=0, atol=1e-5)
+
     def test_gradient_shading_frame_matches(self):
         """Gradient probes cross cell walls — dilate=1 must keep the shaded
         brick frame equal to the decoded-grid shaded frame."""

@@ -247,6 +247,60 @@ class TestPathtraceCompaction:
                                    rtol=0.15)
         np.testing.assert_allclose(means[True], means[False], atol=0.35)
 
+    def test_uncompacted_bit_parity_chunked(self, scene, monkeypatch):
+        """Same as above but with the tail finisher disabled, so the driver
+        takes the per-dispatch `_pt_events_prefix` chunks (the default
+        settings route everything ≤ finish_bucket through the one-program
+        finisher, which the test above covers)."""
+        import jax
+        from functools import partial
+
+        import instantvnr_tpu.render.compaction as comp
+        from instantvnr_tpu.render.pathtrace import (
+            pathtrace,
+            pathtrace_compacted,
+        )
+        from instantvnr_tpu.render.renderer import reference_sample_fn
+
+        vol, tf, mc = scene
+        (org, dirn, t0, t1, light, lo, hi, k_pt, scale), settings = \
+            self._rays(scene)
+        settings = PathTraceSettings(max_events=settings.max_events,
+                                     finish_bucket=0)
+        monkeypatch.setattr(comp, "_MIN_BUCKET", 1 << 20)
+        got = pathtrace_compacted(
+            reference_sample_fn, org, dirn, t0, t1, mc, tf, k_pt, settings,
+            light, sample_ctx=vol.data, scale=scale,
+            clip_lower=lo, clip_upper=hi)
+        want = pathtrace(
+            partial(reference_sample_fn, vol.data), org, dirn, t0, t1, mc,
+            tf, k_pt, settings, light, scale=scale,
+            clip_lower=lo, clip_upper=hi)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=1e-6)
+
+    def test_cell_skips_statistical_parity(self, scene):
+        """Folding τ-surviving cell crossings into one event changes only
+        the RNG *schedule* (crossings never consumed randoms to begin
+        with), so the estimator stays unbiased: means must agree."""
+        vol, tf, mc = scene
+        frames = 40
+        means = {}
+        for skips in (0, 2):
+            r = PathTraceRenderer(
+                16, 16, mc, tf, vol.data, seed=13,
+                settings=PathTraceSettings(max_events=160, compact=False,
+                                           cell_skips=skips))
+            r.set_camera(Camera(eye=(5, 4, -60), center=(0, 0, 0),
+                                up=(0, 1, 0), fovy=45))
+            for _ in range(frames):
+                r.render()
+            means[skips] = np.asarray(r._frame)
+        assert np.isfinite(means[2]).all()
+        np.testing.assert_allclose(means[2].mean(), means[0].mean(),
+                                   rtol=0.15)
+        np.testing.assert_allclose(means[2], means[0], atol=0.35)
+
     def test_warmup_compiles_bucket_family(self, scene):
         from instantvnr_tpu.render.pathtrace import warmup_pt_programs
         from instantvnr_tpu.render.renderer import reference_sample_fn
