@@ -29,6 +29,7 @@ tests/test_compaction.py.
 """
 from __future__ import annotations
 
+from collections import deque
 from functools import partial
 
 import jax
@@ -88,7 +89,11 @@ def _finish_prefix(sample_fn, settings: RaymarchSettings, m: int,
     """March the first `m` rays to completion in ONE device program
     (in-jit while_loop), for the small-bucket tail. `budget` (traced
     scalar) caps the remaining supersteps so the total across dispatches
-    still honors settings.max_supersteps exactly."""
+    still honors settings.max_supersteps exactly.
+
+    Returns (state, live count in the prefix) — the count is 0 unless the
+    budget ran out first; schedule replay uses it to decide whether the
+    frame still has work."""
     org, dirn, t_far, jitter = rays
     fn = partial(sample_fn, sample_ctx)
     pre = jax.tree_util.tree_map(lambda a: a[:m], state)
@@ -107,10 +112,11 @@ def _finish_prefix(sample_fn, settings: RaymarchSettings, m: int,
         return st, i + 1
 
     sub, _ = jax.lax.while_loop(cond, body, (pre, jnp.int32(0)))
-    return jax.tree_util.tree_map(
+    new_state = jax.tree_util.tree_map(
         lambda full, part: jax.lax.dynamic_update_slice(
             full, part, (0,) * full.ndim),
         state, sub)
+    return new_state, jnp.sum(sub.active.astype(jnp.int32))
 
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2, 3))
@@ -154,6 +160,180 @@ def _compact_prefix(m: int, rays, state, perm):
         out.append(l.at[:m].set(c))
         off += w_
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+_REPLAY_HEADROOM = 0.95  # see _replay docstring
+
+
+@jax.jit
+def _count_active(active):
+    return jnp.sum(active.astype(jnp.int32))
+
+
+def _serial_loop(r, m, used, count, rays, state, perm, ops,
+                 dispatch_super, dispatch_finish, budget_total, budget_step,
+                 finish_bucket, speculate):
+    """The serialized bucketed loop, shared by the fresh path and the
+    post-replay continuation. Appends every dispatched op to `ops`
+    (("S", m) superstep / ("C", m_new, count) compaction /
+    ("F", m) finisher) so the next frame can replay the schedule.
+
+    `speculate` > 0 keeps that many live-counts in flight
+    (copy_to_host_async) and acts on them stale — counts only decrease
+    within a frame so the bucket never drops below live; extra supersteps
+    dispatched past ray death are masked no-ops.
+    """
+    spec = max(int(speculate), 0)
+    pending = deque()
+    while count > 0 and used < budget_total:
+        if m <= finish_bucket:
+            # small tail: run to completion in one program (per-dispatch
+            # link latency dominates compute at these sizes)
+            state, _ = dispatch_finish(m, rays, state, budget_total - used)
+            ops.append(("F", m))
+            break
+        state, n_live = dispatch_super(m, rays, state)
+        used += budget_step
+        ops.append(("S", m))
+        n_live.copy_to_host_async()
+        pending.append(n_live)
+        if len(pending) > spec:
+            count = int(pending.popleft())  # host sync (stale by `spec`)
+            if count > 0 and _bucket(count, r) < m:
+                ops.append(("C", _bucket(count, r), count))
+                rays, state, perm = _compact_prefix(m, rays, state, perm)
+                m = _bucket(count, r)
+    pending.clear()
+    return rays, state, perm
+
+
+def _replay(r, make_initial, dispatch_super, dispatch_finish, budget_total,
+            budget_step, finish_bucket, speculate, schedule_cache):
+    """Replay the previous frame's recorded schedule free-running.
+
+    Progressive accumulation re-renders the same scene every frame, so the
+    superstep/compaction trajectory is nearly identical frame to frame.
+    Replaying it dispatches the whole frame WITHOUT blocking on any live
+    count (~2 ms/dispatch instead of ~30 through the device link,
+    scratch/dispatch_pipeline.py), then validates with the counts that
+    were async-copied along the way — one link round-trip total:
+
+      - a compaction was SAFE iff the live count just before it was ≤ the
+        new bucket (live counts only decrease, rays at positions ≥ bucket
+        would stop marching). Unsafe ⇒ return None; the caller re-renders
+        serialized from scratch (replay's donated buffers are rebuilt by
+        `make_initial`).
+      - rays still live after the schedule (this frame outlived the last)
+        ⇒ continue with the serialized loop from the current state.
+
+    Compaction buckets get a headroom bump (previous count within
+    `_REPLAY_HEADROOM` of the bucket ⇒ next power of two) so near-boundary
+    counts don't oscillate between replay and re-render. Frame-to-frame
+    counts differ only by the per-frame jitter draw, so the margin can be
+    thin: 0.8 measurably hurt 768² (skipped compactions kept supersteps at
+    full frame size, 1.81 → 1.52 fps) while 0.95 keeps the schedule tight.
+    """
+    ops = schedule_cache["ops"]
+    rays, state, perm = make_initial()
+    init_handle = _count_active(state.active)
+    init_handle.copy_to_host_async()
+    m = r
+    used = 0
+    counts = []  # live-count handles, one per replayed superstep
+    checks = []  # (index into counts just before a compaction, bucket)
+    finish_handle = None
+    replayed = []
+    finished = False
+    for op in ops:
+        if op[0] == "C":
+            m_new, c_just = op[1], op[2]
+            if c_just > _REPLAY_HEADROOM * m_new:
+                m_new = min(2 * m_new, r)
+            if m_new >= m:
+                continue
+            checks.append((len(counts) - 1, m_new))
+            rays, state, perm = _compact_prefix(m, rays, state, perm)
+            replayed.append(("C", m_new, c_just))
+            m = m_new
+        elif op[0] == "S":
+            if used >= budget_total or m <= finish_bucket:
+                break  # the tail logic below finishes the frame
+            state, n_live = dispatch_super(m, rays, state)
+            used += budget_step
+            n_live.copy_to_host_async()
+            counts.append(n_live)
+            replayed.append(("S", m))
+        else:  # "F"
+            if m > finish_bucket:
+                break  # headroom bump left the bucket too big to finish
+            state, finish_handle = dispatch_finish(m, rays, state,
+                                                   budget_total - used)
+            finish_handle.copy_to_host_async()
+            replayed.append(("F", m))
+            finished = True
+            break
+    # ---- validate: the handles have been in flight since dispatch ------
+    for ci, m_new in checks:
+        c = int(init_handle) if ci < 0 else int(counts[ci])
+        if c > m_new:
+            return None  # compaction below the live count → frame invalid
+    live = (int(finish_handle) if finish_handle is not None
+            else int(counts[-1]) if counts else int(init_handle))
+    if live > 0 and used < budget_total and not finished:
+        if _bucket(live, r) < m:
+            replayed.append(("C", _bucket(live, r), live))
+            rays, state, perm = _compact_prefix(m, rays, state, perm)
+            m = _bucket(live, r)
+        rays, state, perm = _serial_loop(
+            r, m, used, live, rays, state, perm, replayed, dispatch_super,
+            dispatch_finish, budget_total, budget_step, finish_bucket,
+            speculate)
+    schedule_cache["ops"] = replayed
+    return rays, state, perm
+
+
+def drive_compacted(r, make_initial, dispatch_super, dispatch_finish,
+                    budget_total, budget_step, finish_bucket,
+                    speculate=0, schedule_cache=None, sched_key=None):
+    """Shared host orchestration for the compacted wavefront and path
+    tracer: bucketed supersteps + compaction + tail finisher, with
+    schedule replay (when `schedule_cache` is a dict owned by the caller)
+    and optional stale-count speculation.
+
+    make_initial() → (rays, state, perm) must build FRESH buffers each
+    call (the bucket programs donate them); it may be called twice when a
+    replay fails validation. dispatch_super(m, rays, state) →
+    (state, live-count handle); dispatch_finish(m, rays, state, budget) →
+    (state, live-count handle). Returns (rays, state, perm)."""
+    if (schedule_cache is not None and schedule_cache.get("ops")
+            and schedule_cache.get("key") == sched_key):
+        out = _replay(r, make_initial, dispatch_super, dispatch_finish,
+                      budget_total, budget_step, finish_bucket, speculate,
+                      schedule_cache)
+        if out is not None:
+            schedule_cache["replays"] = schedule_cache.get("replays", 0) + 1
+            return out
+        schedule_cache["invalidated"] = (
+            schedule_cache.get("invalidated", 0) + 1)
+    if schedule_cache is not None:
+        schedule_cache["serialized"] = schedule_cache.get("serialized", 0) + 1
+    rays, state, perm = make_initial()
+    ops = []
+    m = r
+    count = int(_count_active(state.active))
+    # compact straight away if most rays miss (all-miss frames skip even
+    # that — nothing to march, nothing to sort)
+    if count > 0 and _bucket(count, r) < m:
+        ops.append(("C", _bucket(count, r), count))
+        rays, state, perm = _compact_prefix(m, rays, state, perm)
+        m = _bucket(count, r)
+    rays, state, perm = _serial_loop(
+        r, m, 0, count, rays, state, perm, ops, dispatch_super,
+        dispatch_finish, budget_total, budget_step, finish_bucket, speculate)
+    if schedule_cache is not None:
+        schedule_cache["key"] = sched_key
+        schedule_cache["ops"] = ops
+    return rays, state, perm
 
 
 @jax.jit
@@ -205,8 +385,8 @@ def warmup_programs(sample_fn, settings: RaymarchSettings, mc, tf, r: int,
         # fresh state/rays per call: the programs donate their buffers
         st = init_ray_state(zeros + 0.0, zeros + 0.0)
         if m <= _FINISH_BUCKET:
-            st = _finish_prefix(sample_fn, settings, m, mc, tf, light,
-                                rays, st, sample_ctx, scale, shadow_vol)
+            st, _ = _finish_prefix(sample_fn, settings, m, mc, tf, light,
+                                   rays, st, sample_ctx, scale, shadow_vol)
         else:
             st, _ = _superstep_prefix(sample_fn, settings, m, mc, tf, light,
                                       rays, st, sample_ctx, scale,
@@ -222,6 +402,7 @@ def warmup_programs(sample_fn, settings: RaymarchSettings, mc, tf, r: int,
         for m in sizes:
             warm_one(m)
     st = init_ray_state(zeros, zeros)
+    _count_active(st.active)
     _unpermute(jnp.arange(r, dtype=jnp.int32), st.color, st.alpha,
                st.best_w, st.best_pos, st.best_rgb)
     n = len(sizes)
@@ -253,16 +434,22 @@ def raymarch_compacted(
     clip_lower=None,  # [3] voxel-space clip box (for SSH shadow rays)
     clip_upper=None,
     shadow_vol=None,  # [dz,dy,dx] transmittance (shading == "shadow")
+    schedule_cache: dict | None = None,  # per-renderer dict for replay
 ) -> jnp.ndarray:
     """`raymarch` with host-orchestrated bucketed ray compaction.
 
     Must be called OUTSIDE jit (it reads live-ray counts on the host).
-    Semantically identical to raymarch(...); see module docstring.
+    Semantically identical to raymarch(...); see module docstring. A ray's
+    march is independent of its slot position (jitter travels with the
+    ray, `_unpermute` undoes the permutation), so the output is
+    bit-identical for ANY compaction/replay schedule.
 
     sample_fn is called as sample_fn(sample_ctx, positions) and must be a
     long-lived callable (it keys the per-bucket program cache); per-frame
     data (network params / volume) goes in sample_ctx, which is traced.
     """
+    import dataclasses
+
     from instantvnr_tpu.utils.math import normalize as _normalize
 
     r = org.shape[0]
@@ -271,38 +458,30 @@ def raymarch_compacted(
         light_dir = jnp.asarray(settings.light_dir, jnp.float32)
     light_dir = _normalize(light_dir)
 
-    # copy the inputs once: the bucket programs DONATE the ray/state buffers
-    # (they are rewritten every superstep), and the caller's arrays must
-    # survive this call
-    rays = tuple(x + 0.0 for x in (org, dirn, t_far, jitter))
-    state = init_ray_state(t_near + 0.0, rays[2])
-    perm = jnp.arange(r, dtype=jnp.int32)
+    def make_initial():
+        # fresh buffers each call: the bucket programs DONATE the
+        # ray/state buffers, and the caller's arrays must survive
+        rays = tuple(x + 0.0 for x in (org, dirn, t_far, jitter))
+        state = init_ray_state(t_near + 0.0, rays[2])
+        return rays, state, jnp.arange(r, dtype=jnp.int32)
 
-    m = r
-    steps = 0
-    count = int(jnp.sum(state.active.astype(jnp.int32)))
-    # compact straight away if the box misses most pixels (all-miss frames
-    # skip even that — nothing to march, nothing to sort)
-    if count > 0 and _bucket(count, r) < m:
-        rays, state, perm = _compact_prefix(m, rays, state, perm)
-        m = _bucket(count, r)
-    while count > 0 and steps < settings.max_supersteps:
-        if m <= _FINISH_BUCKET:
-            # small tail: march to completion in one program (the
-            # per-superstep dispatch overhead dominates at these sizes)
-            state = _finish_prefix(
-                sample_fn, settings, m, mc, tf, light_dir, rays, state,
-                sample_ctx, scale, shadow_vol,
-                jnp.int32(settings.max_supersteps - steps))
-            break
-        state, n_live = _superstep_prefix(
-            sample_fn, settings, m, mc, tf, light_dir, rays, state,
-            sample_ctx, scale, shadow_vol)
-        steps += 1
-        count = int(n_live)  # host sync: one scalar per superstep
-        if count > 0 and _bucket(count, r) < m:
-            rays, state, perm = _compact_prefix(m, rays, state, perm)
-            m = _bucket(count, r)
+    def dispatch_super(m, rays, state):
+        return _superstep_prefix(sample_fn, settings, m, mc, tf, light_dir,
+                                 rays, state, sample_ctx, scale, shadow_vol)
+
+    def dispatch_finish(m, rays, state, budget):
+        return _finish_prefix(sample_fn, settings, m, mc, tf, light_dir,
+                              rays, state, sample_ctx, scale, shadow_vol,
+                              jnp.int32(budget))
+
+    sched_key = (r, dataclasses.astuple(settings), scale is None,
+                 shadow_vol is None)
+    rays, state, perm = drive_compacted(
+        r, make_initial, dispatch_super, dispatch_finish,
+        settings.max_supersteps, 1, _FINISH_BUCKET,
+        speculate=settings.speculate,
+        schedule_cache=schedule_cache if settings.schedule_replay else None,
+        sched_key=sched_key)
 
     color, alpha, bw, bp, bc = _unpermute(
         perm, state.color, state.alpha, state.best_w, state.best_pos,
@@ -315,7 +494,9 @@ def raymarch_compacted(
             return raymarch_compacted(
                 sample_fn, org2, dir2, t0b, t1b, mc, tf, sh_jitter,
                 sh_settings, sample_ctx=sample_ctx, scale=scale,
-                clip_lower=clip_lower, clip_upper=clip_upper)
+                clip_lower=clip_lower, clip_upper=clip_upper,
+                schedule_cache=None if schedule_cache is None
+                else schedule_cache.setdefault("ssh", {}))
 
         color = ssh_deferred_shade(march_shadow, color, alpha, bw, bp, bc,
                                    light_dir, dims, settings, scale,

@@ -83,6 +83,25 @@ class RaymarchSettings:
     # Only honored by Renderer.render (needs host-side counts, so it can't
     # run under an outer jit); ignored when fixed_steps is set.
     compact: bool = False
+    # speculative dispatch depth for the compacted driver: keep up to this
+    # many superstep live-counts in flight (copy_to_host_async) and act on
+    # them STALE instead of blocking after every dispatch. Live counts only
+    # decrease within a frame, so a stale count keeps the bucket ≥ live —
+    # always safe; 0 reproduces the serialized schedule exactly. Measured
+    # (scratch/dispatch_pipeline.py, v5e through the tunnel): per-dispatch
+    # wall 32 ms serialized → 16 ms at depth 1 → 9.5 ms at depth 2; the
+    # cost is up to `speculate` extra supersteps at a stale bucket size.
+    # MEASURED END-TO-END LOSS at 512² (scratch/speculate_sweep.py:
+    # 3.61/3.47/2.69/2.16 fps at depth 0/1/2/3 — delayed compaction keeps
+    # supersteps at big buckets); kept for non-compacting workloads.
+    speculate: int = 0
+    # replay the previous frame's superstep/compaction schedule
+    # free-running and validate with async counts afterwards — the
+    # progressive-accumulation fast path (compaction._replay). Safe for
+    # any scene/camera change: an invalid replay is detected and the
+    # frame re-rendered serialized; wavefront output is bit-identical
+    # under ANY schedule (per-ray state is slot-independent).
+    schedule_replay: bool = True
 
     def __post_init__(self):
         assert self.shading in ("none", "gradient", "ssh",

@@ -128,6 +128,9 @@ class Renderer:
         self._frame = self._accum
         self.frame_index = 0
         self.shadow_volume = None  # [dz,dy,dx] for shading == "shadow"
+        # previous frame's superstep/compaction schedule, replayed
+        # free-running by the compacted driver (compaction.drive_compacted)
+        self._sched_cache: dict = {}
 
     # -- transactional updates (reference MainRenderer::set_*) --------------
 
@@ -228,7 +231,8 @@ class Renderer:
                 jitter, self.settings, light_dir=light,
                 sample_ctx=self.sample_ctx, scale=self.transform.scale,
                 clip_lower=lo, clip_upper=hi,
-                shadow_vol=self.shadow_volume)
+                shadow_vol=self.shadow_volume,
+                schedule_cache=self._sched_cache)
             self._accum, self._frame = _accumulate(
                 rgba, self._accum, jnp.int32(self.frame_index))
             return self._frame

@@ -27,7 +27,8 @@ def log(*a):
 @jax.jit
 def chunk(x, k):
     # superstep-shaped: some gathers + arithmetic + a scalar reduction
-    idx = (jnp.arange(x.shape[0]) * 2654435761 % x.shape[0]).astype(jnp.int32)
+    idx = ((jnp.arange(x.shape[0], dtype=jnp.uint32) * jnp.uint32(2654435761))
+           % jnp.uint32(x.shape[0])).astype(jnp.int32)
     for _ in range(8):
         x = x * 0.999 + x[idx] * 0.001
     return x, jnp.sum(x[:, 0] > -1e9).astype(jnp.int32), k + 1
@@ -62,6 +63,35 @@ def main():
     c = int(pending)
     dt_pipe = (time.time() - t0) / n_iter * 1e3
     log(f"pipelined (1-deep):           {dt_pipe:.1f} ms/iter (count={c})")
+
+    # pipelined + early async host copy: the transfer starts as soon as
+    # the count is ready instead of when the host blocks on int()
+    t0 = time.time()
+    pending = None
+    for _ in range(n_iter):
+        x, n, k = chunk(x, k)
+        n.copy_to_host_async()
+        if pending is not None:
+            c = int(pending)
+        pending = n
+    c = int(pending)
+    dt_async = (time.time() - t0) / n_iter * 1e3
+    log(f"pipelined + copy_to_host_async: {dt_async:.1f} ms/iter (count={c})")
+
+    # deeper pipeline (2-deep) + async copy
+    from collections import deque
+    t0 = time.time()
+    q = deque()
+    for _ in range(n_iter):
+        x, n, k = chunk(x, k)
+        n.copy_to_host_async()
+        q.append(n)
+        if len(q) > 2:
+            c = int(q.popleft())
+    while q:
+        c = int(q.popleft())
+    dt_async2 = (time.time() - t0) / n_iter * 1e3
+    log(f"2-deep + copy_to_host_async:    {dt_async2:.1f} ms/iter (count={c})")
 
     # no readback at all (pure dispatch stream, sync at end)
     t0 = time.time()

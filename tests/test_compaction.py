@@ -83,6 +83,84 @@ def test_renderer_compact_flag(scene):
     np.testing.assert_allclose(frames[1], frames[0], rtol=1e-4, atol=1e-5)
 
 
+class TestScheduleReplay:
+    """Schedule replay (compaction.drive_compacted/_replay): frame k+1
+    re-dispatches frame k's superstep/compaction schedule free-running and
+    validates with async live counts. A wavefront ray's march is
+    slot-independent, so ANY schedule yields bit-identical output."""
+
+    def _small_buckets(self, monkeypatch):
+        # shrink the bucket floor/finisher so 48² frames actually exercise
+        # compaction + replay (defaults are sized for 512² on real TPU)
+        import instantvnr_tpu.render.compaction as comp
+
+        monkeypatch.setattr(comp, "_MIN_BUCKET", 256)
+        monkeypatch.setattr(comp, "_FINISH_BUCKET", 512)
+
+    def test_progressive_frames_bit_identical(self, scene, monkeypatch):
+        self._small_buckets(monkeypatch)
+        vol, tf, mc = scene
+        cam = Camera.default_for_dims(vol.dims)
+        frames = {}
+        for replay in (False, True):
+            r = Renderer(48, 48, mc, tf, reference_sample_fn,
+                         sample_ctx=vol.data,
+                         settings=RaymarchSettings(
+                             compact=True, schedule_replay=replay), seed=5)
+            r.set_camera(cam)
+            fs = []
+            for _ in range(4):
+                r.render()
+                fs.append(np.asarray(r._frame).copy())
+            frames[replay] = fs
+            if replay:
+                # the fast path must actually engage after frame 1
+                assert r._sched_cache.get("replays", 0) >= 2, r._sched_cache
+        for a, b in zip(frames[True], frames[False]):
+            np.testing.assert_array_equal(a, b)
+
+    def test_camera_change_mid_accumulation(self, scene, monkeypatch):
+        """A schedule recorded for one camera replays against another —
+        validation/continuation must keep the result exact (the stale
+        schedule is only a performance hint, never a correctness input)."""
+        self._small_buckets(monkeypatch)
+        vol, tf, mc = scene
+        cam1 = Camera.default_for_dims(vol.dims)
+        # a close-up from a different axis: very different live-count
+        # trajectory (and many more near-plane hits)
+        cam2 = Camera(eye=(1.5 * vol.dims[0], 8, 4), center=(0, 0, 0),
+                      up=(0, 1, 0), fovy=60)
+        frames = {}
+        for replay in (False, True):
+            r = Renderer(48, 48, mc, tf, reference_sample_fn,
+                         sample_ctx=vol.data,
+                         settings=RaymarchSettings(
+                             compact=True, schedule_replay=replay), seed=9)
+            r.set_camera(cam1)
+            r.render()
+            r.render()
+            r.set_camera(cam2)
+            r.render()
+            frames[replay] = np.asarray(r._frame).copy()
+        np.testing.assert_array_equal(frames[True], frames[False])
+
+    def test_all_miss_frame(self, scene, monkeypatch):
+        """Rays that never hit the box record an empty schedule; replay
+        must not engage on nothing and the frame stays black."""
+        self._small_buckets(monkeypatch)
+        vol, tf, mc = scene
+        away = Camera(eye=(0, 0, -5.0 * vol.dims[2]), center=(0, 0, -9999),
+                      up=(0, 1, 0), fovy=30)
+        r = Renderer(32, 32, mc, tf, reference_sample_fn,
+                     sample_ctx=vol.data,
+                     settings=RaymarchSettings(compact=True), seed=1)
+        r.set_camera(away)
+        for _ in range(3):
+            r.render()
+        assert np.abs(np.asarray(r._frame)).max() < 1e-6
+        assert r._sched_cache.get("replays", 0) == 0
+
+
 def test_warmup_precompiles_and_matches(scene):
     """Renderer.warmup() compiles the bucket family without disturbing
     output: a warmed renderer's frame equals an unwarmed one's."""

@@ -301,6 +301,34 @@ class TestPathtraceCompaction:
                                    rtol=0.15)
         np.testing.assert_allclose(means[2], means[0], atol=0.35)
 
+    def test_schedule_replay_statistical_parity(self, scene, monkeypatch):
+        """Schedule replay only remaps slots to RNG draws (the estimator is
+        unchanged); means must agree, and the fast path must engage."""
+        import instantvnr_tpu.render.compaction as comp
+
+        monkeypatch.setattr(comp, "_MIN_BUCKET", 64)
+        vol, tf, mc = scene
+        frames = 40
+        means = {}
+        for replay in (False, True):
+            r = PathTraceRenderer(
+                16, 16, mc, tf, vol.data, seed=21,
+                settings=PathTraceSettings(max_events=160, compact=True,
+                                           finish_bucket=128,
+                                           schedule_replay=replay))
+            r.set_camera(Camera(eye=(5, 4, -60), center=(0, 0, 0),
+                                up=(0, 1, 0), fovy=45))
+            for _ in range(frames):
+                r.render()
+            means[replay] = np.asarray(r._frame)
+            if replay:
+                assert r._sched_cache.get("replays", 0) >= frames // 2, \
+                    r._sched_cache
+        assert np.isfinite(means[True]).all()
+        np.testing.assert_allclose(means[True].mean(), means[False].mean(),
+                                   rtol=0.15)
+        np.testing.assert_allclose(means[True], means[False], atol=0.35)
+
     def test_warmup_compiles_bucket_family(self, scene):
         from instantvnr_tpu.render.pathtrace import warmup_pt_programs
         from instantvnr_tpu.render.renderer import reference_sample_fn
