@@ -63,17 +63,24 @@ class PathTraceSettings:
     compact: bool = False
     # tracking events per device dispatch in the compacted driver: amortizes
     # the per-dispatch scalar readback; keep ≤ ~10 (long device programs
-    # fault through the tunnel)
-    events_per_dispatch: int = 8
+    # fault through the tunnel). Re-swept under schedule replay (dispatches
+    # ~2 ms instead of ~30): 2→3.20, 4→3.11, 8→2.43, 16→2.15 fps @512²
+    # decoded — finer chunks compact sooner; 4 keeps the serialized
+    # (first-frame/camera-move) dispatch count reasonable.
+    events_per_dispatch: int = 4
     # buckets ≤ this run ONE run-to-completion while_loop program instead of
     # per-dispatch event chunks (compaction._FINISH_BUCKET analog): each
     # dispatch costs ~25-30 ms of device-link latency while a PT event at
     # 16384 rays computes for well under 1 ms, so the exponential tail
     # (RR after 4 scatters) is pure dispatch overhead without this.
-    # Measured @512² decoded (scratch/pt_finish_sweep.py): 0→0.78,
-    # 16384→1.14, 32768→0.99, 65536→0.71 fps — larger finishers lose
-    # because the while_loop pays full-bucket compute while paths decay.
-    finish_bucket: int = 16384
+    # Measured @512² decoded (scratch/pt_finish_sweep.py, pre-replay):
+    # 0→0.78, 16384→1.14, 32768→0.99, 65536→0.71 fps — larger finishers
+    # lose because the while_loop pays full-bucket compute while paths
+    # decay. Re-swept under schedule replay at epd=4: 8192→3.11,
+    # 16384→2.59, 32768→2.14 (8192 = the compaction bucket floor, so the
+    # finisher fires only for the last bucket; anything below the floor
+    # never fires).
+    finish_bucket: int = 8192
     # extra τ-consuming cell crossings folded into each tracking event
     # (raymarch._emit_samples skip-loop analog): crossing a cell whose
     # majorant budget is exhausted consumes no RNG and needs no volume
