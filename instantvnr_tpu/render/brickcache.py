@@ -152,13 +152,7 @@ def build_brick_cache(field, params, mc: MacroCell, dilate: int = 1,
         parts.append(vals)
     pool = jnp.concatenate(parts, axis=0)[:n].astype(dtype)
     packed = _pack_corners(pool.reshape(-1))
-    return {
-        "lut": jnp.asarray(lut),
-        "packed": packed,
-        "dims": jnp.asarray(vol_dims, jnp.float32),
-        "mcdims": jnp.asarray(mc_dims, jnp.int32),
-        "_render": (),
-    }
+    return _brick_ctx(lut, packed, vol_dims, mc_dims, mc)
 
 
 def build_brick_cache_from_grid(vol, mc: MacroCell, dilate: int = 1,
@@ -199,13 +193,31 @@ def build_brick_cache_from_grid(vol, mc: MacroCell, dilate: int = 1,
                  0, dz - 1)
     pool = vol_np[gz, gy, gx].astype(np.float32)  # [n, BRICK³]
     packed = _pack_corners(jnp.asarray(pool.reshape(-1)).astype(dtype))
-    return {
+    return _brick_ctx(lut, packed, (dx, dy, dz), mc_dims, mc)
+
+
+def _brick_ctx(lut, packed, vol_dims, mc_dims, mc: MacroCell) -> dict:
+    """Assemble the sample ctx. Besides the LUT, it carries "occ_slot"
+    [n_cells, 2] = (macrocell max opacity, slot) rows for the wavefront's
+    fused sampling path (raymarch._emit_samples occ_aux): the emit probe
+    gathers this row instead of the scalar occupancy (same cost — row
+    gathers are flat in width) and the slot rides to the sample, which
+    then needs ONE packed-pool gather instead of LUT + pool. Column 0 is
+    mc.max_opacity verbatim so emission is bit-identical to the unfused
+    path. Omitted past 2^24 cells (slot/cell ids ride f32 lanes exactly
+    only below that; >2^24 cells = >4096³ volumes at 16³ cells)."""
+    ctx = {
         "lut": jnp.asarray(lut),
         "packed": packed,
-        "dims": jnp.asarray([dx, dy, dz], jnp.float32),
+        "dims": jnp.asarray(vol_dims, jnp.float32),
         "mcdims": jnp.asarray(mc_dims, jnp.int32),
         "_render": (),
     }
+    if lut.size <= (1 << 24):
+        ctx["occ_slot"] = jnp.stack(
+            [mc.max_opacity.reshape(-1).astype(jnp.float32),
+             jnp.asarray(lut, jnp.float32)], axis=1)
+    return ctx
 
 
 def brick_cache_bytes(mc: MacroCell, dilate: int = 1,
@@ -215,24 +227,11 @@ def brick_cache_bytes(mc: MacroCell, dilate: int = 1,
     return n * _BRICK3 * 8 * jnp.dtype(dtype).itemsize
 
 
-def brick_sample_fn(ctx: dict, p: jnp.ndarray) -> jnp.ndarray:
-    """Sample the brick pool at object-space positions p [N,3] → values [N].
-
-    Same convention as `ops.trilinear.sample_volume` (cell-centered remap,
-    clamp addressing). Queries whose macrocell is not cached return 0.0 —
-    by construction those cells are TF-empty (the marchers never emit
-    samples there; `dilate` covers shading probes that cross cell walls).
-    """
+def _pool_lookup(ctx: dict, p: jnp.ndarray, cell: jnp.ndarray,
+                 slot: jnp.ndarray) -> jnp.ndarray:
+    """Shared tail of both samplers: one packed-pool row gather + the
+    trilinear reduction, given the (cell, slot) pair already resolved."""
     dims = ctx["dims"]  # (dx, dy, dz) f32
-    mcd = ctx["mcdims"]  # (mx, my, mz) i32
-    w = float(MACROCELL_SIZE)
-
-    pos_v = p * dims
-    cell = jnp.clip(jnp.floor(pos_v / w).astype(jnp.int32), 0,
-                    mcd[None, :] - 1)
-    cflat = (cell[:, 2] * mcd[1] + cell[:, 1]) * mcd[0] + cell[:, 0]
-    slot = ctx["lut"][cflat]
-
     # texel coords: p(N−1) ∈ [0, N−1] (the remap p(1−1/N)+0.5/N, ×N, −0.5)
     x = jnp.clip(p * (dims - 1.0), 0.0, dims - 1.0)
     i0 = jnp.floor(x).astype(jnp.int32)
@@ -254,3 +253,43 @@ def brick_sample_fn(ctx: dict, p: jnp.ndarray) -> jnp.ndarray:
           * wx[:, None, None, :]).reshape(-1, 8)
     val = jnp.sum(rows * w8, axis=-1)
     return jnp.where(slot >= 0, val, 0.0)
+
+
+def brick_sample_fn(ctx: dict, p: jnp.ndarray) -> jnp.ndarray:
+    """Sample the brick pool at object-space positions p [N,3] → values [N].
+
+    Same convention as `ops.trilinear.sample_volume` (cell-centered remap,
+    clamp addressing). Queries whose macrocell is not cached return 0.0 —
+    by construction those cells are TF-empty (the marchers never emit
+    samples there; `dilate` covers shading probes that cross cell walls).
+    """
+    dims = ctx["dims"]  # (dx, dy, dz) f32
+    mcd = ctx["mcdims"]  # (mx, my, mz) i32
+    w = float(MACROCELL_SIZE)
+
+    pos_v = p * dims
+    cell = jnp.clip(jnp.floor(pos_v / w).astype(jnp.int32), 0,
+                    mcd[None, :] - 1)
+    cflat = (cell[:, 2] * mcd[1] + cell[:, 1]) * mcd[0] + cell[:, 0]
+    slot = ctx["lut"][cflat]
+    return _pool_lookup(ctx, p, cell, slot)
+
+
+def _brick_sample_fused(ctx: dict, p: jnp.ndarray, slot: jnp.ndarray,
+                        cellflat: jnp.ndarray) -> jnp.ndarray:
+    """Fused-path sampler: the emit probe already gathered this sample's
+    (slot, flat cell id) from ctx["occ_slot"], so the cell→slot LUT gather
+    is skipped — ONE pool gather per sample. Values equal brick_sample_fn
+    exactly: the probed cell can differ from floor(pos) only across a
+    shared face, where both bricks replicate the same source texels in
+    their ghost rows."""
+    mcd = ctx["mcdims"]
+    cf = cellflat.astype(jnp.int32)
+    cx = cf % mcd[0]
+    cy = (cf // mcd[0]) % mcd[1]
+    cz = cf // (mcd[0] * mcd[1])
+    cell = jnp.stack([cx, cy, cz], axis=-1)
+    return _pool_lookup(ctx, p, cell, slot.astype(jnp.int32))
+
+
+brick_sample_fn.fused = _brick_sample_fused

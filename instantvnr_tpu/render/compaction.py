@@ -55,6 +55,19 @@ def _bucket(count: int, r: int) -> int:
     return min(m, r)
 
 
+def _fused_sampling(sample_fn, sample_ctx):
+    """Resolve the fused-sampling pair (occ_aux rows, bound fused fn) when
+    the sample_fn advertises one (brickcache.brick_sample_fn.fused) and the
+    ctx carries the packed (occupancy, slot) rows. Trace-time only."""
+    fused = getattr(sample_fn, "fused", None)
+    if fused is None or not isinstance(sample_ctx, dict):
+        return None, None
+    occ_aux = sample_ctx.get("occ_slot")
+    if occ_aux is None:
+        return None, None
+    return occ_aux, partial(fused, sample_ctx)
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(7,))
 def _superstep_prefix(sample_fn, settings: RaymarchSettings, m: int,
                       mc, tf, light_dir, rays, state: _RayState,
@@ -63,11 +76,13 @@ def _superstep_prefix(sample_fn, settings: RaymarchSettings, m: int,
     through. Returns (state, live_count_in_prefix)."""
     org, dirn, t_far, jitter = rays
     fn = partial(sample_fn, sample_ctx)
+    occ_aux, fused_fn = _fused_sampling(sample_fn, sample_ctx)
 
     pre = jax.tree_util.tree_map(lambda a: a[:m], state)
     sub = _superstep(fn, org[:m], dirn[:m], t_far[:m], jitter[:m],
                      mc, tf, settings, light_dir, pre, scale=scale,
-                     shadow_vol=shadow_vol)
+                     shadow_vol=shadow_vol, occ_aux=occ_aux,
+                     fused_fn=fused_fn)
     new_state = jax.tree_util.tree_map(
         lambda full, part: jax.lax.dynamic_update_slice(
             full, part, (0,) * full.ndim),
@@ -96,6 +111,7 @@ def _finish_prefix(sample_fn, settings: RaymarchSettings, m: int,
     frame still has work."""
     org, dirn, t_far, jitter = rays
     fn = partial(sample_fn, sample_ctx)
+    occ_aux, fused_fn = _fused_sampling(sample_fn, sample_ctx)
     pre = jax.tree_util.tree_map(lambda a: a[:m], state)
     if budget is None:
         budget = jnp.int32(settings.max_supersteps)
@@ -108,7 +124,8 @@ def _finish_prefix(sample_fn, settings: RaymarchSettings, m: int,
         st, i = carry
         st = _superstep(fn, org[:m], dirn[:m], t_far[:m], jitter[:m],
                         mc, tf, settings, light_dir, st, scale=scale,
-                        shadow_vol=shadow_vol)
+                        shadow_vol=shadow_vol, occ_aux=occ_aux,
+                        fused_fn=fused_fn)
         return st, i + 1
 
     sub, _ = jax.lax.while_loop(cond, body, (pre, jnp.int32(0)))

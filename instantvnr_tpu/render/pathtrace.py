@@ -39,7 +39,8 @@ import numpy as np
 
 from instantvnr_tpu.accel.macrocell import MACROCELL_SIZE, MacroCell
 from instantvnr_tpu.render.camera import Camera, camera_rays
-from instantvnr_tpu.render.raymarch import (_PROBE_EPS, _cell_exit_t, _occupancy)
+from instantvnr_tpu.render.raymarch import (_PROBE_EPS, _cell_exit_t,
+                                            _cell_flat, _occupancy)
 from instantvnr_tpu.utils.math import normalize, ray_box_intersect
 from instantvnr_tpu.utils.tfn import TransferFunction, classify_controls
 
@@ -216,7 +217,7 @@ class _PTConsts(NamedTuple):
 
 def _pt_event(sample_fn, settings: PathTraceSettings, mc: MacroCell,
               tf: TransferFunction, consts: _PTConsts, st: _PTState,
-              key: jax.Array):
+              key: jax.Array, occ_aux=None, fused_fn=None):
     """ONE delta-tracking event for every ray in `st` (masked): advance
     through up to settings.cell_skips τ-surviving cell crossings, then
     resolve the final cell (collision candidate / exit / plain crossing).
@@ -255,10 +256,19 @@ def _pt_event(sample_fn, settings: PathTraceSettings, mc: MacroCell,
                                    (st.t, st.tau))
 
     # final cell of this event: collision candidate / volume exit /
-    # (skip budget exhausted) one more plain crossing
+    # (skip budget exhausted) one more plain crossing. With occ_aux the
+    # occupancy gather fetches the (occupancy, brick slot) row instead —
+    # same cost, and the slot lets the sample below skip its LUT gather
+    # (raymarch._emit_samples fused-sampling analog).
     p = st.org + (t_a + _PROBE_EPS)[:, None] * st.dirn
     cell = jnp.floor(p / w).astype(jnp.int32)
-    majorant = _occupancy(mc, cell) * settings.density_scale
+    cflat = _cell_flat(mc, cell)
+    if occ_aux is None:
+        occ, slot_v = mc.max_opacity.reshape(-1)[cflat], None
+    else:
+        row = occ_aux[cflat]
+        occ, slot_v = row[:, 0], row[:, 1]
+    majorant = occ * settings.density_scale
     t1 = jnp.minimum(
         jnp.maximum(_cell_exit_t(st.org, st.dirn, cell, w),
                     t_a + _PROBE_EPS),
@@ -276,7 +286,10 @@ def _pt_event(sample_fn, settings: PathTraceSettings, mc: MacroCell,
     # --- one batched volume sample for all candidates ----------------
     pos = st.org + new_t[:, None] * st.dirn
     pos_obj = jnp.clip(pos / consts.dims, 0.0, 1.0)
-    values = sample_fn(pos_obj)
+    if fused_fn is not None and slot_v is not None:
+        values = fused_fn(pos_obj, slot_v, cflat.astype(jnp.float32))
+    else:
+        values = sample_fn(pos_obj)
     rgb, alpha = classify_controls(tf, values)
     u_accept = jax.random.uniform(k1, (r,))
     real = candidate & (
@@ -388,12 +401,16 @@ def _pt_events_prefix(sample_fn, settings: PathTraceSettings, m: int,
     """Advance `events_per_dispatch` tracking events on the first `m` rays.
 
     Returns (state, carried key, live count in the prefix)."""
+    from instantvnr_tpu.render.compaction import _fused_sampling
+
     fn = partial(sample_fn, sample_ctx)
+    occ_aux, fused_fn = _fused_sampling(sample_fn, sample_ctx)
     pre = jax.tree_util.tree_map(lambda a: a[:m], state)
 
     def body(carry, _):
         st, k = carry
-        k, st = _pt_event(fn, settings, mc, tf, consts, st, k)
+        k, st = _pt_event(fn, settings, mc, tf, consts, st, k,
+                          occ_aux=occ_aux, fused_fn=fused_fn)
         return (st, k), None
 
     (sub, key), _ = jax.lax.scan(body, (pre, key), None,
@@ -413,7 +430,10 @@ def _pt_finish_prefix(sample_fn, settings: PathTraceSettings, m: int,
     (in-jit while_loop over tracking events), for the small-bucket tail.
     `budget` (traced scalar) caps the remaining events so the total across
     dispatches still honors settings.max_events exactly."""
+    from instantvnr_tpu.render.compaction import _fused_sampling
+
     fn = partial(sample_fn, sample_ctx)
+    occ_aux, fused_fn = _fused_sampling(sample_fn, sample_ctx)
     pre = jax.tree_util.tree_map(lambda a: a[:m], state)
 
     def cond(carry):
@@ -422,7 +442,8 @@ def _pt_finish_prefix(sample_fn, settings: PathTraceSettings, m: int,
 
     def body(carry):
         st, k, i = carry
-        k, st = _pt_event(fn, settings, mc, tf, consts, st, k)
+        k, st = _pt_event(fn, settings, mc, tf, consts, st, k,
+                          occ_aux=occ_aux, fused_fn=fused_fn)
         return st, k, i + 1
 
     sub, _, _ = jax.lax.while_loop(cond, body, (pre, key, jnp.int32(0)))

@@ -120,6 +120,12 @@ class _RayState(NamedTuple):
     best_w: jnp.ndarray  # [R] contribution (1−α)·α_s at the best sample
     best_pos: jnp.ndarray  # [R,3] object-space position of that sample
     best_rgb: jnp.ndarray  # [R,3] its TF color
+    # fused-sampling carry (occ_aux path): per-cell aux value (brick slot)
+    # and flat cell id of the cell the ray is currently stepping, captured
+    # by the emit probe that entered it — persists across supersteps like
+    # t_cell_end/ss. Exact in f32 for < 2^24 cells (guarded at ctx build).
+    aux_slot: jnp.ndarray  # [R] f32
+    aux_cell: jnp.ndarray  # [R] f32
 
 
 def _cell_exit_t(org, dirn, cell, w: float):
@@ -135,14 +141,18 @@ def _cell_exit_t(org, dirn, cell, w: float):
     return jnp.min(t_ax, axis=-1)
 
 
-def _occupancy(mc: MacroCell, cell: jnp.ndarray) -> jnp.ndarray:
-    """Gather per-cell max opacity; out-of-grid cells are clamped (the DDA
-    never leaves the grid in the reference; clamping is equivalent at the
-    boundary because t_far already bounds the march)."""
+def _cell_flat(mc: MacroCell, cell: jnp.ndarray) -> jnp.ndarray:
+    """Clamped flat macrocell id (the DDA never leaves the grid in the
+    reference; clamping is equivalent at the boundary because t_far
+    already bounds the march)."""
     mx, my, mz = mc.dims
     c = jnp.clip(cell, 0, jnp.array([mx - 1, my - 1, mz - 1], jnp.int32))
-    flat = (c[..., 2] * my + c[..., 1]) * mx + c[..., 0]
-    return mc.max_opacity.reshape(-1)[flat]
+    return (c[..., 2] * my + c[..., 1]) * mx + c[..., 0]
+
+
+def _occupancy(mc: MacroCell, cell: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-cell max opacity."""
+    return mc.max_opacity.reshape(-1)[_cell_flat(mc, cell)]
 
 
 def _adaptive_rate(step, max_opacity):
@@ -160,25 +170,40 @@ def _quantized_step(ss, t0, t1):
 
 
 def _emit_samples(org, dirn, t_far, state: _RayState, mc: MacroCell,
-                  base_step, n_iters: int, max_skips: int):
+                  base_step, n_iters: int, max_skips: int, occ_aux=None):
     """Phase 1: per-ray K-slot emission scan.
 
-    Returns (new marching state pieces, t_x [R,K], t_y [R,K], valid [R,K]).
+    Returns (new marching state pieces, t_x [R,K], t_y [R,K], valid [R,K],
+    aux_slot [R,K], aux_cell [R,K]).
     Each slot first advances through up to `max_skips` empty cells (occupancy
     gather + boundary math only), then emits one sample interval [t_x, t_y).
+
+    occ_aux: optional [n_cells, 2] rows of (max opacity, aux value). When
+    given, the per-probe occupancy gather fetches this ROW instead of the
+    scalar (per-row gather cost is flat in width, NOTES_ROUND2), and the
+    aux of the emitting cell rides along with each sample — the brick
+    cache uses this to skip its per-sample cell→slot LUT gather entirely
+    (1 gather/sample instead of 2). occ_aux[:, 0] must equal
+    mc.max_opacity flat for emission parity.
     """
     w = float(MACROCELL_SIZE)
 
     def slot(carry, _):
-        t, t_cell_end, ss = carry
+        t, t_cell_end, ss, aslot, acell = carry
 
         def skip_body(_, c):
-            t, t_cell_end, ss = c
+            t, t_cell_end, ss, aslot, acell = c
             need_new = t >= t_cell_end - _EPS
             # probe the cell just past the current position
             p = org + (t + _PROBE_EPS)[:, None] * dirn
             cell = jnp.floor(p / w).astype(jnp.int32)
-            occ = _occupancy(mc, cell)
+            cflat = _cell_flat(mc, cell)
+            if occ_aux is None:
+                occ = mc.max_opacity.reshape(-1)[cflat]
+                slot_v = jnp.zeros_like(occ)
+            else:
+                row = occ_aux[cflat]
+                occ, slot_v = row[:, 0], row[:, 1]
             t_exit = jnp.maximum(_cell_exit_t(org, dirn, cell, w), t + _PROBE_EPS)
             empty = occ <= _EPS
             in_range = t < t_far
@@ -195,10 +220,12 @@ def _emit_samples(org, dirn, t_far, state: _RayState, mc: MacroCell,
             t = jnp.where(skip, t_exit, t)
             ss = jnp.where(enter, new_ss, ss)
             t_cell_end = jnp.where(enter, t_exit_c, t_cell_end)
-            return (t, t_cell_end, ss)
+            aslot = jnp.where(enter, slot_v, aslot)
+            acell = jnp.where(enter, cflat.astype(jnp.float32), acell)
+            return (t, t_cell_end, ss, aslot, acell)
 
-        t, t_cell_end, ss = jax.lax.fori_loop(
-            0, max_skips, skip_body, (t, t_cell_end, ss)
+        t, t_cell_end, ss, aslot, acell = jax.lax.fori_loop(
+            0, max_skips, skip_body, (t, t_cell_end, ss, aslot, acell)
         )
         # emit one sample interval within the current cell (t_cell_end is
         # already clamped at t_far above)
@@ -206,13 +233,16 @@ def _emit_samples(org, dirn, t_far, state: _RayState, mc: MacroCell,
         valid = (t_y > t + _EPS) & (t < t_far) & (t_cell_end > t)
         t_x = t
         t = jnp.where(valid, t_y, t)
-        return (t, t_cell_end, ss), (t_x, t_y, valid)
+        return (t, t_cell_end, ss, aslot, acell), (t_x, t_y, valid, aslot,
+                                                   acell)
 
-    (t, t_cell_end, ss), (txs, tys, valids) = jax.lax.scan(
-        slot, (state.t, state.t_cell_end, state.ss), None, length=n_iters
-    )
+    carry0 = (state.t, state.t_cell_end, state.ss, state.aux_slot,
+              state.aux_cell)
+    (t, t_cell_end, ss, aslot, acell), (txs, tys, valids, aslots, acells) = \
+        jax.lax.scan(slot, carry0, None, length=n_iters)
     # scan stacks along axis 0 → [K, R]; transpose to [R, K]
-    return (t, t_cell_end, ss), txs.T, tys.T, valids.T
+    return ((t, t_cell_end, ss, aslot, acell), txs.T, tys.T, valids.T,
+            aslots.T, acells.T)
 
 
 def _compose(values, t_x, t_y, valid, state_alpha, state_color,
@@ -281,13 +311,15 @@ def init_ray_state(t_near: jnp.ndarray, t_far: jnp.ndarray) -> _RayState:
         best_w=jnp.zeros((r,), jnp.float32),
         best_pos=jnp.zeros((r, 3), jnp.float32),
         best_rgb=jnp.zeros((r, 3), jnp.float32),
+        aux_slot=jnp.zeros((r,), jnp.float32),
+        aux_cell=jnp.zeros((r,), jnp.float32),
     )
 
 
 def _superstep(sample_fn, org, dirn, t_far, jitter, mc: MacroCell,
                tf: TransferFunction, settings: "RaymarchSettings",
                light_dir, state: _RayState, scale=None,
-               shadow_vol=None) -> _RayState:
+               shadow_vol=None, occ_aux=None, fused_fn=None) -> _RayState:
     """One bulk-synchronous superstep: EMIT → SAMPLE → COMPOSE.
 
     Shared by the in-jit loops of `raymarch` and the host-orchestrated
@@ -297,17 +329,29 @@ def _superstep(sample_fn, org, dirn, t_far, jitter, mc: MacroCell,
     scale: optional [3] voxel→world scaling (render/transform.py). When set,
     `dirn` is the UNNORMALIZED voxel-space direction and shading quantities
     are mapped back to world space (view = S·dirn, normal = grad/(dims·S) —
-    the diagonal xfmNormal of method_raymarching.cu:441/1085)."""
+    the diagonal xfmNormal of method_raymarching.cu:441/1085).
+
+    occ_aux + fused_fn: fused sampling (see _emit_samples). fused_fn is
+    called as fused_fn(pos [N,3], slot [N], cellflat [N]) for the primary
+    samples of the none/ssh/shadow shadings; gradient probes cross cell
+    walls so gradient shading keeps the plain sample_fn."""
     r = org.shape[0]
     k = settings.n_iters
     dims = jnp.array(mc.volume_dims, jnp.float32)
     base_step = 1.0 / settings.sampling_rate
     grad_step = settings.gradient_step_frac / dims  # object units
 
-    (t, t_cell_end, ss), t_x, t_y, valid = _emit_samples(
-        org, dirn, t_far, state, mc, base_step,
-        settings.n_iters, settings.max_skips,
-    )
+    (t, t_cell_end, ss, aslot, acell), t_x, t_y, valid, sl_k, cf_k = \
+        _emit_samples(
+            org, dirn, t_far, state, mc, base_step,
+            settings.n_iters, settings.max_skips, occ_aux=occ_aux,
+        )
+    use_fused = occ_aux is not None and fused_fn is not None
+
+    def _sample_primary(pos_flat):
+        if use_fused:
+            return fused_fn(pos_flat, sl_k.reshape(-1), cf_k.reshape(-1))
+        return sample_fn(pos_flat)
     valid = valid & state.active[:, None]
     # sample position: lerp(jitter, t.x, t.y) (method_raymarching.cu:431)
     t_s = t_x + jitter[:, None] * (t_y - t_x)
@@ -363,14 +407,14 @@ def _superstep(sample_fn, org, dirn, t_far, jitter, mc: MacroCell,
         # lerp(shadingScale, c, c·shadow) = c·((1−s) + s·shadow)
         from instantvnr_tpu.ops.trilinear import sample_volume
 
-        values = sample_fn(pos_obj.reshape(-1, 3)).reshape(r, k)
+        values = _sample_primary(pos_obj.reshape(-1, 3)).reshape(r, k)
         sh = sample_volume(shadow_vol, pos_obj.reshape(-1, 3)).reshape(r, k)
         sh = jnp.clip(sh, 0.0, 1.0)
         rgb_tf, _ = classify_controls(tf, values)
         s_ = settings.shading_scale
         rgb_override = rgb_tf * ((1.0 - s_) + s_ * sh)[..., None]
     else:
-        values = sample_fn(pos_obj.reshape(-1, 3)).reshape(r, k)
+        values = _sample_primary(pos_obj.reshape(-1, 3)).reshape(r, k)
         rgb_override = None
 
     track = ((state.best_w, state.best_pos, state.best_rgb)
@@ -386,7 +430,8 @@ def _superstep(sample_fn, org, dirn, t_far, jitter, mc: MacroCell,
     active = state.active & (t < t_far) & (alpha < NEARLY_ONE)
     return _RayState(t=t, t_cell_end=t_cell_end, ss=ss, alpha=alpha,
                      color=color, active=active,
-                     best_w=best[0], best_pos=best[1], best_rgb=best[2])
+                     best_w=best[0], best_pos=best[1], best_rgb=best[2],
+                     aux_slot=aslot, aux_cell=acell)
 
 
 def raymarch(

@@ -181,6 +181,33 @@ class TestBrickCache:
         np.testing.assert_allclose(frames[True], frames[False],
                                    rtol=0, atol=1e-5)
 
+    def test_fused_sampling_bit_identical(self):
+        """The fused path (emit-probe carries slot+cell; one pool gather
+        per sample) must render the EXACT frame of the unfused path (LUT
+        gather per sample): the probed cell and floor(pos) can differ only
+        across a shared face, where both bricks replicate the same source
+        texels in their ghost rows."""
+        from instantvnr_tpu.render.camera import Camera
+        from instantvnr_tpu.render.raymarch import RaymarchSettings
+        from instantvnr_tpu.render.renderer import Renderer
+
+        vol, tf, mc, field, state = _scene()
+        ctx = build_brick_cache(field, state.params, mc, dilate=1)
+        assert "occ_slot" in ctx
+        ctx_plain = {k: v for k, v in ctx.items() if k != "occ_slot"}
+        cam = Camera(eye=(0.2 * 32, 3, -60), center=(0, 0, 0),
+                     up=(0, 1, 0), fovy=45)
+        frames = {}
+        for name, c in (("fused", ctx), ("plain", ctx_plain)):
+            r = Renderer(32, 32, mc, tf, brick_sample_fn, sample_ctx=c,
+                         settings=RaymarchSettings(n_iters=8, max_skips=1,
+                                                   compact=True), seed=2)
+            r.set_camera(cam)
+            r.render()
+            frames[name] = np.asarray(r._frame)
+        assert frames["fused"][:, 3].max() > 0.1
+        np.testing.assert_array_equal(frames["fused"], frames["plain"])
+
     def test_gradient_shading_frame_matches(self):
         """Gradient probes cross cell walls — dilate=1 must keep the shaded
         brick frame equal to the decoded-grid shaded frame."""
