@@ -1054,7 +1054,11 @@ class VNRenderer:
         """vnrRendererResetAccumulation (api.h): restart progressive
         accumulation (no-op for the non-accumulating one-shot paths)."""
         impl = self._impl
-        if hasattr(impl, "frame_index"):
+        if hasattr(impl, "reset_accumulation"):
+            # routes through the impl so a deferred-validation pending
+            # frame is settled/discarded with the accumulation it belongs to
+            impl.reset_accumulation()
+        elif hasattr(impl, "frame_index"):
             impl.frame_index = 0
         if hasattr(impl, "_accum"):
             impl._accum = jnp.zeros_like(impl._accum)

@@ -225,23 +225,30 @@ def _serial_loop(r, m, used, count, rays, state, perm, ops,
 
 
 def _replay(r, make_initial, dispatch_super, dispatch_finish, budget_total,
-            budget_step, finish_bucket, speculate, schedule_cache):
+            budget_step, finish_bucket, speculate, schedule_cache,
+            defer=False):
     """Replay the previous frame's recorded schedule free-running.
 
     Progressive accumulation re-renders the same scene every frame, so the
     superstep/compaction trajectory is nearly identical frame to frame.
     Replaying it dispatches the whole frame WITHOUT blocking on any live
     count (~2 ms/dispatch instead of ~30 through the device link,
-    scratch/dispatch_pipeline.py), then validates with the counts that
-    were async-copied along the way — one link round-trip total:
+    scratch/dispatch_pipeline.py): a compaction was SAFE iff the live
+    count just before it was ≤ the new bucket (live counts only decrease,
+    rays at positions ≥ bucket would stop marching). The replayed frame
+    always ends in a run-to-completion finisher (budget-capped), so no
+    live-count read is ever needed for termination — validation reduces
+    to the compaction checks, whose counts were async-copied at dispatch.
 
-      - a compaction was SAFE iff the live count just before it was ≤ the
-        new bucket (live counts only decrease, rays at positions ≥ bucket
-        would stop marching). Unsafe ⇒ return None; the caller re-renders
-        serialized from scratch (replay's donated buffers are rebuilt by
-        `make_initial`).
-      - rays still live after the schedule (this frame outlived the last)
-        ⇒ continue with the serialized loop from the current state.
+      - defer=False: read the checks here (one link round-trip, mostly
+        overlapped by the finisher's compute). Unsafe ⇒ return None; the
+        caller re-renders serialized (replay's donated buffers are rebuilt
+        by `make_initial`).
+      - defer=True: store (handle, bucket) pairs in
+        schedule_cache["pending"] and return immediately — ZERO blocking.
+        The CALLER must resolve them via `settle_pending` before trusting
+        the result (render.renderer/pathtrace settle at the next frame and
+        roll back the provisional accumulation on the rare invalid).
 
     Compaction buckets get a headroom bump (previous count within
     `_REPLAY_HEADROOM` of the bucket ⇒ next power of two) so near-boundary
@@ -258,9 +265,7 @@ def _replay(r, make_initial, dispatch_super, dispatch_finish, budget_total,
     used = 0
     counts = []  # live-count handles, one per replayed superstep
     checks = []  # (index into counts just before a compaction, bucket)
-    finish_handle = None
     replayed = []
-    finished = False
     for op in ops:
         if op[0] == "C":
             m_new, c_just = op[1], op[2]
@@ -274,44 +279,58 @@ def _replay(r, make_initial, dispatch_super, dispatch_finish, budget_total,
             m = m_new
         elif op[0] == "S":
             if used >= budget_total or m <= finish_bucket:
-                break  # the tail logic below finishes the frame
+                break  # the terminal finisher below takes over
             state, n_live = dispatch_super(m, rays, state)
             used += budget_step
             n_live.copy_to_host_async()
             counts.append(n_live)
             replayed.append(("S", m))
-        else:  # "F"
-            if m > finish_bucket:
-                break  # headroom bump left the bucket too big to finish
-            state, finish_handle = dispatch_finish(m, rays, state,
-                                                   budget_total - used)
-            finish_handle.copy_to_host_async()
-            replayed.append(("F", m))
-            finished = True
+        else:  # "F" — dispatched below for every replay
             break
-    # ---- validate: the handles have been in flight since dispatch ------
-    for ci, m_new in checks:
-        c = int(init_handle) if ci < 0 else int(counts[ci])
-        if c > m_new:
-            return None  # compaction below the live count → frame invalid
-    live = (int(finish_handle) if finish_handle is not None
-            else int(counts[-1]) if counts else int(init_handle))
-    if live > 0 and used < budget_total and not finished:
-        if _bucket(live, r) < m:
-            replayed.append(("C", _bucket(live, r), live))
-            rays, state, perm = _compact_prefix(m, rays, state, perm)
-            m = _bucket(live, r)
-        rays, state, perm = _serial_loop(
-            r, m, used, live, rays, state, perm, replayed, dispatch_super,
-            dispatch_finish, budget_total, budget_step, finish_bucket,
-            speculate)
+    if used < budget_total:
+        # terminal finisher at the current bucket (even above the
+        # heuristic finish_bucket threshold — correctness over heuristics:
+        # it guarantees completion, so stragglers that outlive the
+        # recorded schedule still march to termination within budget)
+        state, _ = dispatch_finish(m, rays, state, budget_total - used)
+        replayed.append(("F", m))
+    pend = [(init_handle if ci < 0 else counts[ci], m_new)
+            for ci, m_new in checks]
     schedule_cache["ops"] = replayed
+    if defer:
+        if pend:  # nothing to validate ⇒ nothing pending
+            schedule_cache["pending"] = pend
+        return rays, state, perm
+    # ---- validate: the handles have been in flight since dispatch ------
+    for h, m_new in pend:
+        if int(h) > m_new:
+            return None  # compaction below the live count → frame invalid
     return rays, state, perm
+
+
+def settle_pending(schedule_cache: dict) -> bool:
+    """Resolve a deferred replay's validation (schedule_cache["pending"]).
+
+    Returns True when the provisional frame was valid. On False the caller
+    MUST discard/rebuild that frame's result (the replayed schedule
+    compacted below the live count, dropping rays); the recorded schedule
+    is cleared so the next frame re-records serialized. No-op (True) when
+    nothing is pending."""
+    pend = schedule_cache.pop("pending", None)
+    if not pend:
+        return True
+    ok = all(int(h) <= m_new for h, m_new in pend)
+    if ok:
+        return True
+    schedule_cache.pop("ops", None)
+    schedule_cache["invalidated"] = schedule_cache.get("invalidated", 0) + 1
+    return False
 
 
 def drive_compacted(r, make_initial, dispatch_super, dispatch_finish,
                     budget_total, budget_step, finish_bucket,
-                    speculate=0, schedule_cache=None, sched_key=None):
+                    speculate=0, schedule_cache=None, sched_key=None,
+                    defer=False):
     """Shared host orchestration for the compacted wavefront and path
     tracer: bucketed supersteps + compaction + tail finisher, with
     schedule replay (when `schedule_cache` is a dict owned by the caller)
@@ -321,12 +340,16 @@ def drive_compacted(r, make_initial, dispatch_super, dispatch_finish,
     call (the bucket programs donate them); it may be called twice when a
     replay fails validation. dispatch_super(m, rays, state) →
     (state, live-count handle); dispatch_finish(m, rays, state, budget) →
-    (state, live-count handle). Returns (rays, state, perm)."""
+    (state, live-count handle). Returns (rays, state, perm).
+
+    defer=True makes the replay path skip its validation read and leave
+    schedule_cache["pending"] for the caller to `settle_pending` — the
+    result is PROVISIONAL until then (see _replay)."""
     if (schedule_cache is not None and schedule_cache.get("ops")
             and schedule_cache.get("key") == sched_key):
         out = _replay(r, make_initial, dispatch_super, dispatch_finish,
                       budget_total, budget_step, finish_bucket, speculate,
-                      schedule_cache)
+                      schedule_cache, defer=defer)
         if out is not None:
             schedule_cache["replays"] = schedule_cache.get("replays", 0) + 1
             return out
@@ -452,6 +475,7 @@ def raymarch_compacted(
     clip_upper=None,
     shadow_vol=None,  # [dz,dy,dx] transmittance (shading == "shadow")
     schedule_cache: dict | None = None,  # per-renderer dict for replay
+    defer: bool = False,  # deferred replay validation — caller MUST settle
 ) -> jnp.ndarray:
     """`raymarch` with host-orchestrated bucketed ray compaction.
 
@@ -498,7 +522,7 @@ def raymarch_compacted(
         settings.max_supersteps, 1, _FINISH_BUCKET,
         speculate=settings.speculate,
         schedule_cache=schedule_cache if settings.schedule_replay else None,
-        sched_key=sched_key)
+        sched_key=sched_key, defer=defer)
 
     color, alpha, bw, bp, bc = _unpermute(
         perm, state.color, state.alpha, state.best_w, state.best_pos,

@@ -109,6 +109,10 @@ class PathTraceSettings:
     # progressive-accumulation fast path. Estimator-neutral: schedule
     # changes only remap slots to RNG draws.
     schedule_replay: bool = True
+    # settle replay validation at the next frame (see
+    # RaymarchSettings.deferred_validation); rollback + serialized redo on
+    # the rare invalid replay.
+    deferred_validation: bool = True
 
 
 class _PTState(NamedTuple):
@@ -495,6 +499,7 @@ def pathtrace_compacted(
     clip_lower=None,
     clip_upper=None,
     schedule_cache: dict | None = None,  # per-renderer dict for replay
+    defer: bool = False,  # deferred replay validation — caller MUST settle
 ) -> jnp.ndarray:
     """`pathtrace` with host-orchestrated bucketed ray compaction.
 
@@ -550,7 +555,7 @@ def pathtrace_compacted(
         settings.max_events, settings.events_per_dispatch,
         settings.finish_bucket, speculate=settings.speculate,
         schedule_cache=schedule_cache if settings.schedule_replay else None,
-        sched_key=sched_key)
+        sched_key=sched_key, defer=defer)
 
     return _pt_unpermute(perm, state.radiance, state.scatter_index)
 
@@ -690,19 +695,32 @@ class PathTraceRenderer:
         # previous frame's event/compaction schedule for free-running
         # replay (compaction.drive_compacted)
         self._sched_cache: dict = {}
+        # provisional frame awaiting deferred replay validation
+        # (rgba, cam_arrays, sub key, frame_index)
+        self._pending_frame = None
         self._accum = jnp.zeros((width * height, 4), jnp.float32)
         self._frame = self._accum
         self.frame_index = 0
 
+    def reset_accumulation(self):
+        if self._pending_frame is not None:
+            # the provisional frame belongs to the discarded accumulation:
+            # no rollback, but resolve validity so a bad schedule clears
+            from instantvnr_tpu.render.compaction import settle_pending
+
+            self._pending_frame = None
+            settle_pending(self._sched_cache)
+        self.frame_index = 0
+
     def set_camera(self, cam: Camera):
         self.camera = cam
-        self.frame_index = 0
+        self.reset_accumulation()
 
     def set_transform(self, transform):
         """Clipping box / scaling update (vnrVolumeSetClippingBox /
         vnrVolumeSetScaling through the facade); restarts accumulation."""
         self.transform = transform
-        self.frame_index = 0
+        self.reset_accumulation()
 
     def warmup(self, parallel: bool = True):
         """Pre-compile this renderer's programs (for the compacted tracer
@@ -716,7 +734,37 @@ class PathTraceRenderer:
         self.frame_index = 0
         return 1
 
+    def _compacted_rgba(self, cam_arrays, sub, schedule_cache, defer):
+        """One compacted path-traced frame's rgba (pre-accumulation)."""
+        org, dirn, t0, t1, light, lo, hi, k_pt, scale = _pt_rays(
+            self.width, self.height, self.settings, cam_arrays,
+            tuple(int(d) for d in self.mc.volume_dims), sub,
+            self.transform)
+        return pathtrace_compacted(
+            self.sample_fn, org, dirn, t0, t1, self.mc, self.tf, k_pt,
+            self.settings, light, sample_ctx=self.sample_ctx,
+            scale=scale, clip_lower=lo, clip_upper=hi,
+            schedule_cache=schedule_cache, defer=defer)
+
+    def _settle(self):
+        """Resolve the previous frame's deferred replay validation; on the
+        rare invalid replay, replace its contribution with a serialized
+        re-render of the SAME frame key (renderer._settle analog)."""
+        pf, self._pending_frame = self._pending_frame, None
+        if pf is None:
+            return
+        from instantvnr_tpu.render.compaction import settle_pending
+        from instantvnr_tpu.render.renderer import _accum_fix
+
+        if settle_pending(self._sched_cache):
+            return
+        rgba_bad, cam_arrays, sub, fidx = pf
+        good = self._compacted_rgba(cam_arrays, sub, None, defer=False)
+        self._accum, self._frame = _accum_fix(self._accum, rgba_bad, good,
+                                              jnp.int32(fidx))
+
     def render(self):
+        self._settle()
         self.frame_index += 1
         self._key, sub = jax.random.split(self._key)
         cam = self.camera
@@ -731,15 +779,12 @@ class PathTraceRenderer:
         if self.settings.compact:
             from instantvnr_tpu.render.renderer import _accumulate
 
-            org, dirn, t0, t1, light, lo, hi, k_pt, scale = _pt_rays(
-                self.width, self.height, self.settings, cam_arrays,
-                tuple(int(d) for d in self.mc.volume_dims), sub,
-                self.transform)
-            rgba = pathtrace_compacted(
-                self.sample_fn, org, dirn, t0, t1, self.mc, self.tf, k_pt,
-                self.settings, light, sample_ctx=self.sample_ctx,
-                scale=scale, clip_lower=lo, clip_upper=hi,
-                schedule_cache=self._sched_cache)
+            rgba = self._compacted_rgba(
+                cam_arrays, sub, self._sched_cache,
+                defer=self.settings.deferred_validation)
+            if "pending" in self._sched_cache:
+                self._pending_frame = (rgba, cam_arrays, sub,
+                                       self.frame_index)
             self._accum, self._frame = _accumulate(
                 rgba, self._accum, jnp.int32(self.frame_index))
             return self._frame
@@ -753,6 +798,7 @@ class PathTraceRenderer:
     def mapframe(self, denoise: bool = False) -> np.ndarray:
         """Frame readback; denoise=True applies the à-trous filter (the
         reference's optional denoiser hook, renderer.cpp:117-121)."""
+        self._settle()
         frame = self._frame.reshape(self.height, self.width, 4)
         if denoise:
             from instantvnr_tpu.render.denoise import atrous_denoise

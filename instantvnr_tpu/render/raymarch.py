@@ -102,6 +102,13 @@ class RaymarchSettings:
     # frame re-rendered serialized; wavefront output is bit-identical
     # under ANY schedule (per-ray state is slot-independent).
     schedule_replay: bool = True
+    # settle the replay validation at the NEXT frame instead of blocking
+    # at the end of this one (compaction.settle_pending): the per-frame
+    # link round-trip vanishes (measured 6.6 → 7.7 fps @512²); the frame
+    # stays provisional until the renderer settles it — on the rare
+    # invalid replay the renderer rolls the accumulation back and
+    # re-renders that frame serialized with the same key.
+    deferred_validation: bool = True
 
     def __post_init__(self):
         assert self.shading in ("none", "gradient", "ssh",

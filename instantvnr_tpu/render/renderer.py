@@ -67,6 +67,16 @@ def _accumulate(rgba, accum, frame_index):
     return accum, accum / frame_index.astype(jnp.float32)
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _accum_fix(accum, bad, good, frame_index):
+    """Replace a rolled-back provisional frame's contribution (deferred
+    replay validation failed): exact when the frame was the accumulation
+    reset (accum == bad ⇒ result == good), ~1 ulp otherwise — and the
+    serialized redo result `good` is the ground-truth frame."""
+    accum = accum - bad + good
+    return accum, accum / frame_index.astype(jnp.float32)
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2, 3), donate_argnums=(9,))
 def _render_frame(
     sample_fn,
@@ -131,6 +141,10 @@ class Renderer:
         # previous frame's superstep/compaction schedule, replayed
         # free-running by the compacted driver (compaction.drive_compacted)
         self._sched_cache: dict = {}
+        # provisional frame awaiting deferred replay validation:
+        # (rgba, cam_arrays, sub key, frame_index) — settled at the next
+        # render()/mapframe(), rolled back + re-rendered if invalid
+        self._pending_frame = None
 
     # -- transactional updates (reference MainRenderer::set_*) --------------
 
@@ -172,6 +186,12 @@ class Renderer:
         self.reset_accumulation()
 
     def resize(self, width: int, height: int):
+        if self._pending_frame is not None:
+            from instantvnr_tpu.render.compaction import settle_pending
+
+            self._pending_frame = None
+            settle_pending(self._sched_cache)
+        self._sched_cache.pop("ops", None)  # schedules are size-specific
         self.width, self.height = width, height
         self._accum = jnp.zeros((width * height, 4), jnp.float32)
         # _frame must match the new size too: a mapframe() between resize
@@ -181,6 +201,15 @@ class Renderer:
         self.frame_index = 0
 
     def reset_accumulation(self):
+        if self._pending_frame is not None:
+            # the provisional frame belongs to the accumulation being
+            # discarded — no rollback needed, but resolve the pending
+            # validation so an unsafe schedule is cleared (settle_pending
+            # pops it either way)
+            from instantvnr_tpu.render.compaction import settle_pending
+
+            self._pending_frame = None
+            settle_pending(self._sched_cache)
         self.frame_index = 0
 
     def warmup(self, parallel: bool = True):
@@ -203,8 +232,44 @@ class Renderer:
 
     # -- frame loop ---------------------------------------------------------
 
+    def _compacted_rgba(self, cam_arrays, sub, schedule_cache, defer):
+        """One compacted-wavefront frame's rgba (pre-accumulation)."""
+        from instantvnr_tpu.render.compaction import raymarch_compacted
+
+        org, dirn, t0, t1, light, lo, hi = _frame_rays(
+            self.width, self.height, cam_arrays,
+            jnp.array(self.mc.volume_dims, jnp.float32),
+            jnp.asarray(self.settings.light_dir, jnp.float32),
+            self.transform)
+        jitter = jax.random.uniform(sub, (org.shape[0],), jnp.float32)
+        return raymarch_compacted(
+            self.sample_fn, org, dirn, t0, t1, self.mc, self.tf,
+            jitter, self.settings, light_dir=light,
+            sample_ctx=self.sample_ctx, scale=self.transform.scale,
+            clip_lower=lo, clip_upper=hi,
+            shadow_vol=self.shadow_volume,
+            schedule_cache=schedule_cache, defer=defer)
+
+    def _settle(self):
+        """Resolve the previous frame's deferred replay validation. On the
+        rare invalid replay (rays compacted below the live count), replace
+        the provisional frame's contribution with a serialized re-render
+        using the SAME per-frame key — the redo is the ground truth."""
+        pf, self._pending_frame = self._pending_frame, None
+        if pf is None:
+            return
+        from instantvnr_tpu.render.compaction import settle_pending
+
+        if settle_pending(self._sched_cache):
+            return
+        rgba_bad, cam_arrays, sub, fidx = pf
+        good = self._compacted_rgba(cam_arrays, sub, None, defer=False)
+        self._accum, self._frame = _accum_fix(self._accum, rgba_bad, good,
+                                              jnp.int32(fidx))
+
     def render(self):
         """Render one frame (async dispatch; returns the device frame array)."""
+        self._settle()
         self.frame_index += 1
         self._key, sub = jax.random.split(self._key)
         cam = self.camera
@@ -218,21 +283,13 @@ class Renderer:
             # fresh accumulation buffer (donated each frame)
             self._accum = jnp.zeros((self.width * self.height, 4), jnp.float32)
         if self.settings.compact and not self.settings.fixed_steps:
-            from instantvnr_tpu.render.compaction import raymarch_compacted
-
-            org, dirn, t0, t1, light, lo, hi = _frame_rays(
-                self.width, self.height, cam_arrays,
-                jnp.array(self.mc.volume_dims, jnp.float32),
-                jnp.asarray(self.settings.light_dir, jnp.float32),
-                self.transform)
-            jitter = jax.random.uniform(sub, (org.shape[0],), jnp.float32)
-            rgba = raymarch_compacted(
-                self.sample_fn, org, dirn, t0, t1, self.mc, self.tf,
-                jitter, self.settings, light_dir=light,
-                sample_ctx=self.sample_ctx, scale=self.transform.scale,
-                clip_lower=lo, clip_upper=hi,
-                shadow_vol=self.shadow_volume,
-                schedule_cache=self._sched_cache)
+            rgba = self._compacted_rgba(
+                cam_arrays, sub, self._sched_cache,
+                defer=self.settings.deferred_validation)
+            if "pending" in self._sched_cache:
+                # provisional frame: keep what a rollback needs
+                self._pending_frame = (rgba, cam_arrays, sub,
+                                       self.frame_index)
             self._accum, self._frame = _accumulate(
                 rgba, self._accum, jnp.int32(self.frame_index))
             return self._frame
@@ -247,6 +304,7 @@ class Renderer:
     def mapframe(self) -> np.ndarray:
         """Blocking device→host readback as [H, W, 4] float32
         (reference FrameBuffer::mapframe, framebuffer.h:84-94)."""
+        self._settle()
         return np.asarray(self._frame).reshape(self.height, self.width, 4)
 
 

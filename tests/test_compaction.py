@@ -144,6 +144,63 @@ class TestScheduleReplay:
             frames[replay] = np.asarray(r._frame).copy()
         np.testing.assert_array_equal(frames[True], frames[False])
 
+    def test_deferred_validation_bit_identical(self, scene, monkeypatch):
+        """Deferred settle (validation read at the NEXT frame) must not
+        change any pixel vs blocking validation, and mapframe() must leave
+        nothing pending."""
+        self._small_buckets(monkeypatch)
+        vol, tf, mc = scene
+        cam = Camera.default_for_dims(vol.dims)
+        frames = {}
+        for deferred in (False, True):
+            r = Renderer(48, 48, mc, tf, reference_sample_fn,
+                         sample_ctx=vol.data,
+                         settings=RaymarchSettings(
+                             compact=True,
+                             deferred_validation=deferred), seed=5)
+            r.set_camera(cam)
+            for _ in range(4):
+                r.render()
+            frames[deferred] = r.mapframe()
+            assert "pending" not in r._sched_cache
+            assert r._pending_frame is None
+        np.testing.assert_array_equal(frames[True], frames[False])
+
+    def test_invalid_deferred_replay_rolls_back(self, scene, monkeypatch):
+        """Corrupt the recorded schedule so the replayed compaction drops
+        live rays: the deferred settle must detect it, roll the provisional
+        frame out of the accumulation, and re-render it serialized — the
+        final frame matches a no-replay renderer (up to the ~1 ulp of the
+        accumulation subtract/re-add)."""
+        self._small_buckets(monkeypatch)
+        vol, tf, mc = scene
+        cam = Camera.default_for_dims(vol.dims)
+
+        ref = Renderer(48, 48, mc, tf, reference_sample_fn,
+                       sample_ctx=vol.data,
+                       settings=RaymarchSettings(
+                           compact=True, schedule_replay=False), seed=5)
+        ref.set_camera(cam)
+        for _ in range(4):
+            ref.render()
+        want = ref.mapframe()
+
+        r = Renderer(48, 48, mc, tf, reference_sample_fn,
+                     sample_ctx=vol.data,
+                     settings=RaymarchSettings(compact=True), seed=5)
+        r.set_camera(cam)
+        for _ in range(3):
+            r.render()
+        r._settle()  # clear frame 3's pending before corrupting
+        assert r._sched_cache.get("ops")
+        # a compaction far below the live count (48²: hundreds of hits)
+        r._sched_cache["ops"] = [("C", 256, 100)] + [
+            op for op in r._sched_cache["ops"] if op[0] != "C"]
+        r.render()  # frame 4 replays the corrupt schedule (provisional)
+        got = r.mapframe()  # settles → invalid → rollback + redo
+        assert r._sched_cache.get("invalidated", 0) >= 1, r._sched_cache
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
     def test_all_miss_frame(self, scene, monkeypatch):
         """Rays that never hit the box record an empty schedule; replay
         must not engage on nothing and the frame stays black."""
