@@ -141,12 +141,16 @@ class ViewerApp:
     MAX_ACCUM = 32  # keep accumulating this many frames after the last edit
 
     def __init__(self, renderer, nv=None, train_steps=10, blobs=2,
+                 refresh_bricks=64,
                  training=False):
         from instantvnr_tpu.api import RenderMode
 
         self.renderer = renderer
         self.nv = nv
         self.train_steps = train_steps
+        # bricks of the streaming cache refreshed per trained frame
+        # (round-robin; bounds the per-frame hitch — api.refresh_params)
+        self.refresh_bricks = refresh_bricks
         self.blobs = blobs
         self.lock = threading.Lock()
         self.orbit = Orbit.default_for_dims(
@@ -264,7 +268,8 @@ class ViewerApp:
             self.renderer.set_camera(cam)
             self._accum_left = self.MAX_ACCUM
         if trained:
-            self.renderer.refresh_params()
+            self.renderer.refresh_params(
+                budget_bricks=self.refresh_bricks or None)
             self.renderer.reset_accumulation()
             self._accum_left = self.MAX_ACCUM
         if self._accum_left <= 0:
@@ -422,6 +427,9 @@ def main():
                         "for neural volumes, reference raymarch otherwise)")
     p.add_argument("--train-steps-per-frame", type=int, default=10)
     p.add_argument("--infer-blobs-per-frame", type=int, default=2)
+    p.add_argument("--refresh-bricks-per-frame", type=int, default=64,
+                   help="streaming-cache bricks re-decoded per trained "
+                        "frame (0 = full rebuild each refresh)")
     p.add_argument("--pause-training", action="store_true")
     p.add_argument("--view-only", action="store_true",
                    help="view the ground-truth volume without a network")
@@ -461,6 +469,7 @@ def main():
     renderer = VNRenderer(volume, args.size, args.size, mode=mode)
     app = ViewerApp(renderer, nv=nv,
                     train_steps=args.train_steps_per_frame,
+                    refresh_bricks=args.refresh_bricks_per_frame,
                     blobs=args.infer_blobs_per_frame, training=training)
 
     holder = [None]

@@ -1016,13 +1016,19 @@ class VNRenderer:
         self._impl.settings = _dc.replace(self._impl.settings,
                                           shading=shading)
 
-    def refresh_params(self):
+    def refresh_params(self, budget_bricks: int | None = None):
         """Rebind the render path to the neural volume's CURRENT parameters
         without retracing — the online-training hook (training steps inside
         the render loop, reference int_dual_volume.cpp:662-674). The
         decoded-slab path re-reads params at render() time already; the
         network-sampling paths swap their sample context here, and the
-        decoded path tracer re-decodes its grid."""
+        decoded path tracer re-decodes its grid.
+
+        budget_bricks (brick streaming-cache mode only): refresh at most
+        this many bricks of the pool per call, round-robin across calls
+        (render/brickcache.refresh_brick_pool) — bounds the per-frame
+        hitch of the online-training loop; un-refreshed bricks show the
+        previous epoch's field until the cursor wraps. None = full."""
         if self.neural is None:
             return
         from instantvnr_tpu.models.network import render_params
@@ -1031,9 +1037,23 @@ class VNRenderer:
                          RenderMode.NEURAL_WAVEFRONT_GRADIENT,
                          RenderMode.NEURAL_WAVEFRONT_SSH):
             if self.streaming_cache in ("auto", "brick"):
-                from instantvnr_tpu.render.brickcache import build_brick_cache
+                from instantvnr_tpu.render.brickcache import (
+                    build_brick_cache,
+                    refresh_brick_pool,
+                )
 
                 mc, _, _ = self._scene_parts()
+                if (budget_bricks is not None
+                        and isinstance(self._impl.sample_ctx, dict)
+                        and "packed" in self._impl.sample_ctx):
+                    ctx, self._brick_cursor = refresh_brick_pool(
+                        self.neural.field, self.neural.state.params, mc,
+                        self._impl.sample_ctx,
+                        start=getattr(self, "_brick_cursor", 0),
+                        n_bricks=budget_bricks)
+                    self._impl.set_sample_ctx(ctx)
+                    return
+                self._brick_cursor = 0
                 self._impl.set_sample_ctx(build_brick_cache(
                     self.neural.field, self.neural.state.params, mc))
             else:

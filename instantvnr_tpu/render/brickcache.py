@@ -220,6 +220,61 @@ def _brick_ctx(lut, packed, vol_dims, mc_dims, mc: MacroCell) -> dict:
     return ctx
 
 
+@jax.jit
+def _pool_update(packed, rows, start):
+    """Swap refreshed corner-packed rows into the pool. NOT donated: a
+    previously dispatched frame may still hold the old buffer; the copy is
+    one HBM pass (~131 MB at 128³, sub-ms)."""
+    return jax.lax.dynamic_update_slice(packed, rows, (start, jnp.int32(0)))
+
+
+def refresh_brick_pool(field, params, mc: MacroCell, ctx: dict,
+                       start: int = 0, n_bricks: int | None = None,
+                       dilate: int = 1, chunk_bricks: int = 32) -> tuple:
+    """Re-decode bricks [start, start+n_bricks) of an existing pool against
+    FRESH params — the incremental online-training refresh (the reference
+    re-uploads inference params per epoch, tcnn_network.h:142-156; here the
+    pool is the inference surface, so it re-decodes instead).
+
+    The occupancy/LUT stay untouched (same macrocell + TF ⇒ same brick
+    set), so a partial refresh is always render-safe: un-refreshed bricks
+    just show the previous epoch's field. Per-chunk corner packing is
+    valid in isolation because rows near a brick's tail are never
+    addressed (local ≤ BRICK−2), so cross-chunk shift spill lands only in
+    dead rows.
+
+    Returns (new ctx, next_start) where next_start wraps to 0 after the
+    last brick — callers spread full refreshes across frames by chaining:
+        ctx, cur = refresh_brick_pool(field, params, mc, ctx, cur, budget)
+    """
+    cells = occupied_cells(mc, dilate=dilate)
+    mc_dims = tuple(int(d) for d in mc.dims)
+    vol_dims = tuple(int(d) for d in mc.volume_dims)
+    total = max(int(cells.size), 1)
+    if cells.size == 0:
+        return ctx, 0
+    start = min(start, total)
+    n = total - start if n_bricks is None else min(n_bricks, total - start)
+    if n <= 0:
+        return ctx, 0
+
+    packed = ctx["packed"]
+    for i in range(start, start + n, chunk_bricks):
+        ids = cells[i:min(i + chunk_bricks, start + n)]
+        done = ids.size
+        if ids.size < chunk_bricks:
+            ids = np.concatenate(
+                [ids, np.full(chunk_bricks - ids.size, ids[-1], np.int32)])
+        vals = _decode_brick_chunk(field, params, jnp.asarray(ids),
+                                   mc_dims, vol_dims)[:done]
+        rows = _pack_corners(vals.reshape(-1).astype(packed.dtype))
+        packed = _pool_update(packed, rows, jnp.int32(i * _BRICK3))
+    new_ctx = dict(ctx)
+    new_ctx["packed"] = packed
+    nxt = start + n
+    return new_ctx, (0 if nxt >= total else nxt)
+
+
 def brick_cache_bytes(mc: MacroCell, dilate: int = 1,
                       dtype=jnp.float32) -> int:
     """Device bytes the packed pool would take (for auto/memory gating)."""

@@ -59,6 +59,13 @@ class RaymarchSettings:
     n_iters: int = field(
         default_factory=lambda: env_int("VNR_RM_N_ITERS", 16))
     max_skips: int = 8  # empty-cell DDA skips per slot (VPU-only work)
+    # samples emitted per slot from the CURRENT cell (no new occupancy
+    # probe between them): a 16-voxel cell holds ~16 samples at rate 1, so
+    # S>1 halves/quarters the per-sample probe gathers for IDENTICAL
+    # sample positions — the march trajectory is unchanged, only the
+    # superstep chunking differs (a sample past the cell exit is invalid
+    # and re-emitted by the next slot's probe, exactly as S=1 would).
+    samples_per_slot: int = 1
     max_supersteps: int = 192
     shading: str = "none"  # "none" | "gradient" | "ssh"
     shading_scale: float = 0.95  # scivis_shading_scale
@@ -177,13 +184,15 @@ def _quantized_step(ss, t0, t1):
 
 
 def _emit_samples(org, dirn, t_far, state: _RayState, mc: MacroCell,
-                  base_step, n_iters: int, max_skips: int, occ_aux=None):
-    """Phase 1: per-ray K-slot emission scan.
+                  base_step, n_iters: int, max_skips: int, occ_aux=None,
+                  samples_per_slot: int = 1):
+    """Phase 1: per-ray K-slot emission scan, S samples per slot.
 
-    Returns (new marching state pieces, t_x [R,K], t_y [R,K], valid [R,K],
-    aux_slot [R,K], aux_cell [R,K]).
+    Returns (new marching state pieces, t_x [R,K·S], t_y [R,K·S],
+    valid [R,K·S], aux_slot [R,K·S], aux_cell [R,K·S]).
     Each slot first advances through up to `max_skips` empty cells (occupancy
-    gather + boundary math only), then emits one sample interval [t_x, t_y).
+    gather + boundary math only), then emits up to `samples_per_slot`
+    consecutive sample intervals [t_x, t_y) from the current cell.
 
     occ_aux: optional [n_cells, 2] rows of (max opacity, aux value). When
     given, the per-probe occupancy gather fetches this ROW instead of the
@@ -234,22 +243,35 @@ def _emit_samples(org, dirn, t_far, state: _RayState, mc: MacroCell,
         t, t_cell_end, ss, aslot, acell = jax.lax.fori_loop(
             0, max_skips, skip_body, (t, t_cell_end, ss, aslot, acell)
         )
-        # emit one sample interval within the current cell (t_cell_end is
-        # already clamped at t_far above)
-        t_y = jnp.minimum(t + ss, t_cell_end)
-        valid = (t_y > t + _EPS) & (t < t_far) & (t_cell_end > t)
-        t_x = t
-        t = jnp.where(valid, t_y, t)
-        return (t, t_cell_end, ss, aslot, acell), (t_x, t_y, valid, aslot,
-                                                   acell)
+        # emit up to S consecutive sample intervals within the current
+        # cell (t_cell_end is already clamped at t_far above); no
+        # occupancy probe between them — intervals past the cell exit are
+        # invalid and re-emitted by the next slot's probe
+        txs, tys, vs = [], [], []
+        for _ in range(samples_per_slot):
+            t_y = jnp.minimum(t + ss, t_cell_end)
+            valid = (t_y > t + _EPS) & (t < t_far) & (t_cell_end > t)
+            txs.append(t)
+            tys.append(t_y)
+            vs.append(valid)
+            t = jnp.where(valid, t_y, t)
+        s_stack = [jnp.stack(x, axis=-1) for x in (txs, tys, vs)]  # [R,S]
+        aux_s = [jnp.repeat(a[:, None], samples_per_slot, axis=1)
+                 for a in (aslot, acell)]
+        return ((t, t_cell_end, ss, aslot, acell),
+                tuple(s_stack) + tuple(aux_s))
 
     carry0 = (state.t, state.t_cell_end, state.ss, state.aux_slot,
               state.aux_cell)
     (t, t_cell_end, ss, aslot, acell), (txs, tys, valids, aslots, acells) = \
         jax.lax.scan(slot, carry0, None, length=n_iters)
-    # scan stacks along axis 0 → [K, R]; transpose to [R, K]
-    return ((t, t_cell_end, ss, aslot, acell), txs.T, tys.T, valids.T,
-            aslots.T, acells.T)
+    # scan stacks along axis 0 → [K, R, S]; fold to [R, K·S] keeping
+    # front-to-back order (slot-major, then sample-within-slot)
+    def fold(x):
+        return jnp.moveaxis(x, 0, 1).reshape(x.shape[1], -1)
+
+    return ((t, t_cell_end, ss, aslot, acell), fold(txs), fold(tys),
+            fold(valids), fold(aslots), fold(acells))
 
 
 def _compose(values, t_x, t_y, valid, state_alpha, state_color,
@@ -343,7 +365,7 @@ def _superstep(sample_fn, org, dirn, t_far, jitter, mc: MacroCell,
     samples of the none/ssh/shadow shadings; gradient probes cross cell
     walls so gradient shading keeps the plain sample_fn."""
     r = org.shape[0]
-    k = settings.n_iters
+    k = settings.n_iters * settings.samples_per_slot
     dims = jnp.array(mc.volume_dims, jnp.float32)
     base_step = 1.0 / settings.sampling_rate
     grad_step = settings.gradient_step_frac / dims  # object units
@@ -352,6 +374,7 @@ def _superstep(sample_fn, org, dirn, t_far, jitter, mc: MacroCell,
         _emit_samples(
             org, dirn, t_far, state, mc, base_step,
             settings.n_iters, settings.max_skips, occ_aux=occ_aux,
+            samples_per_slot=settings.samples_per_slot,
         )
     use_fused = occ_aux is not None and fused_fn is not None
 

@@ -181,6 +181,97 @@ class TestBrickCache:
         np.testing.assert_allclose(frames[True], frames[False],
                                    rtol=0, atol=1e-5)
 
+    def test_incremental_refresh_equals_rebuild(self):
+        """refresh_brick_pool round-robin must converge to exactly the
+        pool a fresh build produces for the new params (same decode
+        lattice, same packing), regardless of the per-call budget."""
+        from instantvnr_tpu.render.brickcache import (
+            occupied_cells,
+            refresh_brick_pool,
+        )
+
+        vol, tf, mc, field, state = _scene(train=30)
+        ctx_old = build_brick_cache(field, state.params, mc, dilate=1)
+        from instantvnr_tpu.models import train_steps as _ts
+
+        state2 = _ts(field, vol.data, state, 30, 4096)  # params moved
+        want = build_brick_cache(field, state2.params, mc, dilate=1)
+        assert not np.allclose(np.asarray(ctx_old["packed"]),
+                               np.asarray(want["packed"]))
+
+        total = occupied_cells(mc, dilate=1).size
+        ctx, cur = ctx_old, 0
+        steps = 0
+        while True:
+            ctx, cur = refresh_brick_pool(field, state2.params, mc, ctx,
+                                          start=cur, n_bricks=3)
+            steps += 1
+            if cur == 0:
+                break
+        assert steps == -(-total // 3)  # ceil(total/3) calls to wrap
+        # column 0 is the raw texel (no shift) — exact across the pool;
+        # other columns may differ only in never-addressed brick-tail rows
+        # (cross-chunk shift spill lands in dead rows by construction)
+        np.testing.assert_array_equal(np.asarray(ctx["packed"][:, 0]),
+                                      np.asarray(want["packed"][:, 0]))
+        # the semantic check: sampling is exactly the fresh build's
+        rng = np.random.default_rng(3)
+        occ = occupied_cells(mc, dilate=0)
+        mx, my, _ = (int(d) for d in mc.dims)
+        pick = occ[rng.integers(0, occ.size, 256)]
+        base = np.stack([pick % mx, (pick // mx) % my, pick // (mx * my)],
+                        -1).astype(np.float32) * 16.0
+        p = jnp.asarray(base + rng.random((256, 3), np.float32) * 16.0) \
+            / jnp.asarray([float(d) for d in mc.volume_dims])
+        np.testing.assert_array_equal(np.asarray(brick_sample_fn(ctx, p)),
+                                      np.asarray(brick_sample_fn(want, p)))
+        # untouched fields carried over
+        np.testing.assert_array_equal(np.asarray(ctx["lut"]),
+                                      np.asarray(want["lut"]))
+
+    def test_facade_budgeted_refresh(self):
+        """VNRenderer.refresh_params(budget_bricks=N) round-robins the
+        streaming cache across calls and keeps rendering live; after the
+        cursor wraps, the frame equals a full-rebuild refresh."""
+        from instantvnr_tpu.api import (NeuralVolume, RenderMode,
+                                        SimpleVolume, VNRenderer)
+        from instantvnr_tpu.config import (EncodingConfig, ModelConfig,
+                                           NetworkConfig)
+        from instantvnr_tpu.data import synthetic_volume as _sv
+
+        vol = _sv((32, 32, 32), kind="vorts")
+        cfg = ModelConfig(
+            encoding=EncodingConfig(n_levels=4, n_features_per_level=4,
+                                    log2_hashmap_size=12, base_resolution=4),
+            network=NetworkConfig(n_neurons=32, n_hidden_layers=2))
+        nv = NeuralVolume(cfg, simple=SimpleVolume(vol), train_batch=4096)
+        def snap(st):  # train_steps donates buffers — keep a live copy
+            return jax.tree_util.tree_map(
+                lambda x: x + 0 if isinstance(x, jax.Array) else x, st)
+
+        nv.train(40)
+        state_a = snap(nv.state)
+        nv.train(20)
+        state_b = nv.state  # the params the refresh must converge to
+
+        frames = {}
+        for budget in (None, 2):
+            nv.state = state_a
+            r = VNRenderer(nv, 24, 24, mode=RenderMode.NEURAL_WAVEFRONT)
+            nv.state = state_b
+            if budget is None:
+                r.refresh_params()
+            else:
+                # drive the cursor until it wraps (full coverage)
+                r.refresh_params(budget_bricks=budget)
+                while getattr(r, "_brick_cursor", 0) != 0:
+                    r.refresh_params(budget_bricks=budget)
+            r.render()
+            frames[budget] = r.mapframe()
+            assert np.isfinite(frames[budget]).all()
+        np.testing.assert_allclose(frames[2], frames[None],
+                                   rtol=0, atol=1e-6)
+
     def test_fused_sampling_bit_identical(self):
         """The fused path (emit-probe carries slot+cell; one pool gather
         per sample) must render the EXACT frame of the unfused path (LUT

@@ -218,6 +218,27 @@ class TestScheduleReplay:
         assert r._sched_cache.get("replays", 0) == 0
 
 
+def test_samples_per_slot_bit_identical(scene):
+    """S samples per emit slot only re-chunks the march (same sample
+    positions, same jitter, fewer occupancy probes): frames must be
+    bit-identical across (n_iters, samples_per_slot) splits of the same
+    per-superstep sample count — and across different superstep sizes."""
+    vol, tf, mc = scene
+    cam = Camera.default_for_dims(vol.dims)
+    frames = {}
+    for k, s in ((8, 1), (4, 2), (2, 4), (8, 2)):
+        r = Renderer(32, 32, mc, tf, reference_sample_fn,
+                     sample_ctx=vol.data,
+                     settings=RaymarchSettings(n_iters=k, samples_per_slot=s,
+                                               compact=True), seed=4)
+        r.set_camera(cam)
+        r.render()
+        frames[(k, s)] = r.mapframe()
+    assert frames[(8, 1)][..., 3].max() > 0.1
+    for key in ((4, 2), (2, 4), (8, 2)):
+        np.testing.assert_array_equal(frames[key], frames[(8, 1)])
+
+
 def test_warmup_precompiles_and_matches(scene):
     """Renderer.warmup() compiles the bucket family without disturbing
     output: a warmed renderer's frame equals an unwarmed one's."""
