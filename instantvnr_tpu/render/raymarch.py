@@ -60,11 +60,13 @@ class RaymarchSettings:
         default_factory=lambda: env_int("VNR_RM_N_ITERS", 16))
     max_skips: int = 8  # empty-cell DDA skips per slot (VPU-only work)
     # samples emitted per slot from the CURRENT cell (no new occupancy
-    # probe between them): a 16-voxel cell holds ~16 samples at rate 1, so
-    # S>1 halves/quarters the per-sample probe gathers for IDENTICAL
-    # sample positions — the march trajectory is unchanged, only the
-    # superstep chunking differs (a sample past the cell exit is invalid
-    # and re-emitted by the next slot's probe, exactly as S=1 would).
+    # probe between them): the march trajectory is unchanged (bit-exact,
+    # tested), only the superstep chunking differs. MEASURED LOSS on v5e
+    # (scratch /tmp sps sweep, r3): 512² K8S1 6.53 / K4S2 5.89 / K8S2
+    # 4.36 fps; 768² 2.97 / 1.92 / 2.04 — the SAMPLE phase costs per LANE
+    # (masked-invalid lanes still issue their pool gathers), so the probe
+    # saving never offsets the wasted lanes where intervals clamp at cell
+    # exits. Keep 1 unless sampling becomes free relative to emission.
     samples_per_slot: int = 1
     max_supersteps: int = 192
     shading: str = "none"  # "none" | "gradient" | "ssh"
