@@ -235,6 +235,36 @@ def main(report=None):
         rb.render()
         brick_frame = np.asarray(rb._frame)
         del rb
+        # orbiting camera: per-frame camera rebind — the interactive drag
+        # pattern (schedule replay revalidates per frame; vnr_cmd_render
+        # --orbit analog)
+        import math
+
+        rbo = Renderer(size, size, mc, tf, brick_sample_fn, sample_ctx=ctx,
+                       settings=bset)
+
+        def _orbit(i, n=64):
+            a = 2 * math.pi * i / n
+            rr = 2.2 * dims[0]
+            return Camera(eye=(rr * math.sin(a), 0.15 * dims[1],
+                               -rr * math.cos(a)),
+                          center=(0, 0, 0), up=(0, 1, 0), fovy=45)
+
+        rbo.set_camera(_orbit(0))
+        rbo.warmup()
+        for i in range(3):
+            rbo.set_camera(_orbit(i))
+            rbo.render()
+        _sync(rbo._frame)
+        t0 = time.time()
+        for i in range(3, 11):
+            rbo.set_camera(_orbit(i))
+            rbo.render()
+        _sync(rbo._frame)
+        report["brick_orbit_fps"] = 8 / (time.time() - t0)
+        log(f"brick wavefront {size}x{size} ORBIT: "
+            f"{report['brick_orbit_fps']:.3f} fps")
+        del rbo
         # the reference's own benchmark frame size, streaming mode
         rb768 = Renderer(768, 768, mc, tf, brick_sample_fn, sample_ctx=ctx,
                          settings=bset)
@@ -389,6 +419,7 @@ def _json_line(report):
     secondary = {}
     pairs = [
         ("brick_fps", "brick_wavefront_fps_512"),
+        ("brick_orbit_fps", "brick_wavefront_orbit_fps_512"),
         ("brick_fps_768", "brick_wavefront_fps_768"),
         ("wavefront_fps", "neural_wavefront_fps_512"),
         ("brick_vs_exact_psnr", "brick_vs_exact_frame_psnr_db"),

@@ -422,12 +422,15 @@ def warmup_programs(sample_fn, settings: RaymarchSettings, mc, tf, r: int,
     sizes = bucket_sizes(r)
 
     def warm_one(m: int):
-        # fresh state/rays per call: the programs donate their buffers
+        # fresh state/rays per call: the programs donate their buffers.
+        # The finisher is warmed at EVERY bucket size (not just below
+        # _FINISH_BUCKET): schedule replay terminates every frame with a
+        # finisher at whatever bucket it reached, and an unwarmed program
+        # there would stall an interactive session on a cold compile.
         st = init_ray_state(zeros + 0.0, zeros + 0.0)
-        if m <= _FINISH_BUCKET:
-            st, _ = _finish_prefix(sample_fn, settings, m, mc, tf, light,
-                                   rays, st, sample_ctx, scale, shadow_vol)
-        else:
+        st, _ = _finish_prefix(sample_fn, settings, m, mc, tf, light,
+                               rays, st, sample_ctx, scale, shadow_vol)
+        if m > _FINISH_BUCKET:
             st, _ = _superstep_prefix(sample_fn, settings, m, mc, tf, light,
                                       rays, st, sample_ctx, scale,
                                       shadow_vol)

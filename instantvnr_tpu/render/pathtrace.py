@@ -588,12 +588,13 @@ def warmup_pt_programs(sample_fn, settings: PathTraceSettings, mc, tf,
             shadow=jnp.zeros((r,), bool),
             active=jnp.zeros((r,), bool),
         )
-        if mm <= settings.finish_bucket:
-            st, _ = _pt_finish_prefix(sample_fn, settings, mm, mc, tf,
-                                      consts, st, jax.random.PRNGKey(0),
-                                      sample_ctx,
-                                      jnp.int32(settings.max_events))
-        else:
+        # finisher warmed at EVERY bucket size: schedule replay terminates
+        # frames with a finisher at whatever bucket it reached
+        st, _ = _pt_finish_prefix(sample_fn, settings, mm, mc, tf,
+                                  consts, st, jax.random.PRNGKey(0),
+                                  sample_ctx,
+                                  jnp.int32(settings.max_events))
+        if mm > settings.finish_bucket:
             st, _, _ = _pt_events_prefix(sample_fn, settings, mm, mc, tf,
                                          consts, st, jax.random.PRNGKey(0),
                                          sample_ctx)
