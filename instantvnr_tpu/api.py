@@ -745,20 +745,17 @@ class VNRenderer:
             shading = {RenderMode.NEURAL_WAVEFRONT: "none",
                        RenderMode.NEURAL_WAVEFRONT_GRADIENT: "gradient",
                        RenderMode.NEURAL_WAVEFRONT_SSH: "ssh"}[mode]
-            if self.streaming_cache in ("auto", "brick"):
+            ctx = (self._build_streaming_ctx(mc)
+                   if self.streaming_cache in ("auto", "brick") else None)
+            if ctx is not None:
                 # macrocell-guided brick cache (render/brickcache.py): the
                 # sample-streaming default — ~2 gathers/sample instead of
                 # L·8 hash rows, decoded-path quality (round-3 measured:
                 # 0.79 → >2.5 fps @512² with the K=8/skips=1 emit shape).
                 # streaming_cache="none" restores exact per-sample network
                 # evaluation (the reference's literal mode-5 semantics).
-                from instantvnr_tpu.render.brickcache import (
-                    brick_sample_fn,
-                    build_brick_cache,
-                )
+                from instantvnr_tpu.render.brickcache import brick_sample_fn
 
-                ctx = build_brick_cache(self.neural.field,
-                                        self.neural.state.params, mc)
                 impl = Renderer(
                     self.width, self.height, mc, tf, brick_sample_fn,
                     sample_ctx=ctx,
@@ -1016,6 +1013,32 @@ class VNRenderer:
         self._impl.settings = _dc.replace(self._impl.settings,
                                           shading=shading)
 
+    def _build_streaming_ctx(self, mc):
+        """Memory-gated brick cache for the sample-streaming modes.
+
+        The pool costs occupied_cells·20³·8·itemsize; at a high-occupancy
+        512³ volume that is ~8.6 GB in f32 — more than half a v5e's HBM.
+        "auto" therefore degrades: f32 pool while it fits VNR_BRICK_MAX_MB
+        (default 4096), f16 at double that (the TF classifies densities in
+        [0,1]; f16's 11-bit mantissa is visually lossless there), and None
+        past it (caller falls back to exact per-sample network
+        evaluation). streaming_cache="brick" forces the f32 build."""
+        import os
+
+        from instantvnr_tpu.render.brickcache import (brick_cache_bytes,
+                                                      build_brick_cache)
+
+        args = (self.neural.field, self.neural.state.params, mc)
+        if self.streaming_cache == "brick":
+            return build_brick_cache(*args)
+        budget = float(os.environ.get("VNR_BRICK_MAX_MB", "4096")) * 2**20
+        nbytes = brick_cache_bytes(mc)  # f32
+        if nbytes <= budget:
+            return build_brick_cache(*args)
+        if nbytes / 2 <= budget:
+            return build_brick_cache(*args, dtype=jnp.float16)
+        return None
+
     def refresh_params(self, budget_bricks: int | None = None):
         """Rebind the render path to the neural volume's CURRENT parameters
         without retracing — the online-training hook (training steps inside
@@ -1036,16 +1059,16 @@ class VNRenderer:
         if self.mode in (RenderMode.NEURAL_WAVEFRONT,
                          RenderMode.NEURAL_WAVEFRONT_GRADIENT,
                          RenderMode.NEURAL_WAVEFRONT_SSH):
-            if self.streaming_cache in ("auto", "brick"):
+            is_brick = (self.streaming_cache in ("auto", "brick")
+                        and isinstance(self._impl.sample_ctx, dict)
+                        and "packed" in self._impl.sample_ctx)
+            if is_brick:
                 from instantvnr_tpu.render.brickcache import (
-                    build_brick_cache,
                     refresh_brick_pool,
                 )
 
                 mc, _, _ = self._scene_parts()
-                if (budget_bricks is not None
-                        and isinstance(self._impl.sample_ctx, dict)
-                        and "packed" in self._impl.sample_ctx):
+                if budget_bricks is not None:
                     ctx, self._brick_cursor = refresh_brick_pool(
                         self.neural.field, self.neural.state.params, mc,
                         self._impl.sample_ctx,
@@ -1054,8 +1077,7 @@ class VNRenderer:
                     self._impl.set_sample_ctx(ctx)
                     return
                 self._brick_cursor = 0
-                self._impl.set_sample_ctx(build_brick_cache(
-                    self.neural.field, self.neural.state.params, mc))
+                self._impl.set_sample_ctx(self._build_streaming_ctx(mc))
             else:
                 self._impl.set_sample_ctx(
                     render_params(self.neural.state.params,

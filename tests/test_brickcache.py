@@ -229,6 +229,40 @@ class TestBrickCache:
         np.testing.assert_array_equal(np.asarray(ctx["lut"]),
                                       np.asarray(want["lut"]))
 
+    def test_facade_memory_gating(self, monkeypatch):
+        """streaming_cache='auto' degrades with the pool budget: f32 pool
+        → f16 pool → exact network sampling (VNR_BRICK_MAX_MB)."""
+        from instantvnr_tpu.api import (NeuralVolume, RenderMode,
+                                        SimpleVolume, VNRenderer)
+        from instantvnr_tpu.config import (EncodingConfig, ModelConfig,
+                                           NetworkConfig)
+        from instantvnr_tpu.data import synthetic_volume as _sv
+        from instantvnr_tpu.render.brickcache import brick_cache_bytes
+
+        vol = _sv((32, 32, 32), kind="vorts")
+        cfg = ModelConfig(
+            encoding=EncodingConfig(n_levels=4, n_features_per_level=4,
+                                    log2_hashmap_size=12, base_resolution=4),
+            network=NetworkConfig(n_neurons=32, n_hidden_layers=2))
+        nv = NeuralVolume(cfg, simple=SimpleVolume(vol), train_batch=4096)
+        nv.train(30)
+        mb = brick_cache_bytes(nv.simple.macrocell
+                               if hasattr(nv.simple, "macrocell")
+                               else nv.macrocell) / 2**20
+
+        cases = [(str(mb * 2), jnp.float32), (str(mb * 0.75), jnp.float16),
+                 ("0.001", None)]
+        for budget, want in cases:
+            monkeypatch.setenv("VNR_BRICK_MAX_MB", budget)
+            r = VNRenderer(nv, 16, 16, mode=RenderMode.NEURAL_WAVEFRONT)
+            ctx = r._impl.sample_ctx
+            if want is None:
+                assert not (isinstance(ctx, dict) and "packed" in ctx)
+            else:
+                assert ctx["packed"].dtype == want, (budget, ctx["packed"].dtype)
+            r.render()
+            assert np.isfinite(np.asarray(r._impl._frame)).all()
+
     def test_facade_budgeted_refresh(self):
         """VNRenderer.refresh_params(budget_bricks=N) round-robins the
         streaming cache across calls and keeps rendering live; after the
