@@ -406,13 +406,14 @@ def _superstep(sample_fn, org, dirn, t_far, jitter, mc: MacroCell,
             ],
             axis=0,
         )  # [3,R,K,3]
-        all_pos = jnp.concatenate(
-            [pos_obj[None], pos_obj[None] + offsets], axis=0
-        )  # [4,R,K,3]
-        all_vals = sample_fn(all_pos.reshape(-1, 3)).reshape(4, r, k)
-        values = all_vals[0]
+        # primary samples ride the fused path (same cell as the probe);
+        # the ±step probes cross cell walls, so they keep the plain
+        # sampler — 7 gathers per shaded sample instead of 8
+        values = _sample_primary(pos_obj.reshape(-1, 3)).reshape(r, k)
+        probe_pos = (pos_obj[None] + offsets)  # [3,R,K,3]
+        probe_vals = sample_fn(probe_pos.reshape(-1, 3)).reshape(3, r, k)
         grad = jnp.stack(
-            [(all_vals[1 + ax] - values) / stp[..., ax] for ax in range(3)],
+            [(probe_vals[ax] - values) / stp[..., ax] for ax in range(3)],
             axis=-1,
         )  # [R,K,3] object-space gradient
         if scale is None:
