@@ -1055,6 +1055,7 @@ class VNRenderer:
         if self.neural is None:
             return
         from instantvnr_tpu.models.network import render_params
+        from instantvnr_tpu.render.renderer import make_neural_sample_fn
 
         if self.mode in (RenderMode.NEURAL_WAVEFRONT,
                          RenderMode.NEURAL_WAVEFRONT_GRADIENT,
@@ -1067,17 +1068,26 @@ class VNRenderer:
                     refresh_brick_pool,
                 )
 
-                mc, _, _ = self._scene_parts()
                 if budget_bricks is not None:
                     ctx, self._brick_cursor = refresh_brick_pool(
-                        self.neural.field, self.neural.state.params, mc,
+                        self.neural.field, self.neural.state.params,
                         self._impl.sample_ctx,
                         start=getattr(self, "_brick_cursor", 0),
                         n_bricks=budget_bricks)
                     self._impl.set_sample_ctx(ctx)
                     return
                 self._brick_cursor = 0
-                self._impl.set_sample_ctx(self._build_streaming_ctx(mc))
+                mc, _, _ = self._scene_parts()
+                ctx = self._build_streaming_ctx(mc)
+                if ctx is not None:
+                    self._impl.set_sample_ctx(ctx)
+                else:
+                    # the pool budget degraded past f16 (occupancy grew):
+                    # fall back to exact per-sample network evaluation
+                    self._impl.set_sample_fn(
+                        make_neural_sample_fn(self.neural.field),
+                        render_params(self.neural.state.params,
+                                      self.neural.field))
             else:
                 self._impl.set_sample_ctx(
                     render_params(self.neural.state.params,
@@ -1087,8 +1097,10 @@ class VNRenderer:
                                                   self.neural.field)
             self.reset_accumulation()
         elif self.mode == RenderMode.PATHTRACE_DECODED:
-            self._impl.sample_ctx = self.neural.decode_volume()
-            self.reset_accumulation()
+            # set_grid re-applies the construction-time grid→brick-pool
+            # policy (assigning the raw grid would desync it from the
+            # brick sampler the renderer was wired with)
+            self._impl.set_grid(self.neural.decode_volume())
         elif self.mode == RenderMode.ISOSURFACE_DECODED:
             self._impl.set_grid(self.neural.decode_volume())
 

@@ -228,31 +228,38 @@ def _pool_update(packed, rows, start):
     return jax.lax.dynamic_update_slice(packed, rows, (start, jnp.int32(0)))
 
 
-def refresh_brick_pool(field, params, mc: MacroCell, ctx: dict,
+def refresh_brick_pool(field, params, ctx: dict,
                        start: int = 0, n_bricks: int | None = None,
-                       dilate: int = 1, chunk_bricks: int = 32) -> tuple:
+                       chunk_bricks: int = 32) -> tuple:
     """Re-decode bricks [start, start+n_bricks) of an existing pool against
     FRESH params — the incremental online-training refresh (the reference
     re-uploads inference params per epoch, tcnn_network.h:142-156; here the
     pool is the inference surface, so it re-decodes instead).
 
-    The occupancy/LUT stay untouched (same macrocell + TF ⇒ same brick
-    set), so a partial refresh is always render-safe: un-refreshed bricks
-    just show the previous epoch's field. Per-chunk corner packing is
-    valid in isolation because rows near a brick's tail are never
-    addressed (local ≤ BRICK−2), so cross-chunk shift spill lands only in
-    dead rows.
+    The brick list comes from the CTX'S OWN LUT (slot order), never from a
+    recomputed occupancy: online training can grow the live macrocell
+    between build and refresh, and a re-derived cell list would shift slot
+    assignments — silently writing each brick into a NEIGHBORING cell's
+    pool rows. The LUT is the pool's layout contract; new-occupied cells
+    simply stay uncached until the next full rebuild. Per-chunk corner
+    packing is valid in isolation because rows near a brick's tail are
+    never addressed (local ≤ BRICK−2), so cross-chunk shift spill lands
+    only in dead rows.
 
     Returns (new ctx, next_start) where next_start wraps to 0 after the
     last brick — callers spread full refreshes across frames by chaining:
-        ctx, cur = refresh_brick_pool(field, params, mc, ctx, cur, budget)
+        ctx, cur = refresh_brick_pool(field, params, ctx, cur, budget)
     """
-    cells = occupied_cells(mc, dilate=dilate)
-    mc_dims = tuple(int(d) for d in mc.dims)
-    vol_dims = tuple(int(d) for d in mc.volume_dims)
-    total = max(int(cells.size), 1)
-    if cells.size == 0:
+    lut_np = np.asarray(ctx["lut"])
+    cached = np.flatnonzero(lut_np >= 0).astype(np.int32)
+    if cached.size == 0:
         return ctx, 0
+    # cells ordered by their SLOT (pool row block), as built
+    cells = cached[np.argsort(lut_np[cached], kind="stable")]
+    mcd = tuple(int(d) for d in np.asarray(ctx["mcdims"]))
+    mc_dims = (mcd[0], mcd[1], mcd[2])
+    vol_dims = tuple(int(d) for d in np.asarray(ctx["dims"]))
+    total = int(cells.size)
     start = min(start, total)
     n = total - start if n_bricks is None else min(n_bricks, total - start)
     if n <= 0:

@@ -285,26 +285,46 @@ def _replay(r, make_initial, dispatch_super, dispatch_finish, budget_total,
             n_live.copy_to_host_async()
             counts.append(n_live)
             replayed.append(("S", m))
-        else:  # "F" — dispatched below for every replay
+        else:  # "F" — dispatched by the tail logic below
             break
-    if used < budget_total:
-        # terminal finisher at the current bucket (even above the
-        # heuristic finish_bucket threshold — correctness over heuristics:
-        # it guarantees completion, so stragglers that outlive the
-        # recorded schedule still march to termination within budget)
-        state, _ = dispatch_finish(m, rays, state, budget_total - used)
-        replayed.append(("F", m))
     pend = [(init_handle if ci < 0 else counts[ci], m_new)
             for ci, m_new in checks]
-    schedule_cache["ops"] = replayed
-    if defer:
-        if pend:  # nothing to validate ⇒ nothing pending
-            schedule_cache["pending"] = pend
+    if used < budget_total and m <= finish_bucket:
+        # terminal finisher: guarantees completion within budget, so no
+        # live-count read is needed — stragglers that outlive the recorded
+        # schedule still march to termination
+        state, _ = dispatch_finish(m, rays, state, budget_total - used)
+        replayed.append(("F", m))
+        schedule_cache["ops"] = replayed
+        if defer:
+            if pend:  # nothing to validate ⇒ nothing pending
+                schedule_cache["pending"] = pend
+            return rays, state, perm
+        for h, m_new in pend:
+            if int(h) > m_new:
+                return None  # compaction below live → frame invalid
         return rays, state, perm
-    # ---- validate: the handles have been in flight since dispatch ------
+    # ---- rare tail: the bucket is still ABOVE the finisher threshold
+    # (headroom bump, or last frame's rays all died early at a big
+    # bucket). A run-to-completion program at a big bucket could run
+    # budget×n_iters steps in ONE dispatch — exactly the long device
+    # program CLAUDE.md forbids through the tunnel — so validate inline
+    # and continue with the bounded serialized loop instead.
     for h, m_new in pend:
         if int(h) > m_new:
-            return None  # compaction below the live count → frame invalid
+            return None
+    if used < budget_total:
+        live = int(counts[-1]) if counts else int(init_handle)
+        if live > 0:
+            if _bucket(live, r) < m:
+                replayed.append(("C", _bucket(live, r), live))
+                rays, state, perm = _compact_prefix(m, rays, state, perm)
+                m = _bucket(live, r)
+            rays, state, perm = _serial_loop(
+                r, m, used, live, rays, state, perm, replayed,
+                dispatch_super, dispatch_finish, budget_total, budget_step,
+                finish_bucket, speculate)
+    schedule_cache["ops"] = replayed
     return rays, state, perm
 
 
@@ -422,15 +442,16 @@ def warmup_programs(sample_fn, settings: RaymarchSettings, mc, tf, r: int,
     sizes = bucket_sizes(r)
 
     def warm_one(m: int):
-        # fresh state/rays per call: the programs donate their buffers.
-        # The finisher is warmed at EVERY bucket size (not just below
-        # _FINISH_BUCKET): schedule replay terminates every frame with a
-        # finisher at whatever bucket it reached, and an unwarmed program
-        # there would stall an interactive session on a cold compile.
+        # fresh state/rays per call: the programs donate their buffers
         st = init_ray_state(zeros + 0.0, zeros + 0.0)
-        st, _ = _finish_prefix(sample_fn, settings, m, mc, tf, light,
-                               rays, st, sample_ctx, scale, shadow_vol)
-        if m > _FINISH_BUCKET:
+        if m <= _FINISH_BUCKET:
+            # budget must be a TRACED scalar like the render-time calls —
+            # budget=None is a DIFFERENT jit-cache entry and would leave
+            # the real finisher cold (None vs int32 cache separately)
+            st, _ = _finish_prefix(sample_fn, settings, m, mc, tf, light,
+                                   rays, st, sample_ctx, scale, shadow_vol,
+                                   jnp.int32(settings.max_supersteps))
+        else:
             st, _ = _superstep_prefix(sample_fn, settings, m, mc, tf, light,
                                       rays, st, sample_ctx, scale,
                                       shadow_vol)

@@ -588,13 +588,12 @@ def warmup_pt_programs(sample_fn, settings: PathTraceSettings, mc, tf,
             shadow=jnp.zeros((r,), bool),
             active=jnp.zeros((r,), bool),
         )
-        # finisher warmed at EVERY bucket size: schedule replay terminates
-        # frames with a finisher at whatever bucket it reached
-        st, _ = _pt_finish_prefix(sample_fn, settings, mm, mc, tf,
-                                  consts, st, jax.random.PRNGKey(0),
-                                  sample_ctx,
-                                  jnp.int32(settings.max_events))
-        if mm > settings.finish_bucket:
+        if mm <= settings.finish_bucket:
+            st, _ = _pt_finish_prefix(sample_fn, settings, mm, mc, tf,
+                                      consts, st, jax.random.PRNGKey(0),
+                                      sample_ctx,
+                                      jnp.int32(settings.max_events))
+        else:
             st, _, _ = _pt_events_prefix(sample_fn, settings, mm, mc, tf,
                                          consts, st, jax.random.PRNGKey(0),
                                          sample_ctx)
@@ -676,6 +675,7 @@ class PathTraceRenderer:
         # plain grid ctx → corner-packed brick pool (2 gathers/sample vs
         # 8; exact to summation order for the tracker, whose samples only
         # land in occupied cells) unless forced off or too big to cache
+        self._grid_bricks = False
         if (sample_fn is None and self.settings.grid_bricks is not False
                 and getattr(volume_or_ctx, "ndim", 0) == 3):
             from instantvnr_tpu.render.brickcache import (
@@ -690,6 +690,7 @@ class PathTraceRenderer:
                 self.sample_ctx = build_brick_cache_from_grid(
                     volume_or_ctx, mc)
                 self.sample_fn = brick_sample_fn
+                self._grid_bricks = True
         self.transform = transform or default_transform(mc.volume_dims)
         self.camera = Camera.default_for_dims(mc.volume_dims)
         self._key = jax.random.PRNGKey(seed)
@@ -704,17 +705,28 @@ class PathTraceRenderer:
         self.frame_index = 0
 
     def reset_accumulation(self):
-        if self._pending_frame is not None:
-            # the provisional frame belongs to the discarded accumulation:
-            # no rollback, but resolve validity so a bad schedule clears
-            from instantvnr_tpu.render.compaction import settle_pending
+        from instantvnr_tpu.render.renderer import discard_provisional
 
-            self._pending_frame = None
-            settle_pending(self._sched_cache)
+        pf, self._pending_frame = self._pending_frame, None
+        discard_provisional(self._sched_cache, pf)
         self.frame_index = 0
 
     def set_camera(self, cam: Camera):
         self.camera = cam
+        self.reset_accumulation()
+
+    def set_grid(self, volume):
+        """Swap the decoded/GT grid (online-training refresh), re-applying
+        the construction-time grid→brick-pool policy so sample_fn and
+        sample_ctx stay consistent."""
+        if self._grid_bricks:
+            from instantvnr_tpu.render.brickcache import (
+                build_brick_cache_from_grid,
+            )
+
+            self.sample_ctx = build_brick_cache_from_grid(volume, self.mc)
+        else:
+            self.sample_ctx = volume
         self.reset_accumulation()
 
     def set_transform(self, transform):
@@ -748,21 +760,17 @@ class PathTraceRenderer:
             schedule_cache=schedule_cache, defer=defer)
 
     def _settle(self):
-        """Resolve the previous frame's deferred replay validation; on the
-        rare invalid replay, replace its contribution with a serialized
-        re-render of the SAME frame key (renderer._settle analog)."""
-        pf, self._pending_frame = self._pending_frame, None
-        if pf is None:
-            return
-        from instantvnr_tpu.render.compaction import settle_pending
-        from instantvnr_tpu.render.renderer import _accum_fix
+        """Resolve the previous frame's deferred replay validation
+        (renderer.settle_provisional — one shared rollback protocol)."""
+        from instantvnr_tpu.render.renderer import settle_provisional
 
-        if settle_pending(self._sched_cache):
-            return
-        rgba_bad, cam_arrays, sub, fidx = pf
-        good = self._compacted_rgba(cam_arrays, sub, None, defer=False)
-        self._accum, self._frame = _accum_fix(self._accum, rgba_bad, good,
-                                              jnp.int32(fidx))
+        pf, self._pending_frame = self._pending_frame, None
+        out = settle_provisional(
+            self._sched_cache, pf,
+            lambda ca, sub: self._compacted_rgba(ca, sub, None, False),
+            self._accum)
+        if out is not None:
+            self._accum, self._frame = out
 
     def render(self):
         self._settle()

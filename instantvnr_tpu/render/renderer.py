@@ -77,6 +77,35 @@ def _accum_fix(accum, bad, good, frame_index):
     return accum, accum / frame_index.astype(jnp.float32)
 
 
+def settle_provisional(sched_cache, pending, redo_fn, accum):
+    """Resolve a deferred-validation pending frame (shared by the
+    wavefront and path-trace renderers — ONE copy of the rollback
+    protocol). pending = (rgba, cam_arrays, sub key, frame_index) or
+    None; redo_fn(cam_arrays, sub) re-renders that frame serialized with
+    the SAME key — the ground truth. Returns None when nothing needs
+    fixing, else the repaired (accum, frame)."""
+    if pending is None:
+        return None
+    from instantvnr_tpu.render.compaction import settle_pending
+
+    if settle_pending(sched_cache):
+        return None
+    rgba_bad, cam_arrays, sub, fidx = pending
+    good = redo_fn(cam_arrays, sub)
+    return _accum_fix(accum, rgba_bad, good, jnp.int32(fidx))
+
+
+def discard_provisional(sched_cache, pending):
+    """Drop a pending frame together with the accumulation it belongs to
+    (reset/resize): no rollback, but still resolve validity so an unsafe
+    schedule is cleared for re-recording (settle_pending pops either
+    way)."""
+    if pending is not None:
+        from instantvnr_tpu.render.compaction import settle_pending
+
+        settle_pending(sched_cache)
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2, 3), donate_argnums=(9,))
 def _render_frame(
     sample_fn,
@@ -186,11 +215,8 @@ class Renderer:
         self.reset_accumulation()
 
     def resize(self, width: int, height: int):
-        if self._pending_frame is not None:
-            from instantvnr_tpu.render.compaction import settle_pending
-
-            self._pending_frame = None
-            settle_pending(self._sched_cache)
+        pf, self._pending_frame = self._pending_frame, None
+        discard_provisional(self._sched_cache, pf)
         self._sched_cache.pop("ops", None)  # schedules are size-specific
         self.width, self.height = width, height
         self._accum = jnp.zeros((width * height, 4), jnp.float32)
@@ -201,15 +227,8 @@ class Renderer:
         self.frame_index = 0
 
     def reset_accumulation(self):
-        if self._pending_frame is not None:
-            # the provisional frame belongs to the accumulation being
-            # discarded — no rollback needed, but resolve the pending
-            # validation so an unsafe schedule is cleared (settle_pending
-            # pops it either way)
-            from instantvnr_tpu.render.compaction import settle_pending
-
-            self._pending_frame = None
-            settle_pending(self._sched_cache)
+        pf, self._pending_frame = self._pending_frame, None
+        discard_provisional(self._sched_cache, pf)
         self.frame_index = 0
 
     def warmup(self, parallel: bool = True):
@@ -251,21 +270,16 @@ class Renderer:
             schedule_cache=schedule_cache, defer=defer)
 
     def _settle(self):
-        """Resolve the previous frame's deferred replay validation. On the
-        rare invalid replay (rays compacted below the live count), replace
-        the provisional frame's contribution with a serialized re-render
-        using the SAME per-frame key — the redo is the ground truth."""
+        """Resolve the previous frame's deferred replay validation
+        (settle_provisional — rollback + same-key serialized redo on the
+        rare invalid replay)."""
         pf, self._pending_frame = self._pending_frame, None
-        if pf is None:
-            return
-        from instantvnr_tpu.render.compaction import settle_pending
-
-        if settle_pending(self._sched_cache):
-            return
-        rgba_bad, cam_arrays, sub, fidx = pf
-        good = self._compacted_rgba(cam_arrays, sub, None, defer=False)
-        self._accum, self._frame = _accum_fix(self._accum, rgba_bad, good,
-                                              jnp.int32(fidx))
+        out = settle_provisional(
+            self._sched_cache, pf,
+            lambda ca, sub: self._compacted_rgba(ca, sub, None, False),
+            self._accum)
+        if out is not None:
+            self._accum, self._frame = out
 
     def render(self):
         """Render one frame (async dispatch; returns the device frame array)."""

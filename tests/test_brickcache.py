@@ -203,7 +203,7 @@ class TestBrickCache:
         ctx, cur = ctx_old, 0
         steps = 0
         while True:
-            ctx, cur = refresh_brick_pool(field, state2.params, mc, ctx,
+            ctx, cur = refresh_brick_pool(field, state2.params, ctx,
                                           start=cur, n_bricks=3)
             steps += 1
             if cur == 0:
@@ -228,6 +228,62 @@ class TestBrickCache:
         # untouched fields carried over
         np.testing.assert_array_equal(np.asarray(ctx["lut"]),
                                       np.asarray(want["lut"]))
+
+    def test_refresh_is_layout_stable_under_macrocell_drift(self):
+        """Online training grows the live macrocell between build and
+        refresh; the refresh must follow the CTX's OWN LUT (the pool's
+        layout contract), not a re-derived occupancy — a shifted cell list
+        would silently write bricks into neighboring cells' pool rows.
+        The refreshed pool must sample exactly like a fresh build over the
+        ORIGINAL brick set, no matter what macrocell the caller now holds."""
+        import dataclasses as dc
+
+        from instantvnr_tpu.render.brickcache import refresh_brick_pool
+
+        vol, tf, mc, field, state = _scene(train=30)
+        # build against a REDUCED occupancy (simulates an early-training
+        # macrocell that grows later)
+        shrunk = np.asarray(mc.max_opacity).copy()
+        occ_idx = np.argwhere(shrunk > 1e-6)
+        kill = occ_idx[: max(1, len(occ_idx) // 3)]
+        shrunk[tuple(kill.T)] = 0.0
+        mc_small = dc.replace(mc, max_opacity=jnp.asarray(shrunk))
+        ctx = build_brick_cache(field, state.params, mc_small, dilate=1)
+        want = build_brick_cache(field, state.params, mc_small, dilate=1)
+
+        # refresh with params UNCHANGED: regardless of chunking, the pool
+        # must be unchanged (slot-stable) — the caller's grown `mc` is
+        # irrelevant because refresh reads the ctx's lut
+        ctx2, cur = refresh_brick_pool(field, state.params, ctx,
+                                       start=0, n_bricks=None)
+        assert cur == 0
+        np.testing.assert_array_equal(np.asarray(ctx2["packed"][:, 0]),
+                                      np.asarray(want["packed"][:, 0]))
+
+    def test_facade_pathtrace_decoded_refresh(self):
+        """refresh_params in PATHTRACE_DECODED mode must re-apply the
+        grid→brick-pool policy (regression: it assigned the raw decoded
+        grid while sample_fn stayed brick_sample_fn → TypeError on the
+        next render)."""
+        from instantvnr_tpu.api import (NeuralVolume, RenderMode,
+                                        SimpleVolume, VNRenderer)
+        from instantvnr_tpu.config import (EncodingConfig, ModelConfig,
+                                           NetworkConfig)
+        from instantvnr_tpu.data import synthetic_volume as _sv
+
+        vol = _sv((32, 32, 32), kind="vorts")
+        cfg = ModelConfig(
+            encoding=EncodingConfig(n_levels=4, n_features_per_level=4,
+                                    log2_hashmap_size=12, base_resolution=4),
+            network=NetworkConfig(n_neurons=32, n_hidden_layers=2))
+        nv = NeuralVolume(cfg, simple=SimpleVolume(vol), train_batch=4096)
+        nv.train(30)
+        r = VNRenderer(nv, 16, 16, mode=RenderMode.PATHTRACE_DECODED)
+        r.render()
+        nv.train(10)
+        r.refresh_params()
+        r.render()  # regression: raised TypeError before the fix
+        assert np.isfinite(r.mapframe()).all()
 
     def test_facade_memory_gating(self, monkeypatch):
         """streaming_cache='auto' degrades with the pool budget: f32 pool
