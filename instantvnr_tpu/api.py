@@ -934,7 +934,11 @@ class VNRenderer:
     def _pt_settings(self):
         from instantvnr_tpu.render.pathtrace import PathTraceSettings
 
-        return PathTraceSettings(density_scale=self.density_scale)
+        # compacted driver: paths die exponentially (RR after 4 scatters),
+        # so bucketed compaction + schedule replay is ~18× the in-jit
+        # masked loop at 512² (round 3; bench pathtrace_fps_512)
+        return PathTraceSettings(density_scale=self.density_scale,
+                                 compact=True)
 
     def set_volume_sampling_rate(self, rate: float):
         """vnrRendererSetVolumeSamplingRate (batch_renderer.cpp:203)."""
