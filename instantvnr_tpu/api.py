@@ -749,9 +749,10 @@ class VNRenderer:
                    if self.streaming_cache in ("auto", "brick") else None)
             if ctx is not None:
                 # macrocell-guided brick cache (render/brickcache.py): the
-                # sample-streaming default — ~2 gathers/sample instead of
-                # L·8 hash rows, decoded-path quality (round-3 measured:
-                # 0.79 → >2.5 fps @512² with the K=8/skips=1 emit shape).
+                # sample-streaming default — ONE fused pool gather/sample
+                # instead of L·8 hash rows, decoded-path quality (round-3
+                # measured: 0.82 → 7.1 fps @512² with the K=8/skips=1
+                # emit shape + schedule replay).
                 # streaming_cache="none" restores exact per-sample network
                 # evaluation (the reference's literal mode-5 semantics).
                 from instantvnr_tpu.render.brickcache import brick_sample_fn

@@ -146,6 +146,21 @@ def test_pathtrace_clip_and_scale():
     assert not np.allclose(scaled, full)  # scaling changes the image
 
 
+def test_facade_pathtrace_uses_compaction():
+    """The facade's PT modes must run the compacted driver (the in-jit
+    masked loop is ~18× slower at scale; regression guard for the
+    _pt_settings default)."""
+    from instantvnr_tpu.api import RenderMode, SimpleVolume, VNRenderer
+    from instantvnr_tpu.data import synthetic_volume
+
+    vol = synthetic_volume((16, 16, 16), kind="sphere")
+    r = VNRenderer(SimpleVolume(vol), 16, 16,
+                   mode=RenderMode.PATHTRACE_REFERENCE)
+    assert r._impl.settings.compact
+    r.render()
+    assert r._impl._sched_cache.get("ops") is not None  # driver recorded
+
+
 def test_facade_clipping_on_pathtrace_mode():
     """set_clipping_box/set_scaling must work in PATHTRACE_* modes
     (PathTraceRenderer.set_transform; regression: AttributeError)."""
