@@ -302,6 +302,12 @@ class ViewerApp:
         if self.nv is not None:
             st = self.nv.statistics()
             s["step"], s["loss"] = st.step, float(st.loss)
+        # schedule-replay diagnostics (compaction.drive_compacted): how
+        # many frames rode the free-running fast path vs re-recorded
+        sc = getattr(self.renderer._impl, "_sched_cache", None)
+        if sc:
+            s["replay"] = {k: sc.get(k, 0)
+                           for k in ("replays", "serialized", "invalidated")}
         return s
 
 

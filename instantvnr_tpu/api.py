@@ -792,7 +792,9 @@ class VNRenderer:
             impl = Renderer(
                 self.width, self.height, mc, tf, reference_sample_fn,
                 sample_ctx=self.simple.volume.data,
-                settings=RaymarchSettings(shading=shading,
+                # compacted + schedule-replayed like the streaming modes
+                # (identical per-ray march, scheduling only)
+                settings=RaymarchSettings(shading=shading, compact=True,
                                           sampling_rate=self.sampling_rate,
                                           density_scale=self.density_scale),
                 transform=xf,

@@ -201,6 +201,27 @@ class TestScheduleReplay:
         assert r._sched_cache.get("invalidated", 0) >= 1, r._sched_cache
         np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
 
+    def test_resize_with_pending_frame(self, scene, monkeypatch):
+        """resize() between frames must discard the pending provisional
+        frame and the size-specific schedule without touching the old
+        accumulation buffers (shape mismatch crash otherwise)."""
+        self._small_buckets(monkeypatch)
+        vol, tf, mc = scene
+        r = Renderer(48, 48, mc, tf, reference_sample_fn,
+                     sample_ctx=vol.data,
+                     settings=RaymarchSettings(compact=True), seed=2)
+        r.set_camera(Camera.default_for_dims(vol.dims))
+        r.render()
+        r.render()  # leaves a pending provisional frame (deferred default)
+        r.resize(32, 32)
+        assert r._pending_frame is None
+        assert "ops" not in r._sched_cache
+        r.reset_accumulation()
+        r.render()
+        f = r.mapframe()
+        assert f.shape == (32, 32, 4)
+        assert np.isfinite(f).all()
+
     def test_all_miss_frame(self, scene, monkeypatch):
         """Rays that never hit the box record an empty schedule; replay
         must not engage on nothing and the frame stays black."""
