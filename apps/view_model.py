@@ -72,9 +72,23 @@ def main():
 
     if args.evaluate and (args.scene or args.synthetic):
         simple = load_simple_volume(args)
-        nv = NeuralVolume.from_checkpoint(args.checkpoint, simple=simple)
-        print(f"[view] PSNR: {nv.get_psnr():.2f} dB")
-        print(f"[view] SSIM: {nv.get_mssim():.4f}")
+        if args.checkpoint.endswith((".pt", ".pth", ".ckpt")):
+            # torch imports have no BSON container for from_checkpoint;
+            # evaluate the already-imported field directly
+            from instantvnr_tpu.models.metrics import (decode_volume,
+                                                       psnr_vs, ssim_arrays)
+
+            print(f"[view] PSNR: "
+                  f"{float(psnr_vs(field, params, simple.volume.data)):.2f}"
+                  " dB")
+            dec = decode_volume(field, params,
+                                tuple(int(d) for d in simple.dims))
+            print(f"[view] SSIM: "
+                  f"{float(ssim_arrays(dec, simple.volume.data)):.4f}")
+        else:
+            nv = NeuralVolume.from_checkpoint(args.checkpoint, simple=simple)
+            print(f"[view] PSNR: {nv.get_psnr():.2f} dB")
+            print(f"[view] SSIM: {nv.get_mssim():.4f}")
 
 
 if __name__ == "__main__":

@@ -60,11 +60,17 @@ def precompile(size: int, simple, model_cfg, modes: list[str]) -> dict:
 
     for name in modes:
         mode = mode_map[name]
-        r = VNRenderer(nv if mode != RenderMode.REFERENCE_RAYMARCH
-                       else simple, width=size, height=size, mode=mode)
         if name == "wavefront_exact":
+            # start from a cheap mode so the exact-policy switch doesn't
+            # first build (then discard) the brick pool, and set_mode runs
+            # exactly once for the target
+            r = VNRenderer(nv, width=size, height=size,
+                           mode=RenderMode.DECODED_SLAB)
             r.set_streaming_cache("none")
             r.set_mode(mode)
+        else:
+            r = VNRenderer(nv if mode != RenderMode.REFERENCE_RAYMARCH
+                           else simple, width=size, height=size, mode=mode)
         if name in ("pathtrace", "pathtrace_neural"):
             import dataclasses
 

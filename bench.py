@@ -45,8 +45,10 @@ def log(*a):
 
 def _sync(x):
     # block_until_ready does not reliably block through the device tunnel;
-    # force a scalar readback (utils/profiling.sync semantics)
-    return float(jnp.asarray(x).ravel()[0])
+    # force a scalar readback (the one implementation lives in utils)
+    from instantvnr_tpu.utils.profiling import sync
+
+    return sync(x)
 
 
 def _time_frames(r, frames: int, warm: int = 3) -> float:

@@ -835,7 +835,8 @@ class VNRenderer:
             impl.settings = _dc.replace(
                 impl.settings, sampling_rate=self.sampling_rate,
                 density_scale=self.density_scale, shadow_ambient=0.05)
-            impl.enable_shadows(self._flipped_light(),
+            self._shadow_light_used = self._flipped_light()
+            impl.enable_shadows(self._shadow_light_used,
                                 sampling_rate=self.sampling_rate)
             impl._mode_shadows = True
         elif mode == RenderMode.FULL_SHADOW_REFERENCE:
@@ -847,7 +848,7 @@ class VNRenderer:
             impl = Renderer(
                 self.width, self.height, mc, tf, reference_sample_fn,
                 sample_ctx=self.simple.volume.data,
-                settings=RaymarchSettings(shading="shadow",
+                settings=RaymarchSettings(shading="shadow", compact=True,
                                           sampling_rate=self.sampling_rate,
                                           density_scale=self.density_scale),
                 transform=xf,
@@ -888,8 +889,14 @@ class VNRenderer:
         # FULL_SHADOW: the light flips against the view (renderer.cpp:98-100)
         # and the precomputed shadow volume must follow the flip
         if self.mode == RenderMode.FULL_SHADOW_DECODED:
-            self._impl.enable_shadows(self._flipped_light(),
-                                      sampling_rate=self.sampling_rate)
+            light = self._flipped_light()
+            # same light-change guard as the REFERENCE branch: most camera
+            # moves don't flip the light, and the sheared-cumprod sweep
+            # over the full decoded grid is per-interaction device work
+            if light != getattr(self, "_shadow_light_used", None):
+                self._shadow_light_used = light
+                self._impl.enable_shadows(light,
+                                          sampling_rate=self.sampling_rate)
         elif self.mode == RenderMode.FULL_SHADOW_REFERENCE:
             light = self._flipped_light()
             if light != getattr(self, "_shadow_light_used", None):

@@ -149,6 +149,10 @@ def _compact_prefix(m: int, rays, state, perm):
     comes from cumsum + one iota scatter instead of a sort. Measured
     ~70 → ~10 ms at m=262144 (scratch/superstep_phases.py round 3).
     Int leaves ride the f32 matrix exactly (values < 2^24)."""
+    # int leaves (incl. the slot→pixel perm) round-trip through f32: past
+    # 2^24 rays they'd silently corrupt — fail loudly instead (a 4096²
+    # frame is 2^24; tile larger frames)
+    assert m <= (1 << 24), m
     active = state.active[:m]
     # stable partition destinations: live rays keep order at the front,
     # dead rays keep order behind them

@@ -114,6 +114,13 @@ class PathTraceSettings:
     # the rare invalid replay.
     deferred_validation: bool = True
 
+    def __post_init__(self):
+        # the compacted driver advances whole events_per_dispatch chunks:
+        # a non-divisible budget would overshoot max_events on the last
+        # chunk and diverge from the in-jit tracker's exact stop
+        assert self.max_events % self.events_per_dispatch == 0, (
+            self.max_events, self.events_per_dispatch)
+
 
 class _PTState(NamedTuple):
     org: jnp.ndarray  # [R,3] current segment origin (voxel space)
