@@ -436,6 +436,11 @@ def main():
     p.add_argument("--refresh-bricks-per-frame", type=int, default=64,
                    help="streaming-cache bricks re-decoded per trained "
                         "frame (0 = full rebuild each refresh)")
+    p.add_argument("--streaming-cache", default="auto",
+                   choices=("auto", "brick", "lazy", "none"),
+                   help="sample-streaming cache policy for the "
+                        "NEURAL_WAVEFRONT* modes (lazy = decode bricks on "
+                        "first visibility; none = exact network sampling)")
     p.add_argument("--pause-training", action="store_true")
     p.add_argument("--view-only", action="store_true",
                    help="view the ground-truth volume without a network")
@@ -473,6 +478,8 @@ def main():
             else (RenderMode.DECODED_SLAB if nv is not None
                   else RenderMode.REFERENCE_RAYMARCH))
     renderer = VNRenderer(volume, args.size, args.size, mode=mode)
+    if args.streaming_cache != "auto":
+        renderer.set_streaming_cache(args.streaming_cache)
     app = ViewerApp(renderer, nv=nv,
                     train_steps=args.train_steps_per_frame,
                     refresh_bricks=args.refresh_bricks_per_frame,

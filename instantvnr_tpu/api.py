@@ -693,9 +693,12 @@ class VNRenderer:
         self.isovalue = 0.5  # for the ISOSURFACE_* modes
         # sample-streaming cache policy for the NEURAL_WAVEFRONT* modes:
         # "auto"/"brick" = macrocell-guided decoded-brick pool (fast,
-        # decoded-path quality); "none" = exact per-sample network
+        # decoded-path quality); "lazy" = same pool, bricks decoded on
+        # first visibility (render/brickcache.LazyBrickCache — faster
+        # first frame on big volumes); "none" = exact per-sample network
         # evaluation (reference mode-5 literal semantics)
         self.streaming_cache = "auto"
+        self._lazy = None  # LazyBrickCache when streaming_cache == "lazy"
         self._tf_override = None  # renderer-level TF (vnrRendererSetTransferFunction)
         if isinstance(volume, NeuralVolume):
             self.neural = volume
@@ -718,6 +721,7 @@ class VNRenderer:
         from instantvnr_tpu.render.pathtrace import PathTraceRenderer
 
         self.mode = mode
+        self._lazy = None  # re-established by _build_streaming_ctx("lazy")
         mc, tf, dims = self._scene_parts()
         xf = (self.neural or self.simple).transform
 
@@ -746,7 +750,8 @@ class VNRenderer:
                        RenderMode.NEURAL_WAVEFRONT_GRADIENT: "gradient",
                        RenderMode.NEURAL_WAVEFRONT_SSH: "ssh"}[mode]
             ctx = (self._build_streaming_ctx(mc)
-                   if self.streaming_cache in ("auto", "brick") else None)
+                   if self.streaming_cache in ("auto", "brick", "lazy")
+                   else None)
             if ctx is not None:
                 # macrocell-guided brick cache (render/brickcache.py): the
                 # sample-streaming default — ONE fused pool gather/sample
@@ -970,9 +975,10 @@ class VNRenderer:
 
     def set_streaming_cache(self, policy: str):
         """Sample-streaming cache policy for NEURAL_WAVEFRONT* modes:
-        "auto"/"brick" (macrocell-guided decoded-brick pool, fast) or
+        "auto"/"brick" (macrocell-guided decoded-brick pool, fast),
+        "lazy" (same pool, bricks decoded on first visibility) or
         "none" (exact per-sample network evaluation)."""
-        assert policy in ("auto", "brick", "none"), policy
+        assert policy in ("auto", "brick", "lazy", "none"), policy
         self.streaming_cache = policy
         if self.mode in (RenderMode.NEURAL_WAVEFRONT,
                          RenderMode.NEURAL_WAVEFRONT_GRADIENT,
@@ -1036,22 +1042,34 @@ class VNRenderer:
         (default 4096), f16 at double that (the TF classifies densities in
         [0,1]; f16's 11-bit mantissa is visually lossless there), and None
         past it (caller falls back to exact per-sample network
-        evaluation). streaming_cache="brick" forces the f32 build."""
+        evaluation). streaming_cache="brick" forces the f32 build.
+
+        "lazy" allocates the pool but defers each brick's decode to its
+        first visibility (render/brickcache.LazyBrickCache): render()
+        ensures the camera frustum's bricks per frame (ensure_all for SSH,
+        whose shadow rays leave the frustum). Same memory gates — lazy
+        saves decode TIME, not pool memory."""
         import os
 
         from instantvnr_tpu.render.brickcache import (brick_cache_bytes,
                                                       build_brick_cache)
 
+        self._lazy = None
         args = (self.neural.field, self.neural.state.params, mc)
         if self.streaming_cache == "brick":
             return build_brick_cache(*args)
         budget = float(os.environ.get("VNR_BRICK_MAX_MB", "4096")) * 2**20
         nbytes = brick_cache_bytes(mc)  # f32
-        if nbytes <= budget:
-            return build_brick_cache(*args)
-        if nbytes / 2 <= budget:
-            return build_brick_cache(*args, dtype=jnp.float16)
-        return None
+        dtype = (jnp.float32 if nbytes <= budget
+                 else jnp.float16 if nbytes / 2 <= budget else None)
+        if dtype is None:
+            return None
+        if self.streaming_cache == "lazy":
+            from instantvnr_tpu.render.brickcache import LazyBrickCache
+
+            self._lazy = LazyBrickCache(*args, dtype=dtype)
+            return self._lazy.ctx
+        return build_brick_cache(*args, dtype=dtype)
 
     def refresh_params(self, budget_bricks: int | None = None):
         """Rebind the render path to the neural volume's CURRENT parameters
@@ -1074,6 +1092,14 @@ class VNRenderer:
         if self.mode in (RenderMode.NEURAL_WAVEFRONT,
                          RenderMode.NEURAL_WAVEFRONT_GRADIENT,
                          RenderMode.NEURAL_WAVEFRONT_SSH):
+            if self._lazy is not None:
+                # lazy pool: mark every brick stale; the next render()'s
+                # ensure_* re-decodes what the frame can see against the
+                # NEW params (budget_bricks does not apply — visibility is
+                # the budget)
+                self._lazy.set_params(self.neural.state.params)
+                self._impl.set_sample_ctx(self._lazy.ctx)
+                return
             is_brick = (self.streaming_cache in ("auto", "brick")
                         and isinstance(self._impl.sample_ctx, dict)
                         and "packed" in self._impl.sample_ctx)
@@ -1142,6 +1168,22 @@ class VNRenderer:
         """vnrRender (api.cpp:522)."""
         if (self.mode == RenderMode.DECODED_SLAB and self.neural is not None):
             self._impl.set_params(self.neural.state.params)
+        if self._lazy is not None and self.mode in (
+                RenderMode.NEURAL_WAVEFRONT,
+                RenderMode.NEURAL_WAVEFRONT_GRADIENT,
+                RenderMode.NEURAL_WAVEFRONT_SSH):
+            # lazy streaming cache: decode what this frame can touch before
+            # dispatching it (SSH shadow rays leave the view frustum — they
+            # need the whole pool). No-op (0 bricks) in steady state.
+            if self.mode == RenderMode.NEURAL_WAVEFRONT_SSH:
+                n = self._lazy.ensure_all()
+            else:
+                xf = (self.neural or self.simple).transform
+                n = self._lazy.ensure_view(
+                    self.camera or self._impl.camera, self.width,
+                    self.height, scale=np.asarray(xf.scale))
+            if n:
+                self._impl.set_sample_ctx(self._lazy.ctx)
         return self._impl.render()
 
     def mapframe(self) -> np.ndarray:

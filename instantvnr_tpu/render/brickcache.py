@@ -289,6 +289,202 @@ def brick_cache_bytes(mc: MacroCell, dilate: int = 1,
     return n * _BRICK3 * 8 * jnp.dtype(dtype).itemsize
 
 
+# ---------------------------------------------------------------------------
+# Lazy (view-driven) brick decode
+
+
+def view_cells(mc: MacroCell, cam, width: int, height: int, scale=None,
+               margin: float = 4.0, cells: np.ndarray | None = None
+               ) -> np.ndarray:
+    """Flat ids of the macrocells whose (margin-inflated) AABB intersects
+    the camera's view frustum — host-side numpy, conservative.
+
+    Every sample a primary ray can produce lies inside the view pyramid
+    (camera.camera_rays spans sx, sy ∈ [0,1] including pixel jitter), so the
+    returned set is a superset of the cells any wavefront sample, emit
+    probe, or ±1-voxel gradient probe (< margin) can touch. The test is the
+    classic per-plane AABB rejection (a cell survives unless all 8 corners
+    fall outside one plane), i.e. false positives near frustum edges are
+    possible but misses are not. Frustum planes are built in VOXEL space
+    (world dirs through the anisotropic `scale`, transform.rays_to_voxel),
+    where cells are axis-aligned boxes.
+
+    `cells` restricts the test to the given flat ids (default: all cells).
+    """
+
+    def nrm(v):
+        return v / max(float(np.linalg.norm(v)), 1e-12)
+
+    dims = np.asarray([float(d) for d in mc.volume_dims], np.float64)
+    s = (np.ones(3, np.float64) if scale is None
+         else np.asarray(scale, np.float64))
+    eye = np.asarray(cam.eye, np.float64) / s + dims / 2.0
+    direction = nrm(np.asarray(cam.center, np.float64)
+                    - np.asarray(cam.eye, np.float64))
+    t = 2.0 * np.tan(np.deg2rad(float(cam.fovy)) / 2.0)
+    aspect = width / float(height)
+    horizontal = t * aspect * nrm(np.cross(direction,
+                                           np.asarray(cam.up, np.float64)))
+    vertical = np.cross(horizontal, direction) / aspect
+    # the 4 image-corner ray directions, in cyclic order, voxel space
+    cd = [(direction + (sx - 0.5) * horizontal + (sy - 0.5) * vertical) / s
+          for sx, sy in ((0, 0), (1, 0), (1, 1), (0, 1))]
+    dc = direction / s
+    planes = [dc]  # behind-the-eye cull
+    for i in range(4):
+        n = np.cross(cd[i], cd[(i + 1) % 4])
+        if float(np.dot(n, dc)) < 0:
+            n = -n
+        planes.append(n)
+    planes = np.stack(planes)  # [5, 3], inward normals through the eye
+
+    mx, my, mz = (int(d) for d in mc.dims)
+    if cells is None:
+        cells = np.arange(mx * my * mz, dtype=np.int32)
+    cells = np.asarray(cells, np.int32)
+    if cells.size == 0:
+        return cells
+    cx = cells % mx
+    cy = (cells // mx) % my
+    cz = cells // (mx * my)
+    lo = (np.stack([cx, cy, cz], -1).astype(np.float64) * MACROCELL_SIZE
+          - margin)
+    hi = lo + MACROCELL_SIZE + 2.0 * margin
+    rel = np.empty((cells.size, 8, 3), np.float64)
+    for c in range(8):
+        sel = np.array([(c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1], bool)
+        rel[:, c, :] = np.where(sel, hi, lo) - eye
+    d = rel @ planes.T  # [n, 8, 5]
+    inside = (d.max(axis=1) >= 0.0).all(axis=1)
+    return cells[inside]
+
+
+@jax.jit
+def _pool_scatter_bricks(packed, rows, starts):
+    """Write per-brick corner-packed row blocks at arbitrary slot offsets
+    in ONE program (lax.fori of dynamic_update_slice — XLA copies the pool
+    once, then updates in place). rows [c, BRICK³, 8], starts [c] row
+    offsets. NOT donated, same reason as _pool_update."""
+    def body(i, pk):
+        return jax.lax.dynamic_update_slice(
+            pk, rows[i], (starts[i], jnp.int32(0)))
+
+    return jax.lax.fori_loop(0, rows.shape[0], body, packed)
+
+
+class LazyBrickCache:
+    """View-driven lazy brick decode — `build_brick_cache` semantics with
+    the per-brick decode deferred until a view can touch the brick.
+
+    `build_brick_cache` decodes EVERY occupied brick up front — right at
+    bench scale (~0.7 s at 128³) but it delays the first frame after a
+    params/TF edit on big volumes (decode time scales with occupied cells).
+    This manager allocates the full-capacity pool (zeros) + LUT immediately
+    and decodes on demand:
+
+      - `ensure_view(cam, w, h, scale)` decodes the not-yet-decoded
+        occupied bricks intersecting the camera frustum (`view_cells`) —
+        a superset of everything the frame's rays can sample.
+      - `ensure_all()` completes the pool; REQUIRED before SSH shading,
+        whose deferred shadow rays march far outside the view frustum.
+      - `set_params(params)` marks every brick stale (online training);
+        the next ensure re-decodes against the new params.
+
+    Memory is NOT reduced — capacity covers all occupied bricks because
+    slot assignments are the LUT's layout contract (refresh_brick_pool
+    docstring); the win is time-to-first-frame. `self.ctx` is a plain
+    brick ctx: the samplers, the fused emit path, and the wavefront
+    programs consume it unchanged (only the "packed" binding moves between
+    ensures, so nothing retraces). Undecoded occupied cells sample as 0.0,
+    so callers MUST ensure_* for the rays they are about to dispatch
+    (api.VNRenderer does this on every render()).
+    """
+
+    def __init__(self, field, params, mc: MacroCell, dilate: int = 1,
+                 dtype=jnp.float32, chunk_bricks: int = 32):
+        cells = occupied_cells(mc, dilate=dilate)
+        self._mc_dims = tuple(int(d) for d in mc.dims)
+        self._vol_dims = tuple(int(d) for d in mc.volume_dims)
+        lut = np.full(int(np.prod(self._mc_dims)), -1, np.int32)
+        lut[cells] = np.arange(cells.size, dtype=np.int32)
+        n = max(int(cells.size), 1)
+        if cells.size == 0:
+            cells = np.zeros((1,), np.int32)  # dummy brick, never addressed
+        self._cells = cells  # slot i ↔ cells[i] (the LUT's inverse)
+        self._lut_np = lut
+        self._decoded = np.zeros(n, bool)
+        self.field = field
+        self.params = params
+        self.mc = mc
+        self.chunk = int(chunk_bricks)
+        self.ctx = _brick_ctx(lut, jnp.zeros((n * _BRICK3, 8), dtype),
+                              self._vol_dims, self._mc_dims, mc)
+
+    @property
+    def n_bricks(self) -> int:
+        return int(self._cells.size)
+
+    @property
+    def n_decoded(self) -> int:
+        return int(self._decoded.sum())
+
+    def set_params(self, params):
+        """New network params: every brick is stale until re-ensured."""
+        self.params = params
+        self._decoded[:] = False
+
+    def ensure_cells(self, cell_ids: np.ndarray) -> int:
+        """Decode the not-yet-decoded occupied bricks among `cell_ids`
+        (flat macrocell ids; non-occupied ids are ignored). Returns the
+        number of bricks decoded."""
+        if np.asarray(cell_ids).size == 0:
+            return 0
+        slots = self._lut_np[np.asarray(cell_ids, np.int64)]
+        slots = np.unique(slots[slots >= 0])
+        need = slots[~self._decoded[slots]]
+        if need.size == 0:
+            return 0
+        packed = self.ctx["packed"]
+        ids = self._cells[need]
+        for i in range(0, need.size, self.chunk):
+            sl = need[i:i + self.chunk].astype(np.int32)
+            ch = ids[i:i + self.chunk]
+            if ch.size < self.chunk:
+                # pad to the static chunk shape; duplicates rewrite the
+                # same rows (harmless)
+                pad = self.chunk - ch.size
+                ch = np.concatenate([ch, np.full(pad, ch[-1], np.int32)])
+                sl = np.concatenate([sl, np.full(pad, sl[-1], np.int32)])
+            vals = _decode_brick_chunk(self.field, self.params,
+                                       jnp.asarray(ch), self._mc_dims,
+                                       self._vol_dims)
+            # per-chunk packing is valid in isolation (cross-chunk shift
+            # spill lands only in dead rows — refresh_brick_pool docstring)
+            rows = _pack_corners(vals.reshape(-1).astype(packed.dtype))
+            packed = _pool_scatter_bricks(
+                packed, rows.reshape(self.chunk, _BRICK3, 8),
+                jnp.asarray(sl * _BRICK3))
+        self._decoded[need] = True
+        self.ctx = dict(self.ctx)
+        self.ctx["packed"] = packed
+        return int(need.size)
+
+    def ensure_view(self, cam, width: int, height: int, scale=None,
+                    margin: float = 4.0) -> int:
+        """Decode every undecoded brick the (cam, width, height, scale)
+        frustum can touch. Returns the number decoded (0 in steady state)."""
+        pending = self._cells[~self._decoded]
+        if pending.size == 0:
+            return 0
+        return self.ensure_cells(view_cells(
+            self.mc, cam, width, height, scale=scale, margin=margin,
+            cells=pending))
+
+    def ensure_all(self) -> int:
+        """Complete the pool (e.g. before SSH shadow rays)."""
+        return self.ensure_cells(self._cells[~self._decoded])
+
+
 def _pool_lookup(ctx: dict, p: jnp.ndarray, cell: jnp.ndarray,
                  slot: jnp.ndarray) -> jnp.ndarray:
     """Shared tail of both samplers: one packed-pool row gather + the

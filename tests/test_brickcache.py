@@ -389,6 +389,140 @@ class TestBrickCache:
         assert frames["fused"][:, 3].max() > 0.1
         np.testing.assert_array_equal(frames["fused"], frames["plain"])
 
+    def test_view_cells_covers_marched_cells(self):
+        """`view_cells` must be a SUPERSET of every macrocell a frame's
+        rays pass through (laziness may never drop a sampled brick): brute
+        numpy march of the frame's rays vs the frustum test."""
+        from instantvnr_tpu.render.brickcache import view_cells
+        from instantvnr_tpu.render.camera import Camera, camera_rays
+
+        vol, tf, mc, _, _ = _scene(train=0)
+        dims = np.asarray([float(d) for d in mc.volume_dims])
+        mx, my, mz = (int(d) for d in mc.dims)
+        for eye in ((0.2 * 32, 3, -60), (10, 8, -20), (40, 35, 30)):
+            cam = Camera(eye=eye, center=(0, 0, 0), up=(0, 1, 0), fovy=45)
+            org, dirn = (np.asarray(a) for a in camera_rays(cam, 24, 24))
+            org = org + dims / 2.0  # world → voxel (scale = 1)
+            # slab-method ray-box intersection against [0, dims]
+            inv = 1.0 / np.where(np.abs(dirn) < 1e-12, 1e-12, dirn)
+            t_lo = (0.0 - org) * inv
+            t_hi = (dims - org) * inv
+            t0 = np.minimum(t_lo, t_hi).max(-1).clip(min=0.0)
+            t1 = np.maximum(t_lo, t_hi).min(-1)
+            touched = set()
+            for t in np.arange(0.0, float(dims.max()) * 2.0, 0.25):
+                m = (t >= t0) & (t <= t1)
+                if not m.any():
+                    continue
+                p = org[m] + t * dirn[m]
+                c = np.clip((p // 16.0).astype(np.int64), 0,
+                            [mx - 1, my - 1, mz - 1])
+                touched.update(((cz * my + cy) * mx + cx)
+                               for cx, cy, cz in c)
+            vis = set(int(i) for i in view_cells(mc, cam, 24, 24))
+            assert touched <= vis, (eye, sorted(touched - vis)[:8])
+
+    def test_lazy_matches_full_build(self):
+        """LazyBrickCache.ensure_view must make the in-frustum pool content
+        identical to the eager build's, and ensure_all must complete it."""
+        from instantvnr_tpu.render.brickcache import LazyBrickCache
+        from instantvnr_tpu.render.camera import Camera
+
+        vol, tf, mc, field, state = _scene()
+        want = build_brick_cache(field, state.params, mc, dilate=1)
+        lazy = LazyBrickCache(field, state.params, mc, dilate=1)
+        assert lazy.n_decoded == 0
+        cam = Camera(eye=(4.8, 3.2, -64), center=(0, 0, 0), up=(0, 1, 0),
+                     fovy=45)
+        n1 = lazy.ensure_view(cam, 24, 24)
+        assert n1 > 0 and lazy.n_decoded == n1
+        assert lazy.ensure_view(cam, 24, 24) == 0  # steady state: no-op
+
+        # sampling inside the frustum equals the eager pool exactly
+        occ = occupied_cells(mc, dilate=0)
+        from instantvnr_tpu.render.brickcache import view_cells
+
+        vis = np.intersect1d(occ, view_cells(mc, cam, 24, 24))
+        rng = np.random.default_rng(5)
+        mx, my, _ = (int(d) for d in mc.dims)
+        pick = vis[rng.integers(0, vis.size, 256)]
+        base = np.stack([pick % mx, (pick // mx) % my, pick // (mx * my)],
+                        -1).astype(np.float32) * 16.0
+        p = jnp.asarray(base + rng.random((256, 3), np.float32) * 16.0) \
+            / jnp.asarray([float(d) for d in mc.volume_dims])
+        np.testing.assert_array_equal(
+            np.asarray(brick_sample_fn(lazy.ctx, p)),
+            np.asarray(brick_sample_fn(want, p)))
+
+        # complete the pool: every brick present, whole domain matches
+        lazy.ensure_all()
+        assert lazy.n_decoded == lazy.n_bricks
+        q = jnp.asarray(rng.random((512, 3), np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(brick_sample_fn(lazy.ctx, q)),
+            np.asarray(brick_sample_fn(want, q)))
+
+    def test_facade_lazy_policy(self):
+        """streaming_cache='lazy' renders the same frame as 'brick' while
+        decoding only the view's bricks; refresh_params restales the pool;
+        SSH completes it (shadow rays leave the frustum)."""
+        from instantvnr_tpu.api import (NeuralVolume, RenderMode,
+                                        SimpleVolume, VNRenderer)
+        from instantvnr_tpu.config import (EncodingConfig, ModelConfig,
+                                           NetworkConfig)
+        from instantvnr_tpu.data import synthetic_volume as _sv
+        from instantvnr_tpu.render.camera import Camera
+
+        vol = _sv((32, 32, 32), kind="vorts")
+        cfg = ModelConfig(
+            encoding=EncodingConfig(n_levels=4, n_features_per_level=4,
+                                    log2_hashmap_size=12, base_resolution=4),
+            network=NetworkConfig(n_neurons=32, n_hidden_layers=2))
+        nv = NeuralVolume(cfg, simple=SimpleVolume(vol), train_batch=4096)
+        nv.train(30)
+        # a close-up camera that sees only part of the volume, so laziness
+        # is observable (not all bricks decoded)
+        cam = Camera(eye=(22, 18, -26), center=(8, 8, 8), up=(0, 1, 0),
+                     fovy=35)
+        frames = {}
+        for policy in ("brick", "lazy"):
+            r = VNRenderer(nv, 24, 24, mode=RenderMode.NEURAL_WAVEFRONT)
+            r.set_streaming_cache(policy)
+            r.set_camera(cam)
+            r.render()
+            frames[policy] = r.mapframe()
+            if policy == "lazy":
+                assert r._lazy is not None
+                assert 0 < r._lazy.n_decoded <= r._lazy.n_bricks
+                lazy_renderer = r
+        assert frames["lazy"][..., 3].max() > 0.05
+        np.testing.assert_array_equal(frames["lazy"], frames["brick"])
+
+        # params move → refresh restales; the next render re-decodes the
+        # visible set and matches a fresh brick build of the new params
+        nv.train(15)
+        lazy_renderer.refresh_params()
+        assert lazy_renderer._lazy.n_decoded == 0
+        lazy_renderer.render()
+        got = lazy_renderer.mapframe()
+        # mirror the lazy renderer's history (render → refresh → render) so
+        # the per-frame jitter key sequence is identical
+        rb = VNRenderer(nv, 24, 24, mode=RenderMode.NEURAL_WAVEFRONT)
+        rb.set_streaming_cache("brick")
+        rb.set_camera(cam)
+        rb.render()
+        rb.refresh_params()
+        rb.render()
+        np.testing.assert_array_equal(got, rb.mapframe())
+
+        # SSH shading needs the whole pool (shadow rays leave the frustum)
+        rs = VNRenderer(nv, 16, 16, mode=RenderMode.NEURAL_WAVEFRONT_SSH)
+        rs.set_streaming_cache("lazy")
+        rs.set_camera(cam)
+        rs.render()
+        assert rs._lazy.n_decoded == rs._lazy.n_bricks
+        assert np.isfinite(rs.mapframe()).all()
+
     def test_gradient_shading_frame_matches(self):
         """Gradient probes cross cell walls — dilate=1 must keep the shaded
         brick frame equal to the decoded-grid shaded frame."""
