@@ -16,6 +16,16 @@ if os.environ.get("INSTANTVNR_CPU"):
 
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache for ALL apps, so a vnr_precompile run (or any
+# earlier app process) warms the next one's first frame. Same default dir
+# as vnr_precompile --cache-dir; VNR_CACHE_DIR= (empty) disables.
+_cache_dir = os.environ.get("VNR_CACHE_DIR", "/tmp/jax_cache")
+if _cache_dir:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def add_volume_args(p: argparse.ArgumentParser):
     g = p.add_argument_group("volume")
