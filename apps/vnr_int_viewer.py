@@ -477,9 +477,8 @@ def main():
     mode = (RenderMode[args.mode] if args.mode
             else (RenderMode.DECODED_SLAB if nv is not None
                   else RenderMode.REFERENCE_RAYMARCH))
-    renderer = VNRenderer(volume, args.size, args.size, mode=mode)
-    if args.streaming_cache != "auto":
-        renderer.set_streaming_cache(args.streaming_cache)
+    renderer = VNRenderer(volume, args.size, args.size, mode=mode,
+                          streaming_cache=args.streaming_cache)
     app = ViewerApp(renderer, nv=nv,
                     train_steps=args.train_steps_per_frame,
                     refresh_bricks=args.refresh_bricks_per_frame,

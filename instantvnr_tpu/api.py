@@ -680,7 +680,8 @@ class VNRenderer:
     by RenderMode; owns camera + frame size like MainRenderer."""
 
     def __init__(self, volume, width=512, height=512,
-                 mode: RenderMode = RenderMode.DECODED_SLAB):
+                 mode: RenderMode = RenderMode.DECODED_SLAB,
+                 streaming_cache: str = "auto"):
         self.width, self.height = width, height
         self.mode = mode
         self._impl = None
@@ -696,8 +697,13 @@ class VNRenderer:
         # decoded-path quality); "lazy" = same pool, bricks decoded on
         # first visibility (render/brickcache.LazyBrickCache — faster
         # first frame on big volumes); "none" = exact per-sample network
-        # evaluation (reference mode-5 literal semantics)
-        self.streaming_cache = "auto"
+        # evaluation (reference mode-5 literal semantics). A constructor
+        # argument (not only set_streaming_cache) so "lazy" skips the
+        # eager build entirely — setting it after __init__ would pay the
+        # full decode first, defeating the policy's point.
+        assert streaming_cache in ("auto", "brick", "lazy", "none"), \
+            streaming_cache
+        self.streaming_cache = streaming_cache
         self._lazy = None  # LazyBrickCache when streaming_cache == "lazy"
         self._tf_override = None  # renderer-level TF (vnrRendererSetTransferFunction)
         if isinstance(volume, NeuralVolume):
@@ -1093,11 +1099,13 @@ class VNRenderer:
                          RenderMode.NEURAL_WAVEFRONT_GRADIENT,
                          RenderMode.NEURAL_WAVEFRONT_SSH):
             if self._lazy is not None:
-                # lazy pool: mark every brick stale; the next render()'s
-                # ensure_* re-decodes what the frame can see against the
-                # NEW params (budget_bricks does not apply — visibility is
-                # the budget)
-                self._lazy.set_params(self.neural.state.params)
+                # lazy pool: bounded round-robin re-decode when a budget is
+                # given (same hitch contract as the eager pool's
+                # refresh_brick_pool); full restale otherwise — the next
+                # render()'s ensure_* re-decodes what the frame can see
+                # against the NEW params
+                self._lazy.refresh(self.neural.state.params,
+                                   budget_bricks=budget_bricks)
                 self._impl.set_sample_ctx(self._lazy.ctx)
                 return
             is_brick = (self.streaming_cache in ("auto", "brick")
@@ -1168,20 +1176,27 @@ class VNRenderer:
         """vnrRender (api.cpp:522)."""
         if (self.mode == RenderMode.DECODED_SLAB and self.neural is not None):
             self._impl.set_params(self.neural.state.params)
-        if self._lazy is not None and self.mode in (
-                RenderMode.NEURAL_WAVEFRONT,
-                RenderMode.NEURAL_WAVEFRONT_GRADIENT,
-                RenderMode.NEURAL_WAVEFRONT_SSH):
+        if (self._lazy is not None
+                and self._lazy.n_decoded < self._lazy.n_bricks
+                and self.mode in (RenderMode.NEURAL_WAVEFRONT,
+                                  RenderMode.NEURAL_WAVEFRONT_GRADIENT,
+                                  RenderMode.NEURAL_WAVEFRONT_SSH)):
             # lazy streaming cache: decode what this frame can touch before
             # dispatching it (SSH shadow rays leave the view frustum — they
-            # need the whole pool). No-op (0 bricks) in steady state.
+            # need the whole pool). The n_decoded guard keeps the steady
+            # state fully host-side (no per-frame device readback — the
+            # scale fetch below ships an array over the device link).
             if self.mode == RenderMode.NEURAL_WAVEFRONT_SSH:
                 n = self._lazy.ensure_all()
             else:
                 xf = (self.neural or self.simple).transform
+                cache = getattr(self, "_scale_host", None)
+                if cache is None or cache[0] is not xf:
+                    cache = (xf, np.asarray(xf.scale))
+                    self._scale_host = cache
                 n = self._lazy.ensure_view(
                     self.camera or self._impl.camera, self.width,
-                    self.height, scale=np.asarray(xf.scale))
+                    self.height, scale=cache[1])
             if n:
                 self._impl.set_sample_ctx(self._lazy.ctx)
         return self._impl.render()

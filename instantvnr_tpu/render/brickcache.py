@@ -118,6 +118,21 @@ def occupied_cells(mc: MacroCell, dilate: int = 1,
     return np.flatnonzero(occ.reshape(-1)).astype(np.int32)
 
 
+def _lut_and_cells(mc: MacroCell, dilate: int):
+    """Shared slot-layout setup (the LUT is the pool's layout contract —
+    see refresh_brick_pool): returns (cells [n] flat ids slot-ordered,
+    lut [n_cells] slot-or−1, mc_dims, vol_dims). For a fully TF-empty
+    scene, cells is one dummy brick no LUT entry points at."""
+    cells = occupied_cells(mc, dilate=dilate)
+    mc_dims = tuple(int(d) for d in mc.dims)
+    vol_dims = tuple(int(d) for d in mc.volume_dims)
+    lut = np.full(mc_dims[0] * mc_dims[1] * mc_dims[2], -1, np.int32)
+    lut[cells] = np.arange(cells.size, dtype=np.int32)
+    if cells.size == 0:
+        cells = np.zeros((1,), np.int32)
+    return cells, lut, mc_dims, vol_dims
+
+
 def build_brick_cache(field, params, mc: MacroCell, dilate: int = 1,
                       dtype=jnp.float32, chunk_bricks: int = 32) -> dict:
     """Decode the occupied bricks and return the sample ctx for
@@ -128,17 +143,8 @@ def build_brick_cache(field, params, mc: MacroCell, dilate: int = 1,
     ctx = {"lut" [n_cells] int32 (slot or −1), "packed" [n·BRICK³, 8],
            "dims" [3] f32, "mcdims" [3] i32, "_render" ()}
     """
-    cells = occupied_cells(mc, dilate=dilate)
-    mc_dims = tuple(int(d) for d in mc.dims)
-    vol_dims = tuple(int(d) for d in mc.volume_dims)
-    lut = np.full(mc_dims[0] * mc_dims[1] * mc_dims[2], -1, np.int32)
-    lut[cells] = np.arange(cells.size, dtype=np.int32)
-    n = max(int(cells.size), 1)
-    if cells.size == 0:
-        # degenerate pool (fully TF-empty scene): one dummy brick that no
-        # LUT entry points at — every query stays a miss
-        cells = np.zeros((1,), np.int32)
-
+    cells, lut, mc_dims, vol_dims = _lut_and_cells(mc, dilate)
+    n = int(cells.size)
     parts = []
     for i in range(0, n, chunk_bricks):
         ids = cells[i:i + chunk_bricks]
@@ -171,14 +177,9 @@ def build_brick_cache_from_grid(vol, mc: MacroCell, dilate: int = 1,
     samples only ever land in occupied cells, so the pool is exhaustive).
     vol: [dz, dy, dx]; memory = occupied_cells · 20³ · 8 · itemsize.
     """
-    cells = occupied_cells(mc, dilate=dilate)
-    mc_dims = tuple(int(d) for d in mc.dims)
+    cells, lut, mc_dims, _ = _lut_and_cells(mc, dilate)
     vol_np = np.asarray(vol)
     dz, dy, dx = vol_np.shape
-    lut = np.full(mc_dims[0] * mc_dims[1] * mc_dims[2], -1, np.int32)
-    lut[cells] = np.arange(cells.size, dtype=np.int32)
-    if cells.size == 0:
-        cells = np.zeros((1,), np.int32)
 
     cx = cells % mc_dims[0]
     cy = (cells // mc_dims[0]) % mc_dims[1]
@@ -330,8 +331,15 @@ def view_cells(mc: MacroCell, cam, width: int, height: int, scale=None,
     cd = [(direction + (sx - 0.5) * horizontal + (sy - 0.5) * vertical) / s
           for sx, sy in ((0, 0), (1, 0), (1, 1), (0, 1))]
     dc = direction / s
-    planes = [dc]  # behind-the-eye cull
+    # behind-the-eye cull plane: half-space normals map world→voxel by the
+    # INVERSE-TRANSPOSE (dot(p_w−eye_w, d) = dot(p_v−eye_v, s·d)), unlike
+    # the ray directions above which map by 1/s — using direction/s here
+    # would wrongly cull in-frustum cells under anisotropic scaling
+    planes = [s * direction]
     for i in range(4):
+        # a plane spanned by two rays through the eye maps to the plane
+        # spanned by the mapped rays, so side normals come straight from
+        # the voxel-space corner dirs; orient inward (dc is interior)
         n = np.cross(cd[i], cd[(i + 1) % 4])
         if float(np.dot(n, dc)) < 0:
             n = -n
@@ -359,17 +367,25 @@ def view_cells(mc: MacroCell, cam, width: int, height: int, scale=None,
     return cells[inside]
 
 
-@jax.jit
-def _pool_scatter_bricks(packed, rows, starts):
+def _pool_scatter_body(packed, rows, starts):
     """Write per-brick corner-packed row blocks at arbitrary slot offsets
-    in ONE program (lax.fori of dynamic_update_slice — XLA copies the pool
-    once, then updates in place). rows [c, BRICK³, 8], starts [c] row
-    offsets. NOT donated, same reason as _pool_update."""
+    in ONE program (lax.fori of dynamic_update_slice). rows [c, BRICK³, 8],
+    starts [c] row offsets."""
     def body(i, pk):
         return jax.lax.dynamic_update_slice(
             pk, rows[i], (starts[i], jnp.int32(0)))
 
     return jax.lax.fori_loop(0, rows.shape[0], body, packed)
+
+
+# first chunk of an ensure: the caller's ctx still references the pool —
+# NOT donated (one full-pool copy, same reason as _pool_update); every
+# following chunk's input is an exclusively-owned intermediate, so donation
+# keeps the update in place (no O(chunks) full-pool HBM passes on a
+# big-volume first frame)
+_pool_scatter_bricks = jax.jit(_pool_scatter_body)
+_pool_scatter_bricks_donated = jax.jit(_pool_scatter_body,
+                                       donate_argnums=(0,))
 
 
 class LazyBrickCache:
@@ -388,31 +404,33 @@ class LazyBrickCache:
       - `ensure_all()` completes the pool; REQUIRED before SSH shading,
         whose deferred shadow rays march far outside the view frustum.
       - `set_params(params)` marks every brick stale (online training);
-        the next ensure re-decodes against the new params.
+        the next ensure re-decodes against the new params. `refresh(params,
+        budget_bricks)` bounds that hitch: it re-decodes at most N of the
+        currently decoded bricks per call (round-robin, like
+        refresh_brick_pool) and leaves undecoded bricks to their
+        first-visibility decode under the new params.
 
     Memory is NOT reduced — capacity covers all occupied bricks because
     slot assignments are the LUT's layout contract (refresh_brick_pool
     docstring); the win is time-to-first-frame. `self.ctx` is a plain
     brick ctx: the samplers, the fused emit path, and the wavefront
     programs consume it unchanged (only the "packed" binding moves between
-    ensures, so nothing retraces). Undecoded occupied cells sample as 0.0,
-    so callers MUST ensure_* for the rays they are about to dispatch
-    (api.VNRenderer does this on every render()).
+    ensures, so nothing retraces). Never-decoded occupied cells sample as
+    0.0; after set_params, not-yet-re-ensured bricks sample the PREVIOUS
+    params' field until their next ensure — so callers MUST ensure_* for
+    the rays they are about to dispatch (api.VNRenderer does this on every
+    render()).
     """
 
     def __init__(self, field, params, mc: MacroCell, dilate: int = 1,
                  dtype=jnp.float32, chunk_bricks: int = 32):
-        cells = occupied_cells(mc, dilate=dilate)
-        self._mc_dims = tuple(int(d) for d in mc.dims)
-        self._vol_dims = tuple(int(d) for d in mc.volume_dims)
-        lut = np.full(int(np.prod(self._mc_dims)), -1, np.int32)
-        lut[cells] = np.arange(cells.size, dtype=np.int32)
-        n = max(int(cells.size), 1)
-        if cells.size == 0:
-            cells = np.zeros((1,), np.int32)  # dummy brick, never addressed
+        cells, lut, self._mc_dims, self._vol_dims = _lut_and_cells(
+            mc, dilate)
+        n = int(cells.size)
         self._cells = cells  # slot i ↔ cells[i] (the LUT's inverse)
         self._lut_np = lut
         self._decoded = np.zeros(n, bool)
+        self._cursor = 0  # round-robin refresh() position (slot index)
         self.field = field
         self.params = params
         self.mc = mc
@@ -461,9 +479,10 @@ class LazyBrickCache:
             # per-chunk packing is valid in isolation (cross-chunk shift
             # spill lands only in dead rows — refresh_brick_pool docstring)
             rows = _pack_corners(vals.reshape(-1).astype(packed.dtype))
-            packed = _pool_scatter_bricks(
-                packed, rows.reshape(self.chunk, _BRICK3, 8),
-                jnp.asarray(sl * _BRICK3))
+            scatter = (_pool_scatter_bricks if i == 0
+                       else _pool_scatter_bricks_donated)
+            packed = scatter(packed, rows.reshape(self.chunk, _BRICK3, 8),
+                             jnp.asarray(sl * _BRICK3))
         self._decoded[need] = True
         self.ctx = dict(self.ctx)
         self.ctx["packed"] = packed
@@ -483,6 +502,29 @@ class LazyBrickCache:
     def ensure_all(self) -> int:
         """Complete the pool (e.g. before SSH shadow rays)."""
         return self.ensure_cells(self._cells[~self._decoded])
+
+    def refresh(self, params, budget_bricks: int | None = None) -> int:
+        """Online-training refresh against fresh `params`, bounded like
+        refresh_brick_pool: re-decode at most `budget_bricks` of the
+        currently DECODED bricks per call (round-robin over slots);
+        un-refreshed decoded bricks keep showing the previous epoch until
+        the cursor reaches them, never-decoded bricks wait for their
+        first-visibility decode under the new params. budget_bricks=None
+        restales everything instead (full visible re-decode at the next
+        ensure). Returns the number of bricks re-decoded now."""
+        if budget_bricks is None:
+            self.set_params(params)
+            return 0
+        self.params = params
+        n = self.n_bricks
+        order = (np.arange(n) + self._cursor) % n
+        dec = order[self._decoded[order]]
+        sel = dec[:budget_bricks]
+        if sel.size == 0:
+            return 0
+        self._cursor = (int(sel[-1]) + 1) % n
+        self._decoded[sel] = False
+        return self.ensure_cells(self._cells[sel])
 
 
 def _pool_lookup(ctx: dict, p: jnp.ndarray, cell: jnp.ndarray,

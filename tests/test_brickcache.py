@@ -399,10 +399,19 @@ class TestBrickCache:
         vol, tf, mc, _, _ = _scene(train=0)
         dims = np.asarray([float(d) for d in mc.volume_dims])
         mx, my, mz = (int(d) for d in mc.dims)
-        for eye in ((0.2 * 32, 3, -60), (10, 8, -20), (40, 35, 30)):
+        cases = [((0.2 * 32, 3, -60), None), ((10, 8, -20), None),
+                 ((40, 35, 30), None),
+                 # anisotropic scaling: rays map world→voxel by 1/s but
+                 # HALF-SPACE normals by s (inverse-transpose) — regression
+                 # for the behind-eye plane using the wrong map
+                 ((5, 4, -90), (1.0, 1.0, 4.0)),
+                 ((30, -20, 25), (2.0, 1.0, 0.5))]
+        for eye, scale in cases:
             cam = Camera(eye=eye, center=(0, 0, 0), up=(0, 1, 0), fovy=45)
+            s = np.ones(3) if scale is None else np.asarray(scale, float)
             org, dirn = (np.asarray(a) for a in camera_rays(cam, 24, 24))
-            org = org + dims / 2.0  # world → voxel (scale = 1)
+            org = org / s + dims / 2.0  # world → voxel
+            dirn = dirn / s  # transform.rays_to_voxel (unnormalized)
             # slab-method ray-box intersection against [0, dims]
             inv = 1.0 / np.where(np.abs(dirn) < 1e-12, 1e-12, dirn)
             t_lo = (0.0 - org) * inv
@@ -410,7 +419,8 @@ class TestBrickCache:
             t0 = np.minimum(t_lo, t_hi).max(-1).clip(min=0.0)
             t1 = np.maximum(t_lo, t_hi).min(-1)
             touched = set()
-            for t in np.arange(0.0, float(dims.max()) * 2.0, 0.25):
+            tmax = float((dims * np.abs(s)).max()) * 2.0
+            for t in np.arange(0.0, tmax, 0.25):
                 m = (t >= t0) & (t <= t1)
                 if not m.any():
                     continue
@@ -419,8 +429,9 @@ class TestBrickCache:
                             [mx - 1, my - 1, mz - 1])
                 touched.update(((cz * my + cy) * mx + cx)
                                for cx, cy, cz in c)
-            vis = set(int(i) for i in view_cells(mc, cam, 24, 24))
-            assert touched <= vis, (eye, sorted(touched - vis)[:8])
+            vis = set(int(i) for i in view_cells(mc, cam, 24, 24,
+                                                 scale=scale))
+            assert touched <= vis, (eye, scale, sorted(touched - vis)[:8])
 
     def test_lazy_matches_full_build(self):
         """LazyBrickCache.ensure_view must make the in-frustum pool content
@@ -514,6 +525,28 @@ class TestBrickCache:
         rb.refresh_params()
         rb.render()
         np.testing.assert_array_equal(got, rb.mapframe())
+
+        # budgeted lazy refresh: bounded per-call hitch, converges to the
+        # full restale result once the cursor has covered the decoded set
+        nv.train(10)
+        lz = lazy_renderer._lazy
+        before = lz.n_decoded
+        lazy_renderer.refresh_params(budget_bricks=2)
+        assert lz.n_decoded == before  # 2 restaled AND re-decoded in place
+        for _ in range(lz.n_bricks):  # drive the cursor over everything
+            lazy_renderer.refresh_params(budget_bricks=2)
+        lazy_renderer.render()
+        got2 = lazy_renderer.mapframe()
+        rb2 = VNRenderer(nv, 24, 24, mode=RenderMode.NEURAL_WAVEFRONT,
+                         streaming_cache="brick")
+        rb2.set_camera(cam)
+        # mirror the jitter key history: lazy_renderer has rendered twice
+        # before this comparison frame, with an accumulation reset between
+        for _ in range(2):
+            rb2.render()
+            rb2.refresh_params()
+        rb2.render()
+        np.testing.assert_array_equal(got2, rb2.mapframe())
 
         # SSH shading needs the whole pool (shadow rays leave the frustum)
         rs = VNRenderer(nv, 16, 16, mode=RenderMode.NEURAL_WAVEFRONT_SSH)
