@@ -1195,8 +1195,7 @@ class VNRenderer:
                     cache = (xf, np.asarray(xf.scale))
                     self._scale_host = cache
                 n = self._lazy.ensure_view(
-                    self.camera or self._impl.camera, self.width,
-                    self.height, scale=cache[1])
+                    self.camera, self.width, self.height, scale=cache[1])
             if n:
                 self._impl.set_sample_ctx(self._lazy.ctx)
         return self._impl.render()

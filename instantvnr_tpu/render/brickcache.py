@@ -427,9 +427,19 @@ class LazyBrickCache:
         cells, lut, self._mc_dims, self._vol_dims = _lut_and_cells(
             mc, dilate)
         n = int(cells.size)
+        # pool row offsets (slot · BRICK³) are computed in int32 throughout
+        # (they also ride f32 lanes in the fused occ_slot path)
+        assert n * _BRICK3 < (1 << 31), (
+            f"brick pool too large for int32 row offsets ({n} bricks)")
         self._cells = cells  # slot i ↔ cells[i] (the LUT's inverse)
         self._lut_np = lut
+        # slots no LUT entry points at (the TF-empty dummy brick) can never
+        # be marked decoded by ensure_cells — keep them always-"decoded" so
+        # a degenerate pool still reaches the host-free steady state
+        # (n_decoded == n); re-applied on every restale (set_params)
+        self._orphan = np.setdiff1d(np.arange(n), lut[lut >= 0])
         self._decoded = np.zeros(n, bool)
+        self._decoded[self._orphan] = True
         self._cursor = 0  # round-robin refresh() position (slot index)
         self.field = field
         self.params = params
@@ -450,6 +460,7 @@ class LazyBrickCache:
         """New network params: every brick is stale until re-ensured."""
         self.params = params
         self._decoded[:] = False
+        self._decoded[self._orphan] = True
 
     def ensure_cells(self, cell_ids: np.ndarray) -> int:
         """Decode the not-yet-decoded occupied bricks among `cell_ids`
@@ -518,7 +529,10 @@ class LazyBrickCache:
         self.params = params
         n = self.n_bricks
         order = (np.arange(n) + self._cursor) % n
-        dec = order[self._decoded[order]]
+        # orphan (no-LUT-entry) slots are permanently "decoded" placeholders
+        # — restaling one would wedge n_decoded below n_bricks forever
+        dec = order[self._decoded[order]
+                    & (self._lut_np[self._cells[order]] >= 0)]
         sel = dec[:budget_bricks]
         if sel.size == 0:
             return 0

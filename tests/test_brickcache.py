@@ -473,6 +473,28 @@ class TestBrickCache:
             np.asarray(brick_sample_fn(lazy.ctx, q)),
             np.asarray(brick_sample_fn(want, q)))
 
+    def test_lazy_empty_tf_reaches_steady_state(self):
+        """A fully TF-empty scene's dummy brick has no LUT entry, so
+        ensure_* can never mark it — the always-decoded orphan pre-mark
+        must keep n_decoded == n_bricks through init/set_params/refresh
+        (else api.VNRenderer's lazy guard re-runs view culling forever)."""
+        import dataclasses as dc
+
+        from instantvnr_tpu.render.brickcache import LazyBrickCache
+
+        vol, tf, mc, field, state = _scene(train=0)
+        mc0 = dc.replace(mc, max_opacity=jnp.zeros_like(mc.max_opacity))
+        lazy = LazyBrickCache(field, state.params, mc0, dilate=0)
+        assert lazy.n_bricks == 1 and lazy.n_decoded == 1
+        assert lazy.ensure_all() == 0
+        lazy.set_params(state.params)
+        assert lazy.n_decoded == 1
+        assert lazy.refresh(state.params, budget_bricks=4) == 0
+        assert lazy.n_decoded == 1
+        p = jnp.asarray(np.random.default_rng(2).random((32, 3), np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(brick_sample_fn(lazy.ctx, p)), 0.0)
+
     def test_facade_lazy_policy(self):
         """streaming_cache='lazy' renders the same frame as 'brick' while
         decoding only the view's bricks; refresh_params restales the pool;
