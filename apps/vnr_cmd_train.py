@@ -86,21 +86,19 @@ def main():
 
     oc_sampler = None
     if oc_desc is not None:
-        import numpy as np
-
         from instantvnr_tpu.data.outofcore import OutOfCoreSampler
 
-        # value range for normalization: the dtype's natural range (the
-        # reference reads it from the scene or scans the file; scanning a
-        # terascale file is the loader's warm-up job — use dtype range)
-        rng_map = {"UNSIGNED_BYTE": (0.0, 255.0), "BYTE": (-128.0, 127.0),
-                   "UNSIGNED_SHORT": (0.0, 65535.0),
-                   "SHORT": (-32768.0, 32767.0),
-                   "INT": (-2147483648.0, 2147483647.0),
-                   "UNSIGNED_INT": (0.0, 4294967295.0),
-                   "FLOAT": (0.0, 1.0), "DOUBLE": (0.0, 1.0)}
-        vrange = rng_map.get(oc_desc.dtype, (0.0, 1.0))
-        oc_sampler = OutOfCoreSampler(oc_desc, vrange)
+        # normalization range: scene-provided "range" when present (the
+        # reference's OOC sampler requires one, neural_sampler.cpp:1068);
+        # otherwise OutOfCoreSampler streams a min/max scan of the file —
+        # the same range the in-core StaticSampler computes
+        # (neural_sampler.cpp:251-264) — so any-ranged data normalizes
+        # identically in-core and out-of-core
+        if oc_desc.value_range is None:
+            print("[vnr] scanning value range (no 'range' in scene)...")
+        oc_sampler = OutOfCoreSampler(oc_desc)
+        lo, hi = oc_sampler.value_range
+        print(f"[vnr] unnormalized range {lo:g} {hi:g}")
         print(f"[vnr] out-of-core streaming "
               f"({'native' if oc_sampler.is_native else 'numpy'} loader)")
 

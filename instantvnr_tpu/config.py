@@ -262,6 +262,11 @@ class VolumeDesc:
     dtype: str = "FLOAT"  # key into VALUE_TYPES
     offset: int = 0
     bigendian: bool = False
+    # normalization range in data units (diva scenes' required "range" key,
+    # reference serializer.cpp:141-146 → MultiVolume::range). None = compute
+    # from the data (in-core: normalize_array; out-of-core: streaming scan —
+    # the reference's StaticSampler fallback, neural_sampler.cpp:251-264).
+    value_range: tuple[float, float] | None = None
     # time series: one file per timestep (reference MultiVolume::data,
     # instantvnr_types.h:40-56; diva 'filename' arrays and vidi
     # 'dataSource' arrays each map to one timestep, serializer.cpp:148-163,
@@ -448,6 +453,14 @@ def _scene_from_diva(root: dict, base_dir: str) -> SceneConfig:
         steps = tuple(
             fn if os.path.isabs(fn) else os.path.join(base_dir, fn)
             for fn in fns)
+    # the diva dialect REQUIRES "range" in the reference (serializer.cpp:141
+    # scalar_from_json with no default); accept its absence here and fall
+    # back to data-derived normalization instead
+    vr = None
+    if "range" in config:
+        r = config["range"]
+        rx, ry = ((r["x"], r["y"]) if isinstance(r, dict) else (r[0], r[1]))
+        vr = (float(rx), float(ry))
     vol = VolumeDesc(
         filename=steps[0] if steps else _pick_existing(fns, base_dir),
         dims=(int(dims[0]), int(dims[1]), int(dims[2])),
@@ -455,6 +468,7 @@ def _scene_from_diva(root: dict, base_dir: str) -> SceneConfig:
         offset=int(config.get("offset", 0)),
         bigendian=bool(config.get("bigendian", False)),
         timestep_files=steps,
+        value_range=vr,
     )
     return SceneConfig(volume=vol)
 

@@ -36,7 +36,7 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
 
 
-_ABI_VERSION = 3
+_ABI_VERSION = 4
 
 
 def _load_native():
@@ -71,6 +71,12 @@ def _load_native():
     lib.vnr_loader_loads.restype = ctypes.c_int64
     lib.vnr_loader_loads.argtypes = [ctypes.c_void_p]
     lib.vnr_loader_destroy.argtypes = [ctypes.c_void_p]
+    lib.vnr_scan_minmax.restype = ctypes.c_int
+    lib.vnr_scan_minmax.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+    ]
     return lib
 
 
@@ -100,16 +106,61 @@ def default_n_resident(desc: VolumeDesc, block_y: int, block_z: int) -> int:
     return int(np.clip(budget // max(block_bytes, 1), 8, n_blocks_total))
 
 
-class OutOfCoreSampler:
-    """Streamed random-block sampler over a raw volume file."""
+def scan_value_range(desc: VolumeDesc,
+                     n_threads: int = 8) -> tuple[float, float]:
+    """Global (min, max) of a raw volume file in data units — the
+    normalization range the reference computes at load when the scene
+    provides none (neural_sampler.cpp:251-264, TBB in-core; here a
+    threaded streaming pass so terascale files never materialize).
+    Native when the loader library builds, chunked numpy memmap otherwise.
+    """
+    lib = native_lib()
+    if lib is not None:
+        out = (ctypes.c_float * 2)()
+        dx, dy, dz = desc.dims
+        if lib.vnr_scan_minmax(desc.filename.encode(), dx, dy, dz,
+                               _DTYPE_CODE[desc.dtype],
+                               int(bool(desc.bigendian)), desc.offset,
+                               n_threads, out):
+            return (float(out[0]), float(out[1]))
+    mm = np.memmap(desc.filename, dtype=desc.np_dtype, mode="r",
+                   offset=desc.offset, shape=(desc.n_voxels,))
+    lo = np.inf
+    hi = -np.inf
+    chunk = 4 << 20  # elements per pass — bounded host memory
+    for i in range(0, desc.n_voxels, chunk):
+        part = np.asarray(mm[i:i + chunk], np.float32)
+        lo = min(lo, float(part.min()))
+        hi = max(hi, float(part.max()))
+    return (lo, hi)
 
-    def __init__(self, desc: VolumeDesc, value_range: tuple[float, float],
+
+class OutOfCoreSampler:
+    """Streamed random-block sampler over a raw volume file.
+
+    `value_range` is the normalization range in data units: values map to
+    clamp((v − lo)/(hi − lo), 0, 1) exactly like the reference's
+    convert_volume (neural_sampler.cpp:188-209). None (the default) takes
+    the scene-provided `desc.value_range` when present (the reference's
+    OOC sampler requires one, neural_sampler.cpp:1047,1068-1069) and
+    otherwise falls back to a streaming min/max scan of the file — the
+    same range the in-core StaticSampler would compute, so out-of-core
+    training of ANY-ranged data matches in-core normalization instead of
+    assuming the dtype's natural range."""
+
+    def __init__(self, desc: VolumeDesc,
+                 value_range: tuple[float, float] | None = None,
                  block_y: int = 32, block_z: int = 32,
                  n_resident: int | None = None,
                  n_threads: int = 4, use_native: bool | None = None,
                  seed: int = 1337, odirect: bool | None = None):
         self.desc = desc
-        self.value_range = value_range
+        if value_range is None:
+            value_range = getattr(desc, "value_range", None)
+        if value_range is None:
+            value_range = scan_value_range(desc)
+        self.value_range = (float(value_range[0]), float(value_range[1]))
+        value_range = self.value_range
         self.block_y, self.block_z = block_y, block_z
         if n_resident is None:
             n_resident = default_n_resident(desc, block_y, block_z)
@@ -199,7 +250,10 @@ class OutOfCoreSampler:
                            np.float32)
         lo, hi = self.value_range
         if hi > lo:
-            block = (block - lo) / (hi - lo)
+            # clamp like the reference's convert_volume (a scene-provided
+            # range narrower than the data saturates) — and like the
+            # native loader path
+            block = np.clip((block - lo) / (hi - lo), 0.0, 1.0)
         else:
             # match the native loader's degenerate-range behavior
             # (scale = 0 → all zeros) so fallback == native

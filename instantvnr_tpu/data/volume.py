@@ -32,21 +32,33 @@ class Volume:
         return (self.dims[2], self.dims[1], self.dims[0])
 
 
-def normalize_array(raw: np.ndarray) -> tuple[np.ndarray, tuple[float, float]]:
-    """Normalize to [0,1] float32 by global min/max (neural_sampler.cpp:244-288).
+def normalize_array(raw: np.ndarray,
+                    value_range: tuple[float, float] | None = None
+                    ) -> tuple[np.ndarray, tuple[float, float]]:
+    """Normalize to [0,1] float32 (neural_sampler.cpp:244-288).
 
+    `value_range=None` uses the data's global min/max (StaticSampler's
+    fallback when the scene has no range); an explicit range saturates to
+    [0,1] like the reference's convert_volume clamp.
     Constant volumes map to all-zeros (reference divides by (max-min); we guard).
     """
     raw = np.asarray(raw)
-    vmin = float(raw.min())
-    vmax = float(raw.max())
+    if value_range is None:
+        vmin = float(raw.min())
+        vmax = float(raw.max())
+    else:
+        vmin, vmax = float(value_range[0]), float(value_range[1])
     scale = 1.0 / (vmax - vmin) if vmax > vmin else 0.0
     out = ((raw.astype(np.float32) - vmin) * scale).astype(np.float32)
+    if value_range is not None:
+        out = np.clip(out, 0.0, 1.0)
     return out, (vmin, vmax)
 
 
 def load_volume(desc: VolumeDesc) -> Volume:
-    """Load a raw volume file per its descriptor and normalize."""
+    """Load a raw volume file per its descriptor and normalize (by the
+    scene-provided `desc.value_range` when present, else the data's own
+    min/max — StaticSampler::load semantics)."""
     dx, dy, dz = desc.dims
     raw = np.fromfile(desc.filename, dtype=desc.np_dtype, count=desc.n_voxels,
                       offset=desc.offset)
@@ -55,7 +67,7 @@ def load_volume(desc: VolumeDesc) -> Volume:
             f"{desc.filename}: expected {desc.n_voxels} voxels, got {raw.size}"
         )
     raw = raw.reshape(dz, dy, dx)  # z-major, matching the raw file layout
-    data, rng = normalize_array(raw)
+    data, rng = normalize_array(raw, getattr(desc, "value_range", None))
     return Volume(data=jnp.asarray(data), dims=desc.dims, original_range=rng)
 
 

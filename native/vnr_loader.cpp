@@ -159,9 +159,14 @@ bool load_block(Loader* L, Block& b, int64_t by0, int64_t bz0) {
       }
       if (!ok) break;
       float* dst = b.data.data() + ((size_t)z * ny + y) * L->dx;
-      for (int64_t x = 0; x < L->dx; ++x)
-        dst[x] = (convert(src + x * es, L->dtype, L->bigendian) - L->vmin)
-                 * scale;
+      for (int64_t x = 0; x < L->dx; ++x) {
+        // clamp to [0,1] like the reference's convert_volume
+        // (neural_sampler.cpp:188-209): a scene-provided range narrower
+        // than the data must saturate, not extrapolate
+        float v = (convert(src + x * es, L->dtype, L->bigendian) - L->vmin)
+                  * scale;
+        dst[x] = v < 0.f ? 0.f : (v > 1.f ? 1.f : v);
+      }
     }
   }
   free(raw);
@@ -208,7 +213,70 @@ void worker_main(Loader* L, uint64_t seed) {
 extern "C" {
 
 // bumped whenever the C ABI changes; the Python side rebuilds on mismatch
-int vnr_loader_abi_version() { return 3; }
+int vnr_loader_abi_version() { return 4; }
+
+// Streaming value-range scan: one threaded pass over the file computing the
+// global (min, max) in data units — the reference computes this in-core
+// with TBB at load (neural_sampler.cpp:213-264); out-of-core files don't
+// fit, so this reads sequential chunks per thread and never holds more
+// than n_threads × 4 MiB. Returns 1 and writes out_minmax[2] on success.
+int vnr_scan_minmax(const char* filename, int64_t dx, int64_t dy, int64_t dz,
+                    int dtype, int bigendian, int64_t offset, int n_threads,
+                    float* out_minmax) {
+  const int64_t count = dx * dy * dz;
+  if (count <= 0) return 0;
+  int fd = open(filename, O_RDONLY);
+  if (fd < 0) return 0;
+  const size_t es = dtype_size(dtype);
+  n_threads = n_threads > 0 ? n_threads : 1;
+  if ((int64_t)n_threads > (count + (1 << 20) - 1) / (1 << 20))
+    n_threads = (int)((count + (1 << 20) - 1) / (1 << 20));
+  std::vector<float> lo(n_threads), hi(n_threads);
+  std::vector<int> ok(n_threads, 1);
+  auto work = [&](int tid) {
+    const int64_t begin = count * tid / n_threads;
+    const int64_t end = count * (tid + 1) / n_threads;
+    constexpr int64_t kChunk = (int64_t)4 << 20; // bytes per read
+    std::vector<uint8_t> buf;
+    float mn = 0.f, mx = 0.f;
+    bool first = true;
+    int64_t at = begin;
+    while (at < end) {
+      const int64_t n = std::min<int64_t>(end - at, kChunk / (int64_t)es);
+      buf.resize((size_t)n * es);
+      int64_t got = 0; // pread may return short counts mid-file
+      while (got < (int64_t)(n * es)) {
+        ssize_t r = pread(fd, buf.data() + got, (size_t)(n * es - got),
+                          offset + at * (int64_t)es + got);
+        if (r <= 0) { ok[tid] = 0; return; }
+        got += r;
+      }
+      for (int64_t i = 0; i < n; ++i) {
+        const float v = convert(buf.data() + i * es, dtype, bigendian != 0);
+        if (first) { mn = mx = v; first = false; }
+        else if (v < mn) mn = v;
+        else if (v > mx) mx = v;
+      }
+      at += n;
+    }
+    lo[tid] = mn;
+    hi[tid] = mx;
+  };
+  std::vector<std::thread> ts;
+  for (int t = 0; t < n_threads; ++t) ts.emplace_back(work, t);
+  for (auto& t : ts) t.join();
+  close(fd);
+  for (int t = 0; t < n_threads; ++t)
+    if (!ok[t]) return 0;
+  float mn = lo[0], mx = hi[0];
+  for (int t = 1; t < n_threads; ++t) {
+    if (lo[t] < mn) mn = lo[t];
+    if (hi[t] > mx) mx = hi[t];
+  }
+  out_minmax[0] = mn;
+  out_minmax[1] = mx;
+  return 1;
+}
 
 void* vnr_loader_create(const char* filename, int64_t dx, int64_t dy,
                         int64_t dz, int dtype, int bigendian,

@@ -90,6 +90,25 @@ def test_scene_config_diva_dialect(tmp_path):
     cfg = load_scene_config(str(p))
     assert cfg.volume.dims == (4, 4, 4)
     assert cfg.volume.np_dtype == np.float32
+    assert cfg.volume.value_range is None  # no "range" → data-derived
+
+
+def test_scene_config_diva_range_key(tmp_path):
+    """diva scenes carry a 'range' normalization key (reference
+    serializer.cpp:141-146, required there); both the {x,y} object and
+    [lo,hi] array spellings parse into VolumeDesc.value_range."""
+    from instantvnr_tpu.config import load_scene_config
+
+    vol_file = tmp_path / "vol.raw"
+    np.zeros((4, 4, 4), np.float32).tofile(vol_file)
+    for spelling in ({"x": -3e4, "y": 7e5}, [-3e4, 7e5]):
+        scene = {"volume": {"filename": str(vol_file),
+                            "dims": {"x": 4, "y": 4, "z": 4},
+                            "type": "FLOAT", "range": spelling}}
+        p = tmp_path / "scene.json"
+        p.write_text(json.dumps(scene))
+        cfg = load_scene_config(str(p))
+        assert cfg.volume.value_range == (-3e4, 7e5)
 
 
 def test_scene_config_vidi_dialect(tmp_path):

@@ -118,6 +118,106 @@ class TestOutOfCoreTraining:
         assert float(psnr_vs(field, state.params, vol.data)) > 22.0
 
 
+class TestValueRange:
+    """Out-of-core normalization must match the reference semantics: use the
+    scene range when given, else the file's ACTUAL min/max — never the
+    dtype's natural range (VERDICT r3 missing #1; neural_sampler.cpp:223-288
+    in-core scan, :1047 scene range for OOC)."""
+
+    @pytest.fixture(scope="class")
+    def wild_float_file(self, tmp_path_factory):
+        # float data far outside (0,1): the old dtype-natural heuristic
+        # would have mapped FLOAT → (0,1) and trained on garbage
+        from instantvnr_tpu.data.volume import synthetic_volume
+
+        vol = synthetic_volume((32, 32, 32), kind="sphere")
+        data = np.asarray(vol.data, np.float32) * 7.3e5 - 2.9e4
+        path = tmp_path_factory.mktemp("vr") / "wild.raw"
+        data.tofile(path)
+        desc = VolumeDesc(filename=str(path), dims=(32, 32, 32),
+                          dtype="FLOAT")
+        return desc, data
+
+    def test_scan_value_range_numpy_and_native(self, wild_float_file):
+        from instantvnr_tpu.data.outofcore import scan_value_range
+
+        desc, data = wild_float_file
+        lo, hi = scan_value_range(desc)  # native when buildable
+        np.testing.assert_allclose([lo, hi], [data.min(), data.max()],
+                                   rtol=1e-6)
+        if native_lib() is not None:
+            # force the numpy memmap path too
+            import instantvnr_tpu.data.outofcore as oc
+
+            old = oc._LIB
+            oc._LIB = False
+            try:
+                lo2, hi2 = scan_value_range(desc)
+            finally:
+                oc._LIB = old
+            np.testing.assert_allclose([lo2, hi2], [lo, hi], rtol=1e-6)
+
+    def test_auto_range_matches_in_core_normalization(self, wild_float_file):
+        desc, data = wild_float_file
+        from instantvnr_tpu.data.volume import normalize_array
+
+        norm, rng = normalize_array(data)  # in-core ground truth
+        for use_native in ([False, True] if native_lib() else [False]):
+            s = OutOfCoreSampler(desc, block_y=16, block_z=16,
+                                 n_resident=8, use_native=use_native)
+            assert s.value_range == pytest.approx(rng)
+            if use_native:
+                s.wait_ready(4)
+            check_sampler(s, norm)
+            s.close()
+
+    def test_scene_range_override_and_clamp(self, wild_float_file):
+        desc, data = wild_float_file
+        import dataclasses as dc
+
+        lo = float(data.min())
+        hi = float(data.max())
+        mid = lo + 0.5 * (hi - lo)
+        d2 = dc.replace(desc, value_range=(lo, mid))  # narrower than data
+        s = OutOfCoreSampler(d2, block_y=16, block_z=16, use_native=False)
+        assert s.value_range == (lo, mid)
+        _c, v = s.sample(4096)
+        # values above mid saturate at 1.0 (reference convert_volume clamp)
+        assert v.max() <= 1.0 and v.min() >= 0.0
+        assert (v > 0.999).any()  # the clamp actually engaged
+
+    def test_out_of_core_trains_like_in_core(self, wild_float_file):
+        """The VERDICT done-criterion: a float file with range ≠ (0,1)
+        trains out-of-core to (approximately) the in-core PSNR."""
+        from instantvnr_tpu.data.volume import normalize_array
+        from instantvnr_tpu.models import (NeuralField, create_train_state,
+                                           train_steps)
+        from instantvnr_tpu.models.metrics import psnr_vs
+        from instantvnr_tpu.models.trainer import train_out_of_core
+
+        desc, data = wild_float_file
+        norm, _ = normalize_array(data)
+        cfg = ModelConfig(
+            encoding=EncodingConfig(n_levels=4, n_features_per_level=4,
+                                    log2_hashmap_size=12, base_resolution=4),
+            network=NetworkConfig(n_neurons=32, n_hidden_layers=2),
+            optimizer=OptimizerConfig(learning_rate=1e-2,
+                                      decay_start=10_000))
+        field = NeuralField.from_config(cfg)
+
+        state = create_train_state(jax.random.PRNGKey(0), field)
+        state = train_steps(field, jnp.asarray(norm), state, 260, 4096)
+        psnr_ic = float(psnr_vs(field, state.params, jnp.asarray(norm)))
+
+        sampler = OutOfCoreSampler(desc, block_y=16, block_z=16,
+                                   use_native=False)
+        state2 = create_train_state(jax.random.PRNGKey(0), field)
+        state2 = train_out_of_core(field, sampler, state2, 260, 4096)
+        psnr_oc = float(psnr_vs(field, state2.params, jnp.asarray(norm)))
+        assert psnr_oc > 22.0, (psnr_oc, psnr_ic)
+        assert psnr_oc > psnr_ic - 6.0  # same normalization, same ballpark
+
+
 class TestHardening:
     def test_numpy_fallback_multiblock_coverage(self, raw_volume):
         """One batch spans MANY blocks (uniform-over-resident-pool), not one
