@@ -22,6 +22,9 @@ def main():
     p.add_argument("--load", help="checkpoint: extract from the NETWORK")
     p.add_argument("--isovalue", type=float, default=0.5)
     p.add_argument("--output", default="isosurface.obj")
+    p.add_argument("--no-weld", action="store_true",
+                   help="emit raw triangle soup instead of the indexed "
+                        "(edge-welded) mesh")
     args = p.parse_args()
 
     from instantvnr_tpu.ops.isosurface import (
@@ -37,12 +40,14 @@ def main():
         nv = NeuralVolume.from_checkpoint(args.load)
         print(f"[iso] extracting from network, dims {nv.dims}")
         verts, faces = extract_isosurface_network(
-            nv.field, nv.state.params, nv.dims, args.isovalue
+            nv.field, nv.state.params, nv.dims, args.isovalue,
+            weld=not args.no_weld
         )
     else:
         simple = load_simple_volume(args)
         print(f"[iso] extracting from volume, dims {simple.dims}")
-        verts, faces = extract_isosurface(simple.volume.data, args.isovalue)
+        verts, faces = extract_isosurface(simple.volume.data, args.isovalue,
+                                          weld=not args.no_weld)
     print(f"[iso] {len(verts)} vertices, {len(faces)} triangles "
           f"in {time.time()-t0:.1f}s")
     save_obj(verts, faces, args.output)

@@ -88,7 +88,12 @@ for _i, _tet in enumerate(_TETS):
 def _extract_slab(grid: jnp.ndarray, isovalue: jnp.ndarray,
                   z_offset: jnp.ndarray):
     """grid [sz, sy, sx] → (tris [N,6,2,3,3] float32 voxel coords, valid
-    [N,6,2] bool), N = (sz−1)(sy−1)(sx−1) cells."""
+    [N,6,2] bool, ids [N,6,2,3,4] int32), N = (sz−1)(sy−1)(sx−1) cells.
+
+    `ids` carries each emitted vertex's lattice-edge identity as the two
+    global grid-corner endpoints, split (z, y·sx+x) per endpoint so the
+    device side stays int32-safe — the host welds on them (weld_triangles).
+    """
     sz, sy, sx = grid.shape
     nz, ny, nx = sz - 1, sy - 1, sx - 1
     n = nz * ny * nx
@@ -157,40 +162,115 @@ def _extract_slab(grid: jnp.ndarray, isovalue: jnp.ndarray,
         axis=4,
     )  # [n, 6, 2, 3, 1, 3]
     tris = g[..., 0, :]  # [n, 6, 2, 3, 3]
-    return tris, valid
+
+    # lattice-edge identity of every emitted vertex: the (global) ids of the
+    # two grid corners its tet edge connects. Within each tet, corner pairs
+    # are ascending cube-corner indices, and cube-corner index order equals
+    # global-id order — so a lattice edge shared by neighboring cells/tets
+    # is presented with the SAME (a, b) orientation everywhere, making both
+    # the interpolation t and the vertex position bit-identical across all
+    # its occurrences (what weld_triangles relies on).
+    ibase = jnp.stack([
+        xx.reshape(-1).astype(jnp.int32),
+        yy.reshape(-1).astype(jnp.int32),
+        zz.reshape(-1).astype(jnp.int32) + z_offset.astype(jnp.int32),
+    ], axis=-1)  # [n, 3] integer cell origin (x, y, z)
+    ioff = corner_off.astype(jnp.int32)  # [8, 3]
+
+    def corner_id2(cids):  # [6,6] cube-corner ids → ([n,6,6] gz, [n,6,6] gyx)
+        off = ioff[cids]  # [6, 6, 3]
+        gx = ibase[:, None, None, 0] + off[None, ..., 0]
+        gy = ibase[:, None, None, 1] + off[None, ..., 1]
+        gz = ibase[:, None, None, 2] + off[None, ..., 2]
+        return gz, gy * np.int32(sx) + gx
+
+    za, yxa = corner_id2(ca)
+    zb, yxb = corner_id2(cb)
+    ids4 = jnp.stack([za, yxa, zb, yxb], axis=-1)  # [n, 6, 6, 4]
+    ids = jnp.take_along_axis(ids4[:, :, None, :, :], safe[..., None],
+                              axis=3)  # [n, 6, 2, 3, 4]
+    return tris, valid, ids
 
 
-def _extract_loop(get_slab, dz: int, isovalue: float, slab: int):
+def weld_triangles(soup: np.ndarray, ids: np.ndarray):
+    """Weld a triangle soup into an indexed mesh on exact lattice-edge keys.
+
+    soup [k, 3, 3] float32 positions, ids [k, 3, 4] int32 (gz_a, gyx_a,
+    gz_b, gyx_b) per vertex. Every crossing of the same (unordered) lattice
+    edge is computed bit-identically by _extract_slab, so a host-side
+    np.unique over the edge keys is an EXACT weld (no quantization) — the
+    reference's scan/compact MC path produces compact vertex buffers the
+    same way (marching_cube.cu:397-403). Returns (verts [m,3], faces
+    [k,3] int32 into verts), m ≈ k/2 for closed surfaces (vs 3k unwelded).
+    """
+    if len(soup) == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+    ids = ids.astype(np.int64).reshape(-1, 4)
+    # a lattice edge's key = its two global corner ids, unordered. Corner
+    # ids stay < 2^62 combined for any grid whose corner count fits int64.
+    span = int(ids[:, [1, 3]].max()) + 1  # max gyx + 1 ≤ sy·sx
+    ga = ids[:, 0] * span + ids[:, 1]
+    gb = ids[:, 2] * span + ids[:, 3]
+    lo = np.minimum(ga, gb)
+    hi = np.maximum(ga, gb)
+    n_corners = int(hi.max()) + 1
+    if n_corners < (1 << 31):  # scalar keys (fast path; ≤ ~1290³ grids)
+        keys = lo * n_corners + hi
+        _, first, inv = np.unique(keys, return_index=True,
+                                  return_inverse=True)
+    else:  # row-wise unique for gigantic grids
+        _, first, inv = np.unique(np.stack([lo, hi], axis=1), axis=0,
+                                  return_index=True, return_inverse=True)
+    verts = soup.reshape(-1, 3)[first]
+    faces = inv.astype(np.int32).reshape(-1, 3)
+    return verts, faces
+
+
+def _extract_loop(get_slab, dz: int, isovalue: float, slab: int,
+                  weld: bool):
     """Shared slab loop + host compaction + verts/faces epilogue.
 
     get_slab(z, n) → [n, sy, sx] grid rows z..z+n (1-voxel overlap between
     chunks comes from the z += slab stride with n = slab+1 rows)."""
     out_v = []
+    out_i = []
     z = 0
     while z < dz - 1:
         n = min(slab + 1, dz - z)
-        tris, valid = _extract_slab(get_slab(z, n), jnp.float32(isovalue),
-                                    jnp.float32(z))
-        out_v.append(np.asarray(tris)[np.asarray(valid)])  # [k, 3, 3]
+        tris, valid, ids = _extract_slab(get_slab(z, n),
+                                         jnp.float32(isovalue),
+                                         jnp.float32(z))
+        mask = np.asarray(valid)
+        out_v.append(np.asarray(tris)[mask])  # [k, 3, 3]
+        if weld:
+            out_i.append(np.asarray(ids)[mask])  # [k, 3, 4]
         z += slab
     v = (np.concatenate(out_v, axis=0) if out_v
          else np.zeros((0, 3, 3), np.float32))
+    if weld:
+        i = (np.concatenate(out_i, axis=0) if out_i
+             else np.zeros((0, 3, 4), np.int32))
+        return weld_triangles(v, i)
     verts = v.reshape(-1, 3)
     faces = np.arange(len(verts), dtype=np.int32).reshape(-1, 3)
     return verts, faces
 
 
-def extract_isosurface(grid, isovalue: float, slab: int = 32):
+def extract_isosurface(grid, isovalue: float, slab: int = 32,
+                       weld: bool = True):
     """Marching tetrahedra over a full grid, z-slab chunks with 1-voxel
-    overlap → (vertices [M,3] float32 voxel coords, faces [M//3,3] int32).
-    Host-side compaction (the reference's scan/compact phases)."""
+    overlap → (vertices [M,3] float32 voxel coords, faces [T,3] int32).
+    Host-side compaction (the reference's scan/compact phases); by default
+    shared edge-crossings are welded into an indexed mesh (exact, see
+    weld_triangles — marching_cube.cu:397-403 parity). weld=False keeps
+    the raw triangle soup (verts = 3·T, faces = arange)."""
     grid = jnp.asarray(grid)
     return _extract_loop(lambda z, n: grid[z:z + n], grid.shape[0],
-                         isovalue, slab)
+                         isovalue, slab, weld)
 
 
 def extract_isosurface_network(field, params, dims, isovalue: float,
-                               slab: int = 16):
+                               slab: int = 16, weld: bool = True):
     """Marching tetrahedra DIRECTLY on the neural representation
     (reference doMarchingCubeTemplate__Network, marching_cube.cu:424-450):
     decode overlapping z-slabs and extract per slab — the network is the
@@ -201,7 +281,7 @@ def extract_isosurface_network(field, params, dims, isovalue: float,
         blob = decode_slab(field, params, jnp.int32(z), dims, slab=slab + 1)
         return blob[:n]
 
-    return _extract_loop(get_slab, dims[2], isovalue, slab)
+    return _extract_loop(get_slab, dims[2], isovalue, slab, weld)
 
 
 def save_obj(verts: np.ndarray, faces: np.ndarray, path: str):

@@ -22,8 +22,8 @@ class TestMarchingTets:
         n = 32
         dist, r = sphere_grid(n)
         verts, faces = extract_isosurface(dist, r)
-        assert len(verts) > 1000
-        assert len(faces) == len(verts) // 3
+        assert len(faces) > 300
+        assert faces.min() >= 0 and faces.max() < len(verts)
         # vertices (voxel coords) → normalized grid coords
         p = verts / (n - 1)
         d = np.linalg.norm(p - 0.5, axis=-1)
@@ -36,7 +36,7 @@ class TestMarchingTets:
         n = 48
         dist, r = sphere_grid(n)
         verts, faces = extract_isosurface(dist, r)
-        p = (verts / (n - 1)).reshape(-1, 3, 3)
+        p = verts[faces] / (n - 1)
         e1 = p[:, 1] - p[:, 0]
         e2 = p[:, 2] - p[:, 0]
         area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1).sum()
@@ -49,19 +49,37 @@ class TestMarchingTets:
         assert len(verts) == 0
 
     def test_watertight_edges(self):
-        """Each interior edge is shared by exactly 2 triangles (manifold)."""
+        """Each interior edge is shared by exactly 2 triangles (manifold) —
+        checked on the welded INDICES, which is exact (no rounding)."""
         dist, r = sphere_grid(24)
         verts, faces = extract_isosurface(dist, r)
-        v = verts.reshape(-1, 3, 3).round(4)
-        edges = {}
-        for tri in v:
-            for i in range(3):
-                a, b = tuple(tri[i]), tuple(tri[(i + 1) % 3])
-                k = (min(a, b), max(a, b))
-                edges[k] = edges.get(k, 0) + 1
-        counts = np.array(list(edges.values()))
+        e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                            faces[:, [2, 0]]])
+        e.sort(axis=1)
+        _, counts = np.unique(e, axis=0, return_counts=True)
         # a closed marching-tets surface: every edge appears exactly twice
         assert (counts == 2).mean() > 0.99, (counts == 2).mean()
+
+    def test_weld_exactly_reproduces_soup(self):
+        """Welded/unwelded must describe IDENTICAL triangles (bit-exact):
+        welding only deduplicates vertex storage (VERDICT r3 missing #4;
+        reference marching_cube.cu:397-403 compact vertex buffers)."""
+        dist, r = sphere_grid(24)
+        sv, sf = extract_isosurface(dist, r, weld=False)
+        wv, wf = extract_isosurface(dist, r, weld=True)
+        np.testing.assert_array_equal(wv[wf], sv[sf])
+        # compaction is real: a closed surface has ~6x fewer stored verts
+        assert len(wv) < len(sv) / 3
+        # every stored vertex is referenced
+        assert np.unique(wf).size == len(wv)
+
+    def test_weld_across_slab_boundaries(self):
+        """Vertices on a slab seam weld across chunks (global edge keys)."""
+        dist, r = sphere_grid(32)
+        v1, f1 = extract_isosurface(dist, r, slab=32)  # one chunk
+        v2, f2 = extract_isosurface(dist, r, slab=8)   # many chunks
+        assert len(v1) == len(v2)
+        np.testing.assert_array_equal(v1[f1], v2[f2])
 
     def test_network_extraction_matches_grid(self):
         """Extracting from the network (slab-decoded) == extracting from the
