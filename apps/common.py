@@ -30,8 +30,12 @@ if _cache_dir:
 def add_volume_args(p: argparse.ArgumentParser):
     g = p.add_argument_group("volume")
     g.add_argument("--scene", help="scene JSON (diva or vidi dialect)")
-    g.add_argument("--synthetic", choices=["vorts", "sphere", "noise"],
-                   help="procedural volume instead of a scene file")
+    g.add_argument("--synthetic",
+                   choices=["vorts", "sphere", "noise", "tubes", "wavelet",
+                            "xyz", "marschner-lobb"],
+                   help="procedural volume instead of a scene file (grid "
+                        "synthetics; with --sampling-mode analytic, the "
+                        "ANALYTIC field trained with no in-core volume)")
     g.add_argument("--dims", type=int, nargs="+", default=[64],
                    help="synthetic volume dims (1 or 3 ints)")
 

@@ -40,9 +40,12 @@ def main():
     p.add_argument("--timestep", type=int, default=0,
                    help="time-series volumes: train on this timestep")
     p.add_argument("--sampling-mode", default="gpu",
-                   choices=["gpu", "out-of-core"],
+                   choices=["gpu", "out-of-core", "analytic"],
                    help="GPU = in-core device sampling; out-of-core = "
-                        "streamed blocks (reference Sampler::load modes)")
+                        "streamed blocks; analytic = no-ground-truth "
+                        "training from the --synthetic field evaluated "
+                        "in-jit (reference Sampler::load modes incl. the "
+                        "OPENVKL procedural sources)")
     args = p.parse_args()
 
     import jax
@@ -52,7 +55,21 @@ def main():
     cfg = load_model_config(args)
     simple = None
     oc_desc = None
-    if args.sampling_mode == "out-of-core":
+    analytic = None
+    if args.sampling_mode == "analytic":
+        # no-GT procedural training (the reference's OpenVKL modes,
+        # neural_sampler.cpp:714-958): the field evaluates inside the
+        # train-step jit; no volume is materialized anywhere
+        from instantvnr_tpu.data.procedural import AnalyticSampler
+
+        kind = {"vorts": "tubes"}.get(args.synthetic or "wavelet",
+                                      args.synthetic or "wavelet")
+        analytic = AnalyticSampler.create(kind, seed=args.seed)
+        d = args.dims
+        dims = tuple(d * 3) if len(d) == 1 else tuple(d)
+        print(f"[vnr] analytic field '{kind}' (no in-core volume), "
+              f"device {jax.devices()[0]}")
+    elif args.sampling_mode == "out-of-core":
         # terascale path: never load the volume in-core; the streamed
         # sampler is the only reader (reference OUT_OF_CORE mode,
         # neural_sampler.cpp:1206-1271)
@@ -109,7 +126,14 @@ def main():
     while step < args.max_num_steps:
         n = min(args.chunk, args.max_num_steps - step)
         t0 = time.time()
-        if oc_sampler is not None:
+        if analytic is not None:
+            from instantvnr_tpu.models.trainer import train_steps_source
+
+            nv.state = train_steps_source(nv.field, analytic, nv.state, n,
+                                          args.batch)
+            nv.step += n
+            stats = nv.statistics()
+        elif oc_sampler is not None:
             from instantvnr_tpu.models.trainer import train_out_of_core
 
             nv.state = train_out_of_core(nv.field, oc_sampler, nv.state, n,
@@ -141,6 +165,13 @@ def main():
     if args.report_psnr and simple is not None:
         print(f"[vnr] PSNR: {nv.get_psnr():.2f} dB")
         print(f"[vnr] SSIM: {nv.get_mssim():.4f}")
+    elif args.report_psnr and analytic is not None:
+        # PSNR oracle against the analytic field at the decode lattice
+        from instantvnr_tpu.models.metrics import psnr_vs
+
+        gt = analytic.lattice_grid(dims)
+        print(f"[vnr] PSNR vs analytic field: "
+              f"{float(psnr_vs(nv.field, nv.state.params, gt)):.2f} dB")
     if args.save:
         nv.save_params(args.save)
         print(f"[vnr] saved checkpoint: {args.save}")

@@ -113,7 +113,19 @@ def synthetic_volume(dims=(64, 64, 64), kind: str = "vorts", seed: int = 0) -> V
             )
         data = np.clip(data, 0, None)
     else:
-        raise ValueError(f"unknown synthetic volume kind: {kind}")
+        # analytic field registry (data/procedural.py) rasterized at the
+        # decode lattice — makes every analytic source also usable as a
+        # grid volume (render apps, viewer, golden tests)
+        from instantvnr_tpu.data.procedural import FIELDS, AnalyticSampler
+
+        if kind not in FIELDS:
+            raise ValueError(f"unknown synthetic volume kind: {kind}")
+        data = np.asarray(
+            AnalyticSampler.create(kind, seed).lattice_grid(dims))
+        # fields are already [0,1] by contract — keep them UNstretched so
+        # the grid equals the analytic field exactly (shared PSNR oracles)
+        return Volume(data=jnp.asarray(data, jnp.float32), dims=dims,
+                      original_range=(0.0, 1.0))
     data, rng_ = normalize_array(data.astype(np.float32))
     return Volume(data=jnp.asarray(data), dims=dims, original_range=rng_)
 

@@ -115,6 +115,39 @@ def train_steps(field: NeuralField, volume: jnp.ndarray, state: TrainState,
     return state
 
 
+def _one_step_source(field: NeuralField, sampler, batch: int,
+                     state: TrainState):
+    """`_one_step` with an ANALYTIC (no ground-truth texture) source: the
+    batch values come from the sampler's field function instead of a
+    volume gather — the reference's OpenVKL training modes
+    (neural_sampler.cpp:714-958), with the CPU vklComputeSample replaced
+    by in-jit evaluation (data/procedural.AnalyticSampler)."""
+    key, k_batch = jax.random.split(state.key)
+    coords, targets = sampler.sample(k_batch, batch)
+    loss_fn = make_loss_fn(field)
+    loss, grads = jax.value_and_grad(loss_fn)(state.params, coords, targets)
+    params, opt = adam_update(
+        field.cfg.optimizer, state.params, grads, state.opt,
+        l2_mask=mlp_l2_mask(state.params),
+    )
+    return TrainState(params=params, opt=opt, key=key, loss=loss)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 3, 4), donate_argnums=(2,))
+def train_steps_source(field: NeuralField, sampler, state: TrainState,
+                       n_steps: int, batch: int = DEFAULT_TRAIN_BATCH
+                       ) -> TrainState:
+    """`train_steps` over a static/hashable analytic sampler — the entire
+    chunk (RNG, field evaluation, fwd, bwd, Adam × K) is one device
+    program; no volume exists anywhere."""
+
+    def body(st, _):
+        return _one_step_source(field, sampler, batch, st), None
+
+    state, _ = jax.lax.scan(body, state, None, length=n_steps)
+    return state
+
+
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
 def train_step_hostbatch(field: NeuralField, state: TrainState,
                          coords: jnp.ndarray, targets: jnp.ndarray
