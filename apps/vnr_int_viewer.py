@@ -56,6 +56,8 @@ _PAGE = """<!doctype html>
  <span id="stats"></span>
 </div>
 <img id="view" draggable="false">
+<div><canvas id="curve" width="512" height="90"
+  style="border:1px solid #333; background:#111"></canvas></div>
 <script>
 const img = document.getElementById('view');
 let cam = null, drag = null;
@@ -83,8 +85,33 @@ async function state() {
   }
   sel.value = s.mode;
   document.getElementById('train').checked = s.training;
+  let extra = '';
+  if (s.streaming_cache && s.streaming_cache.quality !== 'n/a')
+    extra = `  [cache ${s.streaming_cache.resolved}: `
+          + `${s.streaming_cache.quality}]`;
   document.getElementById('stats').textContent =
-    ` step ${s.step}  loss ${s.loss.toFixed(5)}  ${s.fps.toFixed(1)} fps`;
+    ` step ${s.step}  loss ${s.loss.toFixed(5)}  ${s.fps.toFixed(1)} fps`
+    + extra;
+}
+// live training curve (int_dual_volume.cpp:426-431 implot panel)
+async function curve() {
+  const c = await (await fetch('/api/curve')).json();
+  const cv = document.getElementById('curve'), g = cv.getContext('2d');
+  g.clearRect(0, 0, cv.width, cv.height);
+  if (c.step.length < 2) return;
+  const ls = c.loss.map(v => Math.log10(Math.max(v, 1e-8)));
+  const lmin = Math.min(...ls), lmax = Math.max(...ls, lmin + 1e-6);
+  const smin = c.step[0], smax = c.step[c.step.length - 1];
+  g.strokeStyle = '#8c8'; g.beginPath();
+  for (let i = 0; i < ls.length; i++) {
+    const x = (c.step[i] - smin) / Math.max(smax - smin, 1) * (cv.width - 8) + 4;
+    const y = cv.height - 6 - (ls[i] - lmin) / (lmax - lmin) * (cv.height - 12);
+    i ? g.lineTo(x, y) : g.moveTo(x, y);
+  }
+  g.stroke();
+  g.fillStyle = '#888'; g.font = '10px monospace';
+  g.fillText(`loss ${c.loss[c.loss.length-1].toExponential(2)} @ ${smax}`,
+             6, 12);
 }
 function sendCam() {
   fetch(`/api/camera?yaw=${cam.yaw}&pitch=${cam.pitch}&dist=${cam.dist}`);
@@ -104,6 +131,7 @@ img.onwheel = e => {
 };
 setInterval(() => { img.src = '/frame.png?t=' + Date.now(); }, 150);
 setInterval(state, 500); state();
+setInterval(curve, 1000); curve();
 </script></body></html>"""
 
 
@@ -167,6 +195,11 @@ class ViewerApp:
         self.png = b""
         self.frame_id = 0
         self.fps = 0.0
+        # training curve ring buffer (step, loss, fps) — the int_dual live
+        # plot data (int_dual_volume.cpp:426-431)
+        from collections import deque
+
+        self.curve = deque(maxlen=512)
         self.modes = []
         for m in RenderMode:
             needs_neural = m.name.startswith(("DECODED", "NEURAL")) or \
@@ -259,6 +292,9 @@ class ViewerApp:
         if training and self.nv is not None and self.nv.simple is not None:
             # int_dual_volume.cpp:662-674 training slice
             self.nv.train(self.train_steps, fast_mode=False)
+            st = self.nv.statistics()
+            with self.lock:
+                self.curve.append((int(st.step), float(st.loss), self.fps))
             if decoded:
                 # progressive decode feeds only the decoded-slab grid;
                 # refresh_params below rebinds the network-sampling modes
@@ -302,6 +338,9 @@ class ViewerApp:
         if self.nv is not None:
             st = self.nv.statistics()
             s["step"], s["loss"] = st.step, float(st.loss)
+        # the NEURAL_WAVEFRONT* sampling quality is policy-dependent
+        # (decoded-grade brick pool by default) — surface it (VERDICT r3 #9)
+        s["streaming_cache"] = self.renderer.streaming_cache_info
         # schedule-replay diagnostics (compaction.drive_compacted): how
         # many frames rode the free-running fast path vs re-recorded
         sc = getattr(self.renderer._impl, "_sched_cache", None)
@@ -353,6 +392,16 @@ def make_handler(app: ViewerApp, server_holder):
             if url.path == "/api/state":
                 return self._send(200, json.dumps(app.state()).encode(),
                                   "application/json")
+            if url.path == "/api/curve":
+                # training curve ring buffer (step, loss, fps columns)
+                with app.lock:
+                    pts = list(app.curve)
+                body = json.dumps({
+                    "step": [p[0] for p in pts],
+                    "loss": [p[1] for p in pts],
+                    "fps": [p[2] for p in pts],
+                }).encode()
+                return self._send(200, body, "application/json")
             if url.path == "/api/camera":
                 with app.lock:
                     o = app.orbit

@@ -161,6 +161,20 @@ class TestViewer:
             st3 = jsonlib.loads(get("/api/state"))
             assert abs(st3["camera"]["yaw"] - 2.5) < 1e-6
 
+            # live training curve (int_dual implot parity): the ring
+            # buffer carries (step, loss, fps) points by now
+            cv = jsonlib.loads(get("/api/curve"))
+            assert len(cv["step"]) >= 1
+            assert len(cv["step"]) == len(cv["loss"]) == len(cv["fps"])
+            assert cv["step"] == sorted(cv["step"])
+            assert all(l > 0 for l in cv["loss"])
+
+            # streaming-cache quality is surfaced in state (decoded-grade
+            # default must be visible, not silent)
+            sc = st3["streaming_cache"]
+            assert sc["policy"] == "auto"
+            assert sc["quality"] == "n/a"  # DECODED_SLAB: not a streaming mode
+
             # pause training, then quit
             assert get("/api/training?on=0") == b"ok"
 
