@@ -62,3 +62,97 @@ class TestGoldenStats:
         a, rgb, mx = stats(r.mapframe())
         assert a == pytest.approx(0.1636, abs=0.015)
         assert rgb == pytest.approx(0.0545, abs=0.008)
+
+
+@pytest.fixture(scope="module")
+def facade_scene():
+    """One trained facade scene shared by the per-mode-family pins below
+    (VERDICT r3 #4: every RenderMode family gets a pinned frame). Seeds
+    are fixed; regenerate via the module-docstring protocol (print stats
+    from a fresh run, update approx targets)."""
+    from instantvnr_tpu.api import NeuralVolume, SimpleVolume
+    from instantvnr_tpu.config import (EncodingConfig, ModelConfig,
+                                       NetworkConfig)
+
+    vol = synthetic_volume((32, 32, 32), kind="vorts", seed=0)
+    simple = SimpleVolume(vol)
+    cfg = ModelConfig(
+        encoding=EncodingConfig(n_levels=4, n_features_per_level=4,
+                                log2_hashmap_size=12, base_resolution=4),
+        network=NetworkConfig(n_neurons=32, n_hidden_layers=2))
+    nv = NeuralVolume(cfg, simple=simple, seed=0, train_batch=4096)
+    nv.train(40)
+    cam = Camera(eye=(5, 3, -66), center=(0, 0, 0), up=(0, 1, 0), fovy=45)
+    return nv, simple, cam
+
+
+class TestGoldenModeFamilies:
+    """Facade pins, one per remaining mode family: path tracing (GT /
+    decoded / neural), SSH, FULL_SHADOW, first-hit isosurface, and the
+    brick-cache wavefront. GT-grid pins are tight; network-dependent pins
+    are looser (they also absorb training-path numerics)."""
+
+    def _pin(self, facade_scene, mode, a0, rgb0, tol_a, tol_rgb,
+             n_frames=1, **kw):
+        from instantvnr_tpu.api import VNRenderer
+
+        nv, simple, cam = facade_scene
+        needs_gt_only = "REFERENCE" in mode.name
+        r = VNRenderer(simple if needs_gt_only else nv, 24, 24,
+                       mode=mode, **kw)
+        r.set_camera(cam)
+        for _ in range(n_frames):
+            r.render()
+        img = r.mapframe()
+        a, rgb, _mx = stats(img)
+        assert np.isfinite(img).all()
+        assert a == pytest.approx(a0, abs=tol_a), (a, rgb)
+        assert rgb == pytest.approx(rgb0, abs=tol_rgb), (a, rgb)
+
+    def test_pathtrace_reference(self, facade_scene):
+        from instantvnr_tpu.api import RenderMode
+
+        self._pin(facade_scene, RenderMode.PATHTRACE_REFERENCE,
+                  0.1597, 0.0439, 0.015, 0.008, n_frames=4)
+
+    def test_pathtrace_decoded(self, facade_scene):
+        from instantvnr_tpu.api import RenderMode
+
+        self._pin(facade_scene, RenderMode.PATHTRACE_DECODED,
+                  0.1667, 0.0477, 0.025, 0.012, n_frames=4)
+
+    def test_pathtrace_neural(self, facade_scene):
+        from instantvnr_tpu.api import RenderMode
+
+        self._pin(facade_scene, RenderMode.PATHTRACE_NEURAL,
+                  0.1597, 0.0452, 0.025, 0.012, n_frames=4)
+
+    def test_brick_wavefront(self, facade_scene):
+        from instantvnr_tpu.api import RenderMode
+
+        self._pin(facade_scene, RenderMode.NEURAL_WAVEFRONT,
+                  0.1748, 0.0583, 0.025, 0.012, streaming_cache="brick")
+
+    def test_ssh(self, facade_scene):
+        from instantvnr_tpu.api import RenderMode
+
+        self._pin(facade_scene, RenderMode.REFERENCE_SSH,
+                  0.1682, 0.0227, 0.015, 0.006)
+
+    def test_full_shadow(self, facade_scene):
+        from instantvnr_tpu.api import RenderMode
+
+        self._pin(facade_scene, RenderMode.FULL_SHADOW_REFERENCE,
+                  0.1682, 0.0264, 0.015, 0.006)
+
+    def test_isosurface_reference(self, facade_scene):
+        from instantvnr_tpu.api import RenderMode
+
+        self._pin(facade_scene, RenderMode.ISOSURFACE_REFERENCE,
+                  0.0298, 0.0075, 0.008, 0.004)
+
+    def test_isosurface_decoded(self, facade_scene):
+        from instantvnr_tpu.api import RenderMode
+
+        self._pin(facade_scene, RenderMode.ISOSURFACE_DECODED,
+                  0.0140, 0.0034, 0.010, 0.004)
