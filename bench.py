@@ -19,9 +19,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus a
 mode-5 flagship: brick = macrocell-guided decoded-brick cache, exact =
 per-sample network evaluation), slab fps (512/768/shaded/512³), compacted
 path tracing (decoded AND neural), isosurface, training Msamples/s at the
-bench schema (2^14) and the untouched reference schema (2^19), PSNR, SSIM,
-the reference-protocol 1000-step PSNR, and compression at 128³ and 512³.
-Extra context lines go to stderr.
+bench schema (2^14) and the untouched reference schema (2^19) — each also
+under the paired-corner hash variant (4 rows/hashed level instead of 8,
+with its own exact-wavefront fps and 1000-step protocol PSNR for quality
+parity) — PSNR, SSIM, the reference-protocol 1000-step PSNR, and
+compression at 128³ and 512³. Extra context lines go to stderr.
 """
 from __future__ import annotations
 
@@ -206,6 +208,58 @@ def main(report=None):
     except Exception as e:  # noqa: BLE001 — keep the bench alive
         log(f"2^19 stage failed: {e!r}")
 
+    # ---- paired-corner hash variant (native schema option) ---------------
+    # Hashed levels cost 4 pair-row gathers instead of 8 corner rows
+    # (ops/hash_encoding.py paired section) — the gather-wall lever for
+    # training AND exact-network streaming. Measured alongside the tcnn
+    # schema; quality parity at the same 1000-step protocol.
+    paired_state = None
+    try:
+        cfgp = dataclasses.replace(
+            cfg, encoding=dataclasses.replace(cfg.encoding,
+                                              hash_variant="paired"))
+        fieldp = NeuralField.from_config(cfgp)
+        paired_state = create_train_state(jax.random.PRNGKey(0), fieldp)
+        for _ in range(15):
+            paired_state = train_steps(fieldp, vol.data, paired_state, 10,
+                                       batch)
+        _ = float(paired_state.loss)
+        t0 = time.time()
+        for _ in range(10):
+            paired_state = train_steps(fieldp, vol.data, paired_state, 10,
+                                       batch)
+        _ = float(paired_state.loss)
+        report["train_msps_paired14"] = 100 * batch / (time.time() - t0) / 1e6
+        log(f"train throughput (hash 2^14, paired): "
+            f"{report['train_msps_paired14']:.2f} Msamples/s")
+
+        cfg19p = dataclasses.replace(
+            ModelConfig(), encoding=dataclasses.replace(
+                ModelConfig().encoding, hash_variant="paired"))
+        field19p = NeuralField.from_config(cfg19p)
+        st19p = create_train_state(jax.random.PRNGKey(0), field19p)
+        st19p = train_steps(field19p, vol.data, st19p, 10, batch)
+        _ = float(st19p.loss)
+        t0 = time.time()
+        st19p = train_steps(field19p, vol.data, st19p, 5, batch)
+        _ = float(st19p.loss)
+        report["train_msps_paired19"] = 5 * batch / (time.time() - t0) / 1e6
+        log(f"train throughput (hash 2^19, paired): "
+            f"{report['train_msps_paired19']:.2f} Msamples/s")
+        # same 1000-step protocol as the tcnn schema above → PSNR parity
+        t0 = time.time()
+        for _ in range(98):
+            st19p = train_steps(field19p, vol.data, st19p, 10, batch)
+        _ = float(st19p.loss)
+        report["psnr_1000_paired"] = float(psnr_vs(field19p, st19p.params,
+                                                   vol.data))
+        log(f"paired protocol (1000 steps @2^19): "
+            f"PSNR {report['psnr_1000_paired']:.2f} dB "
+            f"({time.time() - t0:.0f}s)")
+        del st19p, field19p
+    except Exception as e:  # noqa: BLE001
+        log(f"paired stage failed: {e!r}")
+
     # ---- flagship mode 5a: brick-cache sample streaming ------------------
     # (macrocell-guided decoded-brick pool, render/brickcache.py — the
     # TPU-native sample-streaming fast path; round-3 redesign)
@@ -304,6 +358,30 @@ def main(report=None):
         del rw
     except Exception as e:  # noqa: BLE001
         log(f"exact wavefront measurement failed: {e!r}")
+
+    # exact streaming with the PAIRED schema: same mode-5 semantics, ~2x
+    # fewer gather rows/sample at the bench schema (1 dense + 7 hashed:
+    # 57 -> 29 packed rows)
+    try:
+        if paired_state is None:
+            raise RuntimeError("paired training stage failed earlier")
+        rwp = Renderer(size, size, mc, tf, make_neural_sample_fn(fieldp),
+                       sample_ctx=render_params(paired_state.params, fieldp),
+                       settings=RaymarchSettings(n_iters=4, compact=True))
+        rwp.set_camera(cam)
+        t0 = time.time()
+        rwp.warmup()
+        log(f"paired-wavefront warmup: {time.time() - t0:.1f}s")
+        t0 = time.time()
+        rwp.render()
+        _sync(rwp._frame)
+        log(f"paired-wavefront first frame: {time.time() - t0:.1f}s")
+        report["wavefront_fps_paired"] = _time_frames(rwp, 3, warm=0)
+        log(f"exact neural wavefront {size}x{size} (paired): "
+            f"{report['wavefront_fps_paired']:.3f} fps")
+        del rwp
+    except Exception as e:  # noqa: BLE001
+        log(f"paired exact wavefront failed: {e!r}")
 
     # ---- interactive pipeline: progressive neural decode + slab render ---
     from instantvnr_tpu.render.decoded import DecodedRenderer
@@ -427,6 +505,10 @@ def _json_line(report):
         ("brick_vs_exact_psnr", "brick_vs_exact_frame_psnr_db"),
         ("train_msps", "train_msamples_per_s_hash14"),
         ("train_msps_full", "train_msamples_per_s_hash19_ref_schema"),
+        ("train_msps_paired14", "train_msamples_per_s_hash14_paired"),
+        ("train_msps_paired19", "train_msamples_per_s_hash19_paired"),
+        ("wavefront_fps_paired", "neural_wavefront_fps_512_paired"),
+        ("psnr_1000_paired", "psnr_db_1000steps_paired_schema"),
         ("fps_768", "slab_fps_768"),
         ("fps_shaded", "slab_fps_512_shaded"),
         ("fps_512cube", "slab_fps_512_of_512cube"),

@@ -75,6 +75,18 @@ class EncodingConfig:
     base_resolution: int = 16
     per_level_scale: float = 2.0  # tcnn default when absent from JSON
     interpolation: str = "Linear"
+    # "tcnn" = the reference per-point spatial hash (BSON-interoperable);
+    # "paired" = the TPU-native cell-pair layout: hashed levels key a
+    # 2-entry row on the CELL (x) so lookups cost 4 row-gathers/level
+    # instead of 8 — the gather-wall lever (ops/hash_encoding.py paired
+    # notes). Same parameter count; NOT tcnn-interoperable (native .npz
+    # checkpoints only).
+    hash_variant: str = "tcnn"
+
+    def __post_init__(self):
+        if self.hash_variant not in ("tcnn", "paired"):
+            raise ValueError(f"hash_variant={self.hash_variant!r}; "
+                             "expected 'tcnn' or 'paired'")
 
     @property
     def n_output_dims(self) -> int:
@@ -179,6 +191,10 @@ class ModelConfig:
                 "log2_hashmap_size": self.encoding.log2_hashmap_size,
                 "base_resolution": self.encoding.base_resolution,
                 "per_level_scale": self.encoding.per_level_scale,
+                # extra key only for the native variant — tcnn-schema
+                # checkpoints stay byte-identical
+                **({"hash_variant": self.encoding.hash_variant}
+                   if self.encoding.hash_variant != "tcnn" else {}),
             },
             "network": {
                 "otype": self.network.otype,
@@ -205,6 +221,7 @@ def model_config_from_dict(cfg: dict) -> ModelConfig:
             base_resolution=int(enc.get("base_resolution", 16)),
             per_level_scale=float(enc.get("per_level_scale", 2.0)),
             interpolation=enc.get("interpolation", "Linear"),
+            hash_variant=enc.get("hash_variant", "tcnn"),
         ),
         network=NetworkConfig(
             otype=net.get("otype", "FullyFusedMLP"),

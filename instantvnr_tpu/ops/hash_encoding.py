@@ -39,13 +39,19 @@ def _next_multiple(x: int, m: int) -> int:
 
 @dataclass(frozen=True)
 class HashGridSpec:
-    """Static (trace-time) description of the hash grid layout."""
+    """Static (trace-time) description of the hash grid layout.
+
+    `paired=True` selects the TPU-native cell-pair layout for HASHED
+    levels (dense levels are identical): see the "paired-corner hashing"
+    section below. Same entry count and parameter count as the tcnn
+    layout; only the hashed-level addressing differs."""
 
     n_levels: int
     n_features: int
     log2_hashmap_size: int
     base_resolution: int
     per_level_scale: float
+    paired: bool = False
 
     @classmethod
     def from_config(cls, cfg: EncodingConfig) -> "HashGridSpec":
@@ -55,6 +61,7 @@ class HashGridSpec:
             log2_hashmap_size=cfg.log2_hashmap_size,
             base_resolution=cfg.base_resolution,
             per_level_scale=cfg.per_level_scale,
+            paired=getattr(cfg, "hash_variant", "tcnn") == "paired",
         )
 
     @property
@@ -128,6 +135,8 @@ def corner_indices_and_weights(spec: HashGridSpec, coords: jnp.ndarray):
     This is the shared address-generation path for the pure-JAX forward, the
     XLA scatter-add backward, and the macrocell-style utilities.
     """
+    assert not spec.paired, \
+        "tcnn corner addressing is invalid for paired specs"
     b = coords.shape[0]
     idx_parts = []
     w_parts = []
@@ -175,6 +184,9 @@ def level_param_arrays(spec: HashGridSpec):
     Returns dict of [L] arrays: scale f32, size u32, offset i32 (into the
     flat table), res u32, dense bool.
     """
+    assert not spec.paired, (
+        "tensor-parallel level sharding uses tcnn addressing; the paired "
+        "hash variant is single-shard (DP/EP) only for now")
     return {
         "scale": jnp.asarray(spec.scales, jnp.float32),
         "size": jnp.asarray(spec.level_sizes, jnp.uint32),
@@ -304,14 +316,151 @@ def hash_encode(table: jnp.ndarray, coords: jnp.ndarray,
 
     One fused gather for all levels; differentiable w.r.t. `table` (XLA emits
     a single scatter-add in the backward — the reference path's equivalent of
-    tcnn's grid-gradient kernel).
+    tcnn's grid-gradient kernel). Paired specs route to the cell-pair
+    forward (also one fused gather, of wider rows).
     """
+    if spec.paired:
+        return hash_encode_paired(table, coords, spec, compute_dtype)
     b = coords.shape[0]
     indices, weights = corner_indices_and_weights(spec, coords)
     feats = table[indices]  # [B, L*8, F] — one gather
     feats = feats.astype(compute_dtype) * weights.astype(compute_dtype)[..., None]
     feats = feats.reshape(b, spec.n_levels, 8, spec.n_features).sum(axis=2)
     return feats.reshape(b, spec.n_levels * spec.n_features)
+
+
+# ---------------------------------------------------------------------------
+# Paired-corner hashing — the TPU-native hashed-level layout
+#
+# The gather wall: v5e gathers cost ~13 ns per ROW regardless of width
+# (NOTES_ROUND1), so the tcnn layout's 8 corner rows per hashed level per
+# sample set the price of both training forward and exact-network
+# rendering. Row gathers being width-flat suggests packing corners into
+# wider rows — which packed_dense_tables does for DENSE levels (corners
+# sit at fixed strides). Hashed levels scatter the 8 corners to unrelated
+# entries, so the tcnn layout cannot be packed by rearrangement.
+#
+# The paired layout changes the KEY instead (VERDICT r3 #2): a hashed
+# level's [S, F] entries are viewed as [S/2, 2F] pair-rows, and the row
+# for a cell's x-adjacent corner pair (cx, cx+1) at (y, z) is
+#
+#     row = (cx·1 ⊻ y·P2 ⊻ z·P3) mod (S/2)        (hash of the CELL x)
+#
+# with the two x-corners in the row's two F-wide halves. Every cell needs
+# only its 4 (y,z) corner combinations → 4 row-gathers/level instead
+# of 8. Same parameter count.
+#
+# Semantics trade-off (why this is a VARIANT, not the default): each grid
+# point now has TWO stored entries — as the right corner of cell x−1 and
+# the left corner of cell x — trained by disjoint sample populations, so
+# the encoding may be discontinuous across x cell faces where the copies
+# disagree (both converge to the local field, so the gap is small); and
+# cells collide at 2·R³/S instead of points at R³/S. Training-quality
+# parity is pinned by test (tests/test_paired_hash.py); the layout is NOT
+# tcnn-BSON-interoperable (native .npz checkpoints carry it).
+# ---------------------------------------------------------------------------
+
+_YZ_CORNERS = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], np.int32)  # (by,bz)
+
+
+def _level_cell_frac(spec: HashGridSpec, lvl: int, coords: jnp.ndarray):
+    x = coords * jnp.float32(spec.scales[lvl]) + 0.5
+    cell = jnp.floor(x)
+    return cell.astype(jnp.int32), x - cell
+
+
+def _dense_level_corners(spec: HashGridSpec, lvl: int, coords: jnp.ndarray):
+    """One dense level's LOCAL entry indices [B,8] + trilinear weights
+    [B,8] (tcnn stride addressing — identical for both hash variants)."""
+    res = spec.resolutions[lvl]
+    size = spec.level_sizes[lvl]
+    corners = jnp.asarray(_CORNERS)
+    cell, frac = _level_cell_frac(spec, lvl, coords)
+    pos = cell[:, None, :] + corners[None, :, :]
+    idx = (pos[..., 0] + pos[..., 1] * np.int32(res)
+           + pos[..., 2] * np.int32(res * res)).astype(jnp.uint32)
+    idx = (idx % np.uint32(size)).astype(jnp.int32)
+    cw = jnp.where(corners[None, :, :] == 0, 1.0 - frac[:, None, :],
+                   frac[:, None, :])
+    return idx, cw[..., 0] * cw[..., 1] * cw[..., 2]
+
+
+def _paired_level_rows(spec: HashGridSpec, lvl: int, coords: jnp.ndarray):
+    """One hashed level's LOCAL pair-row indices [B,4] (into the level's
+    [S/2, 2F] view) + per-half weights [B,4,2].
+
+    The pairing AXIS alternates per level (x, y, z, x, ...): any copy
+    disagreement shows as a discontinuity only across that axis's cell
+    faces, so alternating keeps the artifact from stacking coherently on
+    one axis across all hashed levels (measured worth ~0.4 dB at the
+    parity-test config vs all-x)."""
+    size = spec.level_sizes[lvl]
+    assert size % 2 == 0
+    a = lvl % 3  # pairing axis
+    o1, o2 = (a + 1) % 3, (a + 2) % 3
+    yz = jnp.asarray(_YZ_CORNERS)
+    cell, frac = _level_cell_frac(spec, lvl, coords)
+    ca = cell[:, a : a + 1].astype(jnp.uint32)  # the CELL coord — pair key
+    p1 = (cell[:, o1 : o1 + 1] + yz[None, :, 0]).astype(jnp.uint32)
+    p2 = (cell[:, o2 : o2 + 1] + yz[None, :, 1]).astype(jnp.uint32)
+    h = (ca * np.uint32(_PRIMES[0])
+         ^ p1 * np.uint32(_PRIMES[1])
+         ^ p2 * np.uint32(_PRIMES[2]))
+    rows = (h % np.uint32(size // 2)).astype(jnp.int32)  # [B,4]
+    fa, f1, f2 = frac[:, a], frac[:, o1], frac[:, o2]
+    w12 = (jnp.where(yz[None, :, 0] == 0, (1.0 - f1)[:, None], f1[:, None])
+           * jnp.where(yz[None, :, 1] == 0, (1.0 - f2)[:, None],
+                       f2[:, None]))  # [B,4]
+    w2 = jnp.stack([w12 * (1.0 - fa)[:, None], w12 * fa[:, None]], axis=-1)
+    return rows, w2
+
+
+def paired_rows_and_weights(spec: HashGridSpec, coords: jnp.ndarray,
+                            levels=None):
+    """Unified pair-row addressing over the [T/2, 2F] table view.
+
+    Dense levels contribute their 8 corner entries as (entry>>1) rows with
+    the weight on the (entry&1) half; hashed levels contribute 4 pair-rows
+    with both halves weighted — ONE fused gather serves them all.
+    Returns (rows [B, R] int32 global pair-rows, w2 [B, R, 2] f32,
+    counts: static per-level row counts)."""
+    rows_parts, w_parts, counts = [], [], []
+    for lvl in (range(spec.n_levels) if levels is None else levels):
+        offset = spec.level_offsets[lvl]
+        assert offset % 2 == 0
+        if spec.level_is_dense[lvl]:
+            idx, w = _dense_level_corners(spec, lvl, coords)
+            e = idx + np.int32(offset)
+            rows_parts.append(e >> 1)
+            half = (e & 1).astype(jnp.float32)
+            w_parts.append(jnp.stack([w * (1.0 - half), w * half], axis=-1))
+            counts.append(8)
+        else:
+            rows, w2 = _paired_level_rows(spec, lvl, coords)
+            rows_parts.append(rows + np.int32(offset >> 1))
+            w_parts.append(w2)
+            counts.append(4)
+    return (jnp.concatenate(rows_parts, axis=1),
+            jnp.concatenate(w_parts, axis=1), tuple(counts))
+
+
+def hash_encode_paired(table: jnp.ndarray, coords: jnp.ndarray,
+                       spec: HashGridSpec,
+                       compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Paired-layout encode: [B,3] → [B, L·F], one fused [B, R]-row gather
+    of 2F-wide rows (R = 8·dense + 4·hashed vs the tcnn layout's 8·L)."""
+    b = coords.shape[0]
+    f_ = spec.n_features
+    rows, w2, counts = paired_rows_and_weights(spec, coords)
+    view = table.reshape(-1, 2 * f_)
+    g = view[rows].astype(compute_dtype)  # [B, R, 2F] — one gather
+    g = g.reshape(b, -1, 2, f_) * w2.astype(compute_dtype)[..., None]
+    per_row = g.sum(axis=2)  # [B, R, F]
+    feats, s = [], 0
+    for c in counts:
+        feats.append(per_row[:, s:s + c].sum(axis=1))
+        s += c
+    return jnp.concatenate(feats, axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -353,9 +502,13 @@ def hash_encode_packed(table: jnp.ndarray, packed: dict, coords: jnp.ndarray,
                        spec: HashGridSpec,
                        compute_dtype=jnp.float32) -> jnp.ndarray:
     """`hash_encode` with corner-packed dense levels: one [size, 8F]-row
-    gather per dense level, one fused [B, H·8] gather for the hashed levels.
+    gather per dense level, one fused [B, H·8] gather for the hashed levels
+    (H·4 pair-rows under the paired variant).
     Forward-only (inference paths; training keeps `hash_encode_splat`).
     Exactly equal to `hash_encode` up to summation order (tested)."""
+    if spec.paired:
+        return _hash_encode_packed_paired(table, packed, coords, spec,
+                                          compute_dtype)
     b = coords.shape[0]
     indices, weights = corner_indices_and_weights(spec, coords)
     iw = indices.reshape(b, spec.n_levels, 8)
@@ -378,6 +531,36 @@ def hash_encode_packed(table: jnp.ndarray, packed: dict, coords: jnp.ndarray,
         f = f.reshape(b, len(hashed), 8, spec.n_features).sum(2)
         for j, l in enumerate(hashed):
             feats[l] = f[:, j]
+    return jnp.concatenate(feats, axis=1)
+
+
+def _hash_encode_packed_paired(table, packed: dict, coords, spec,
+                               compute_dtype):
+    """Packed-dense + paired-hashed inference forward: dense levels with a
+    companion table gather ONE 8F row; the remaining levels share ONE
+    fused pair-row gather. Row total at the 2^19 reference schema:
+    3 + 5·4 = 23 vs the tcnn layout's 43."""
+    b = coords.shape[0]
+    f_ = spec.n_features
+    feats = [None] * spec.n_levels
+    rest = []
+    for l in range(spec.n_levels):
+        if str(l) in packed:
+            idx, w = _dense_level_corners(spec, l, coords)
+            base = idx[:, 0]  # min-corner needs no wrap (see tcnn path)
+            f = packed[str(l)][base].reshape(b, 8, f_).astype(compute_dtype)
+            feats[l] = (f * w.astype(compute_dtype)[..., None]).sum(1)
+        else:
+            rest.append(l)
+    if rest:
+        rows, w2, counts = paired_rows_and_weights(spec, coords, levels=rest)
+        g = table.reshape(-1, 2 * f_)[rows].astype(compute_dtype)
+        g = g.reshape(b, -1, 2, f_) * w2.astype(compute_dtype)[..., None]
+        per_row = g.sum(axis=2)
+        s = 0
+        for l, c in zip(rest, counts):
+            feats[l] = per_row[:, s:s + c].sum(axis=1)
+            s += c
     return jnp.concatenate(feats, axis=1)
 
 
@@ -475,6 +658,8 @@ def _dense_level_grad_splat(spec: HashGridSpec, lvl: int, coords: jnp.ndarray,
 
 def _make_splat_encode(spec: HashGridSpec, compute_dtype,
                        packed_fwd: bool = False):
+    if spec.paired:
+        return _make_paired_splat_encode(spec, compute_dtype)
     dense_lvls = [l for l in range(spec.n_levels) if spec.level_is_dense[l]]
     hashed_lvls = [l for l in range(spec.n_levels)
                    if not spec.level_is_dense[l]]
@@ -540,6 +725,55 @@ def _make_splat_encode(spec: HashGridSpec, compute_dtype,
                 t = jnp.zeros((spec.level_sizes[l], spec.n_features), acc_dt)
                 parts[l] = t.at[idx].add(upd.astype(acc_dt)).astype(
                     jnp.float32)
+
+        return jnp.concatenate(parts, 0).astype(table_dtype), g_coords
+
+    encode.defvjp(fwd, bwd)
+    return encode
+
+
+def _make_paired_splat_encode(spec: HashGridSpec, compute_dtype):
+    """Training encode for PAIRED specs: dense levels keep the separable
+    splat backward (their entry layout is identical to tcnn), hashed
+    levels scatter B·4 pair-rows of 2F into the level's [S/2, 2F] view —
+    half the scatter updates of the tcnn layout at the same table size."""
+    dense_lvls = [l for l in range(spec.n_levels) if spec.level_is_dense[l]]
+    hashed_lvls = [l for l in range(spec.n_levels)
+                   if not spec.level_is_dense[l]]
+    f_ = spec.n_features
+
+    @jax.custom_vjp
+    def encode(table, coords):
+        return hash_encode_paired(table, coords, spec, compute_dtype)
+
+    def fwd(table, coords):
+        return encode(table, coords), (table, coords)
+
+    def bwd(res_, g):
+        table, coords = res_
+        table_dtype = table.dtype
+        b = coords.shape[0]
+        out_c, vjp_c = jax.vjp(
+            lambda c: hash_encode_paired(table, c, spec, compute_dtype),
+            coords)
+        (g_coords,) = vjp_c(g.astype(out_c.dtype))
+        g = g.astype(jnp.float32).reshape(b, spec.n_levels, f_)
+        parts = [None] * spec.n_levels
+
+        for l in dense_lvls:
+            parts[l] = _dense_level_grad_splat(spec, l, coords, g[:, l, :])
+
+        for l in hashed_lvls:
+            rows, w2 = _paired_level_rows(spec, l, coords)  # local
+            upd = (w2[..., None] * g[:, l, None, None, :])  # [B,4,2,F]
+            size = spec.level_sizes[l]
+            # f16 accumulation on big levels (same rule/measurement as the
+            # tcnn scatter path above)
+            acc_dt = (jnp.float16 if size >= (1 << 17) else jnp.float32)
+            t = jnp.zeros((size // 2, 2 * f_), acc_dt)
+            t = t.at[rows.reshape(-1)].add(
+                upd.reshape(-1, 2 * f_).astype(acc_dt))
+            parts[l] = t.astype(jnp.float32).reshape(size, f_)
 
         return jnp.concatenate(parts, 0).astype(table_dtype), g_coords
 

@@ -1,0 +1,199 @@
+"""Paired-corner hashing (EncodingConfig.hash_variant="paired") — the
+TPU-native hashed-level layout: 4 pair-row gathers/level instead of 8
+corner rows (ops/hash_encoding.py paired section; VERDICT r3 #2).
+
+Correctness contract: forward paths agree bit-for-bit / to summation
+order; the splat-variant training backward equals autodiff of the paired
+forward; training quality matches tcnn within the measured noise floor at
+low collision pressure; checkpoints round-trip the variant."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instantvnr_tpu.config import EncodingConfig, ModelConfig, NetworkConfig
+from instantvnr_tpu.ops.hash_encoding import (
+    HashGridSpec,
+    hash_encode,
+    hash_encode_packed,
+    hash_encode_paired,
+    hash_encode_splat,
+    init_hash_table,
+    packed_dense_tables,
+)
+
+
+@pytest.fixture(scope="module")
+def spec():
+    # levels 0-1 dense, 2-3 hashed (the interesting mix)
+    return HashGridSpec(n_levels=4, n_features=4, log2_hashmap_size=10,
+                        base_resolution=4, per_level_scale=2.0, paired=True)
+
+
+@pytest.fixture(scope="module")
+def table(spec):
+    return init_hash_table(jax.random.PRNGKey(0), spec)
+
+
+@pytest.fixture(scope="module")
+def coords():
+    return jax.random.uniform(jax.random.PRNGKey(1), (512, 3), jnp.float32)
+
+
+class TestPairedForward:
+    def test_dispatch_and_row_budget(self, spec, table, coords):
+        from instantvnr_tpu.ops.hash_encoding import paired_rows_and_weights
+
+        f1 = hash_encode(table, coords, spec)  # dispatches to paired
+        f2 = hash_encode_paired(table, coords, spec)
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+        rows, w2, counts = paired_rows_and_weights(spec, coords)
+        # 8 rows per dense level, 4 per hashed — the whole point
+        assert counts == (8, 8, 4, 4)
+        assert rows.shape == (coords.shape[0], 24)
+        assert w2.shape == (coords.shape[0], 24, 2)
+        # weights per level still sum to 1 (a partition of unity)
+        s = 0
+        for c in counts:
+            np.testing.assert_allclose(
+                np.asarray(w2[:, s:s + c].sum(axis=(1, 2))), 1.0, atol=1e-5)
+            s += c
+
+    def test_dense_levels_match_tcnn_layout(self, table, coords):
+        """Dense levels are addressed identically in both variants, so a
+        dense-only spec encodes bit-identically under either flag."""
+        kw = dict(n_levels=2, n_features=4, log2_hashmap_size=14,
+                  base_resolution=4, per_level_scale=2.0)
+        s_t = HashGridSpec(paired=False, **kw)
+        s_p = HashGridSpec(paired=True, **kw)
+        assert all(s_p.level_is_dense)
+        t = init_hash_table(jax.random.PRNGKey(3), s_p)
+        np.testing.assert_array_equal(
+            np.asarray(hash_encode(t, coords, s_t)),
+            np.asarray(hash_encode(t, coords, s_p)))
+
+    def test_packed_inference_path(self, spec, table, coords):
+        packed = packed_dense_tables(table, spec)
+        assert packed  # the two dense levels packed
+        f = hash_encode_packed(table, packed, coords, spec)
+        np.testing.assert_allclose(np.asarray(f),
+                                   np.asarray(hash_encode(table, coords,
+                                                          spec)),
+                                   rtol=0, atol=1e-5)
+
+    def test_continuity_within_pair_axis_cells(self, spec, table):
+        """Inside any cell the paired encoding is trilinear → continuous;
+        crossing a NON-pair-axis face reads the same rows on both sides
+        for that level. (Cross-pair-axis faces may have the documented
+        copy discontinuity — not asserted.) Sanity: tiny coordinate steps
+        produce bounded feature steps almost everywhere."""
+        p = jax.random.uniform(jax.random.PRNGKey(7), (256, 3))
+        eps = 1e-4
+        f0 = np.asarray(hash_encode(table, p, spec))
+        f1 = np.asarray(hash_encode(table, p + eps, spec))
+        # features are init-scale (1e-4); steps must be proportionally tiny
+        assert np.median(np.abs(f1 - f0)) < 1e-6
+
+
+class TestPairedBackward:
+    def test_splat_backward_equals_autodiff(self, spec, table, coords):
+        def loss_plain(t):
+            return jnp.sum(jnp.sin(hash_encode_paired(t, coords, spec)))
+
+        def loss_splat(t):
+            return jnp.sum(jnp.sin(hash_encode_splat(t, coords, spec)))
+
+        ga = jax.grad(loss_plain)(table)
+        gb = jax.grad(loss_splat)(table)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   atol=2e-4)
+
+    def test_coords_cotangent(self, spec, table, coords):
+        g = jax.grad(lambda c: jnp.sum(
+            hash_encode_splat(table, c, spec) ** 2))(coords)
+        g2 = jax.grad(lambda c: jnp.sum(
+            hash_encode_paired(table, c, spec) ** 2))(coords)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g2), atol=1e-4)
+
+
+class TestPairedTraining:
+    def _train(self, variant, cap, steps=300):
+        from instantvnr_tpu.data import synthetic_volume
+        from instantvnr_tpu.models import (NeuralField, create_train_state,
+                                           train_steps)
+        from instantvnr_tpu.models.metrics import psnr_vs
+
+        vol = synthetic_volume((64, 64, 64), kind="vorts")
+        cfg = ModelConfig(
+            encoding=EncodingConfig(n_levels=6, n_features_per_level=4,
+                                    log2_hashmap_size=cap,
+                                    base_resolution=4,
+                                    hash_variant=variant),
+            network=NetworkConfig(n_neurons=64, n_hidden_layers=4))
+        field = NeuralField.from_config(cfg)
+        state = create_train_state(jax.random.PRNGKey(0), field)
+        state = train_steps(field, vol.data, state, steps, 16384)
+        return float(psnr_vs(field, state.params, vol.data))
+
+    def test_psnr_parity_low_collision(self):
+        """At the reference-like collision pressure (cap 2^16 on 64³:
+        hashed levels barely collide) paired must train to tcnn-equal
+        PSNR. Measured: 50.05 vs 50.54 dB (noise floor ~1 dB at 300
+        steps, NOTES_ROUND2)."""
+        p_t = self._train("tcnn", 16)
+        p_p = self._train("paired", 16)
+        assert p_p > 40.0, p_p
+        assert p_p > p_t - 1.5, (p_p, p_t)
+
+
+class TestPairedSerialization:
+    def test_config_roundtrip(self):
+        cfg = ModelConfig(encoding=EncodingConfig(hash_variant="paired"))
+        from instantvnr_tpu.config import model_config_from_dict
+
+        doc = cfg.to_json()
+        assert doc["encoding"]["hash_variant"] == "paired"
+        assert model_config_from_dict(doc).encoding.hash_variant == "paired"
+        # tcnn configs serialize WITHOUT the extra key (BSON byte-compat)
+        assert "hash_variant" not in ModelConfig().to_json()["encoding"]
+
+    def test_variant_validation(self):
+        with pytest.raises(ValueError):
+            EncodingConfig(hash_variant="bogus")
+
+    def test_facade_checkpoint_roundtrip(self, tmp_path):
+        """Train a paired model through the facade, save .npz and BSON,
+        reload both, decode-compare."""
+        from instantvnr_tpu.api import NeuralVolume, SimpleVolume
+        from instantvnr_tpu.data import synthetic_volume
+
+        vol = synthetic_volume((32, 32, 32), kind="sphere")
+        cfg = ModelConfig(
+            encoding=EncodingConfig(n_levels=4, n_features_per_level=4,
+                                    log2_hashmap_size=10, base_resolution=4,
+                                    hash_variant="paired"),
+            network=NetworkConfig(n_neurons=32, n_hidden_layers=2))
+        nv = NeuralVolume(cfg, simple=SimpleVolume(vol), train_batch=4096)
+        nv.train(30)
+        want = np.asarray(nv.decode_volume())
+
+        for name in ("ckpt.npz", "ckpt.bson"):
+            path = str(tmp_path / name)
+            nv.save_params(path)
+            nv2 = NeuralVolume.from_checkpoint(path)
+            assert nv2.field.spec.paired
+            got = np.asarray(nv2.decode_volume())
+            # BSON stores fp16 params (tcnn interchange precision)
+            atol = 0 if name.endswith(".npz") else 5e-3
+            np.testing.assert_allclose(got, want, atol=atol)
+
+    def test_tp_path_guards(self):
+        from instantvnr_tpu.ops.hash_encoding import level_param_arrays
+
+        spec = HashGridSpec(n_levels=4, n_features=4, log2_hashmap_size=10,
+                            base_resolution=4, per_level_scale=2.0,
+                            paired=True)
+        with pytest.raises(AssertionError):
+            level_param_arrays(spec)
