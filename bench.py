@@ -149,8 +149,9 @@ def main(report=None):
         state = train_steps(field, vol.data, state, 10, batch)
     _ = float(state.loss)
     dt_train = time.time() - t0
-    log(f"train {n_steps}x{batch} (hash 2^14): {dt_train:.1f}s "
-        f"({n_steps * batch / dt_train / 1e6:.1f} Msamples/s incl. compile)")
+    log(f"train {n_steps}x{batch} (hash 2^14): {dt_train:.1f}s wall "
+        "(compile/warmup-dominated on a cold cache; steady-state "
+        "throughput is the next line)")
 
     # timed training throughput (post-compile)
     t0 = time.time()
@@ -187,6 +188,19 @@ def main(report=None):
         report["train_msps_full"] = 5 * batch / dt19 / 1e6
         log(f"train throughput (hash 2^19, reference schema): "
             f"{report['train_msps_full']:.2f} Msamples/s")
+        # MFU-style statement vs the measured hardware ceiling: v5e random
+        # row-gathers are issue-bound at ~13 ns/row regardless of width
+        # (NOTES_ROUND1), so the training FORWARD alone cannot exceed
+        # 1/(rows_per_sample × 13 ns) samples/s. State where we sit.
+        row_ns = 13.0
+        rows19 = 8 * field19.spec.n_levels
+        bound19 = 1e3 / (rows19 * row_ns)  # Msamples/s
+        report["train_bound_msps"] = bound19
+        report["train_bound_pct"] = 100 * report["train_msps_full"] / bound19
+        log(f"  forward-gather bound ({rows19} rows/sample x {row_ns:.0f} "
+            f"ns): {bound19:.2f} Msamples/s -> full step runs at "
+            f"{report['train_bound_pct']:.0f}% of the gather-only bound "
+            f"(remainder: backward scatter + Adam)")
 
         # reference-protocol run: 1000 steps (batch_trainer.cpp:42) at the
         # untouched schema, PSNR+SSIM after (VERDICT r2: first-class, not
@@ -246,6 +260,14 @@ def main(report=None):
         report["train_msps_paired19"] = 5 * batch / (time.time() - t0) / 1e6
         log(f"train throughput (hash 2^19, paired): "
             f"{report['train_msps_paired19']:.2f} Msamples/s")
+        sp = field19p.spec
+        rows_p = sum(8 if d else 4 for d in sp.level_is_dense)
+        bound_p = 1e3 / (rows_p * 13.0)
+        report["train_bound_pct_paired"] = (
+            100 * report["train_msps_paired19"] / bound_p)
+        log(f"  paired forward-gather bound ({rows_p} rows/sample): "
+            f"{bound_p:.2f} Msamples/s -> "
+            f"{report['train_bound_pct_paired']:.0f}% of bound")
         # same 1000-step protocol as the tcnn schema above → PSNR parity
         t0 = time.time()
         for _ in range(98):
@@ -525,6 +547,22 @@ def _json_line(report):
     for key, name in pairs:
         if key in report:
             secondary[name] = round(report[key], 4 if "ssim" in name else 3)
+    # derived per-chip rays/s (BASELINE names rays/s/chip as the metric) +
+    # the gather-bound MFU statement
+    for key, name, px in (
+            ("fps", "rays_per_s_slab_512", 512),
+            ("fps_768", "rays_per_s_slab_768", 768),
+            ("brick_fps", "rays_per_s_brick_wavefront_512", 512),
+            ("brick_fps_768", "rays_per_s_brick_wavefront_768", 768),
+            ("wavefront_fps", "rays_per_s_exact_wavefront_512", 512)):
+        if key in report:
+            secondary[name] = round(report[key] * px * px, 0)
+    for key, name in (("train_bound_pct", "samples_per_s_bound_pct"),
+                      ("train_bound_pct_paired",
+                       "samples_per_s_bound_pct_paired"),
+                      ("train_bound_msps", "samples_per_s_gather_bound_m")):
+        if key in report:
+            secondary[name] = round(report[key], 1)
     return {
         "metric": report.get(
             "metric", "neural decode+slab-render fps @ 512x512 (hash 2^14)"),

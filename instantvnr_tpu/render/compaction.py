@@ -341,12 +341,15 @@ def settle_pending(schedule_cache: dict) -> bool:
     is cleared so the next frame re-records serialized. No-op (True) when
     nothing is pending."""
     pend = schedule_cache.pop("pending", None)
+    subs = schedule_cache.pop("pending_subs", None)
     if not pend:
         return True
     ok = all(int(h) <= m_new for h, m_new in pend)
     if ok:
         return True
-    schedule_cache.pop("ops", None)
+    # tiled frames: the unsafe schedule(s) live in the band sub-caches
+    for c in (subs or [schedule_cache]):
+        c.pop("ops", None)
     schedule_cache["invalidated"] = schedule_cache.get("invalidated", 0) + 1
     return False
 
@@ -522,6 +525,38 @@ def raymarch_compacted(
     from instantvnr_tpu.utils.math import normalize as _normalize
 
     r = org.shape[0]
+    if settings.tiles > 1:
+        # frame tiling: drive each contiguous row band through its own
+        # schedule (RaymarchSettings.tiles). Bands reuse the bucket family
+        # of an untiled frame of the band size (settings pass down with
+        # tiles=1). Deferred-validation pendings are aggregated into the
+        # TOP cache so the renderer's settle sees one frame-level verdict;
+        # an invalid frame clears every band's recorded schedule.
+        t_ = settings.tiles
+        band = -(-r // t_)
+        sub_settings = dataclasses.replace(settings, tiles=1)
+        outs = []
+        pend = []
+        subs = []
+        for i in range(t_):
+            sl = slice(i * band, min((i + 1) * band, r))
+            if sl.start >= r:
+                break
+            sub_cache = (None if schedule_cache is None
+                         else schedule_cache.setdefault(f"tile{i}", {}))
+            outs.append(raymarch_compacted(
+                sample_fn, org[sl], dirn[sl], t_near[sl], t_far[sl], mc, tf,
+                jitter[sl], sub_settings, light_dir=light_dir,
+                sample_ctx=sample_ctx, scale=scale, clip_lower=clip_lower,
+                clip_upper=clip_upper, shadow_vol=shadow_vol,
+                schedule_cache=sub_cache, defer=defer))
+            if sub_cache is not None and "pending" in sub_cache:
+                pend.extend(sub_cache.pop("pending"))
+                subs.append(sub_cache)
+        if pend:
+            schedule_cache["pending"] = pend
+            schedule_cache["pending_subs"] = subs
+        return jnp.concatenate(outs, axis=0)
     dims = jnp.array(mc.volume_dims, jnp.float32)
     if light_dir is None:
         light_dir = jnp.asarray(settings.light_dir, jnp.float32)

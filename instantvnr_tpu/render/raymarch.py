@@ -118,10 +118,21 @@ class RaymarchSettings:
     # invalid replay the renderer rolls the accumulation back and
     # re-renders that frame serialized with the same key.
     deferred_validation: bool = True
+    # compacted-driver frame tiling: split the frame's rays into this many
+    # contiguous row bands, each driven through ITS OWN superstep/
+    # compaction/replay schedule (compaction.raymarch_compacted). Rays in
+    # a band are spatially coherent, so each band's bucket tracks ITS ray
+    # population instead of one global bucket holding the frame's longest
+    # tail — buckets shrink `tiles`x faster where rays die early. Output
+    # is bit-identical for any tiling (per-ray state is slot-independent).
+    # Band programs share the bucket family of an untiled frame of the
+    # band's size. 1 = off.
+    tiles: int = 1
 
     def __post_init__(self):
         assert self.shading in ("none", "gradient", "ssh",
                                 "shadow"), self.shading
+        assert self.tiles >= 1, self.tiles
 
 
 class _RayState(NamedTuple):

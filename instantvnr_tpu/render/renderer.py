@@ -238,11 +238,31 @@ class Renderer:
         is the dominant startup cost); other paths just render one frame.
         Accumulation state is left untouched."""
         if self.settings.compact and not self.settings.fixed_steps:
+            import dataclasses
+
             from instantvnr_tpu.render.compaction import warmup_programs
 
+            r = self.width * self.height
+            settings = self.settings
+            if settings.tiles > 1:
+                # band programs carry tiles=1 settings and band-size frames
+                band = -(-r // settings.tiles)
+                settings = dataclasses.replace(settings, tiles=1)
+                n = warmup_programs(
+                    self.sample_fn, settings, self.mc, self.tf, band,
+                    sample_ctx=self.sample_ctx,
+                    scale=self.transform.scale, parallel=parallel,
+                    shadow_vol=self.shadow_volume)
+                if r % band:  # smaller trailing band has its own family
+                    n += warmup_programs(
+                        self.sample_fn, settings, self.mc, self.tf,
+                        r % band, sample_ctx=self.sample_ctx,
+                        scale=self.transform.scale, parallel=parallel,
+                        shadow_vol=self.shadow_volume)
+                return n
             return warmup_programs(
-                self.sample_fn, self.settings, self.mc, self.tf,
-                self.width * self.height, sample_ctx=self.sample_ctx,
+                self.sample_fn, settings, self.mc, self.tf, r,
+                sample_ctx=self.sample_ctx,
                 scale=self.transform.scale, parallel=parallel,
                 shadow_vol=self.shadow_volume)
         self.render()

@@ -64,6 +64,56 @@ def test_compacted_matches_plain(scene, shading):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("tiles", [2, 4, 3])
+def test_tiled_matches_untiled(scene, tiles, monkeypatch):
+    """Frame tiling (RaymarchSettings.tiles) is pure scheduling — the
+    tiled frame must equal the untiled frame bit-for-bit, including with
+    replay across frames and deferred validation."""
+    import instantvnr_tpu.render.compaction as comp
+
+    monkeypatch.setattr(comp, "_MIN_BUCKET", 256)
+    monkeypatch.setattr(comp, "_FINISH_BUCKET", 512)
+    vol, tf, mc = scene
+    cam = Camera.default_for_dims(vol.dims)
+    frames = {}
+    for t_ in (1, tiles):
+        r = Renderer(48, 48, mc, tf, reference_sample_fn,
+                     sample_ctx=vol.data,
+                     settings=RaymarchSettings(compact=True, tiles=t_),
+                     seed=5)
+        r.set_camera(cam)
+        fs = []
+        for _ in range(3):
+            r.render()
+            fs.append(r.mapframe().copy())
+        frames[t_] = fs
+        if t_ > 1:
+            # per-band replay engaged after the first frame
+            sub = r._sched_cache.get("tile0", {})
+            assert sub.get("replays", 0) >= 1, r._sched_cache
+    for a, b in zip(frames[1], frames[tiles]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_tiled_ssh_matches_untiled(scene, monkeypatch):
+    import instantvnr_tpu.render.compaction as comp
+
+    monkeypatch.setattr(comp, "_MIN_BUCKET", 256)
+    monkeypatch.setattr(comp, "_FINISH_BUCKET", 512)
+    vol, tf, mc = scene
+    cam = Camera.default_for_dims(vol.dims)
+    frames = {}
+    for t_ in (1, 2):
+        r = Renderer(32, 32, mc, tf, reference_sample_fn,
+                     sample_ctx=vol.data,
+                     settings=RaymarchSettings(compact=True, tiles=t_,
+                                               shading="ssh"), seed=2)
+        r.set_camera(cam)
+        r.render()
+        frames[t_] = r.mapframe()
+    np.testing.assert_array_equal(frames[1], frames[2])
+
+
 def test_bucket_schedule():
     assert _bucket(1, 1 << 20) == 8192
     assert _bucket(8193, 1 << 20) == 16384
