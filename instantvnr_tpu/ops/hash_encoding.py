@@ -444,11 +444,59 @@ def paired_rows_and_weights(spec: HashGridSpec, coords: jnp.ndarray,
             jnp.concatenate(w_parts, axis=1), tuple(counts))
 
 
+def paired_corner_indices_and_weights(spec: HashGridSpec,
+                                      coords: jnp.ndarray):
+    """PAIRED-layout per-corner addressing: ([B, L·8] int32 flat ENTRY
+    indices, [B, L·8] trilinear weights) — the narrow-row presentation of
+    the pair layout. Hashed-level corner (yz, half) lives at entry
+    offset + 2·pair_row + half; dense levels are tcnn stride entries.
+
+    Why narrow rows: the wide [S/2, 2F] row gather measured ~23 ns/row vs
+    ~14-15 for 8-wide rows at multi-MB tables (scratch/gather_width.py —
+    v5e gathers are NOT width-flat past 8 f32 lanes at this footprint),
+    so 4 wide rows LOSE to 8 narrow ones in the forward. The pair layout
+    still wins in the BACKWARD, where the scatter's update count (not
+    row width) sets the cost."""
+    b = coords.shape[0]
+    idx_parts, w_parts = [], []
+    for lvl in range(spec.n_levels):
+        offset = spec.level_offsets[lvl]
+        if spec.level_is_dense[lvl]:
+            idx, w = _dense_level_corners(spec, lvl, coords)
+            idx_parts.append(idx + np.int32(offset))
+            w_parts.append(w)
+        else:
+            rows, w2 = _paired_level_rows(spec, lvl, coords)
+            e = np.int32(offset) + 2 * rows  # [B,4] left-entry indices
+            idx_parts.append(jnp.stack([e, e + 1], axis=-1).reshape(b, 8))
+            w_parts.append(w2.reshape(b, 8))
+    return (jnp.concatenate(idx_parts, axis=1),
+            jnp.concatenate(w_parts, axis=1))
+
+
 def hash_encode_paired(table: jnp.ndarray, coords: jnp.ndarray,
                        spec: HashGridSpec,
                        compute_dtype=jnp.float32) -> jnp.ndarray:
-    """Paired-layout encode: [B,3] → [B, L·F], one fused [B, R]-row gather
-    of 2F-wide rows (R = 8·dense + 4·hashed vs the tcnn layout's 8·L)."""
+    """Paired-layout encode: [B,3] → [B, L·F], one fused [B, L·8] gather
+    of narrow rows (same gather shape/cost as the tcnn layout — the
+    paired win is the halved-update backward scatter, see
+    paired_corner_indices_and_weights)."""
+    b = coords.shape[0]
+    indices, weights = paired_corner_indices_and_weights(spec, coords)
+    feats = table[indices]  # [B, L*8, F] — one gather
+    feats = (feats.astype(compute_dtype)
+             * weights.astype(compute_dtype)[..., None])
+    feats = feats.reshape(b, spec.n_levels, 8, spec.n_features).sum(axis=2)
+    return feats.reshape(b, spec.n_levels * spec.n_features)
+
+
+def hash_encode_paired_wide(table: jnp.ndarray, coords: jnp.ndarray,
+                            spec: HashGridSpec,
+                            compute_dtype=jnp.float32) -> jnp.ndarray:
+    """The wide-row formulation (one fused [B, R] gather of 2F rows,
+    R = 8·dense + 4·hashed). Measured SLOWER than the narrow form on v5e
+    (30.6 vs 20-24 ms at 2^19 — wide rows are not width-flat); kept as
+    the semantic cross-check the parity tests pin against."""
     b = coords.shape[0]
     f_ = spec.n_features
     rows, w2, counts = paired_rows_and_weights(spec, coords)
@@ -538,8 +586,8 @@ def _hash_encode_packed_paired(table, packed: dict, coords, spec,
                                compute_dtype):
     """Packed-dense + paired-hashed inference forward: dense levels with a
     companion table gather ONE 8F row; the remaining levels share ONE
-    fused pair-row gather. Row total at the 2^19 reference schema:
-    3 + 5·4 = 23 vs the tcnn layout's 43."""
+    fused narrow per-corner gather (paired_corner_indices_and_weights —
+    wide pair rows measured slower)."""
     b = coords.shape[0]
     f_ = spec.n_features
     feats = [None] * spec.n_levels
@@ -553,14 +601,25 @@ def _hash_encode_packed_paired(table, packed: dict, coords, spec,
         else:
             rest.append(l)
     if rest:
-        rows, w2, counts = paired_rows_and_weights(spec, coords, levels=rest)
-        g = table.reshape(-1, 2 * f_)[rows].astype(compute_dtype)
-        g = g.reshape(b, -1, 2, f_) * w2.astype(compute_dtype)[..., None]
-        per_row = g.sum(axis=2)
-        s = 0
-        for l, c in zip(rest, counts):
-            feats[l] = per_row[:, s:s + c].sum(axis=1)
-            s += c
+        idx_parts, w_parts = [], []
+        for l in rest:
+            offset = spec.level_offsets[l]
+            if spec.level_is_dense[l]:
+                idx, w = _dense_level_corners(spec, l, coords)
+                idx_parts.append(idx + np.int32(offset))
+                w_parts.append(w)
+            else:
+                rows, w2 = _paired_level_rows(spec, l, coords)
+                e = np.int32(offset) + 2 * rows
+                idx_parts.append(
+                    jnp.stack([e, e + 1], axis=-1).reshape(b, 8))
+                w_parts.append(w2.reshape(b, 8))
+        hi = jnp.concatenate(idx_parts, axis=1)
+        hw = jnp.concatenate(w_parts, axis=1).astype(compute_dtype)
+        f = table[hi].astype(compute_dtype) * hw[..., None]
+        f = f.reshape(b, len(rest), 8, f_).sum(2)
+        for j, l in enumerate(rest):
+            feats[l] = f[:, j]
     return jnp.concatenate(feats, axis=1)
 
 

@@ -61,6 +61,17 @@ class TestPairedForward:
                 np.asarray(w2[:, s:s + c].sum(axis=(1, 2))), 1.0, atol=1e-5)
             s += c
 
+    def test_narrow_equals_wide_formulation(self, spec, table, coords):
+        """The shipped narrow per-corner forward and the wide pair-row
+        formulation are two presentations of the SAME function — they must
+        agree to summation order."""
+        from instantvnr_tpu.ops.hash_encoding import hash_encode_paired_wide
+
+        f_n = hash_encode_paired(table, coords, spec)
+        f_w = hash_encode_paired_wide(table, coords, spec)
+        np.testing.assert_allclose(np.asarray(f_n), np.asarray(f_w),
+                                   rtol=0, atol=1e-5)
+
     def test_dense_levels_match_tcnn_layout(self, table, coords):
         """Dense levels are addressed identically in both variants, so a
         dense-only spec encodes bit-identically under either flag."""
