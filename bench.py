@@ -293,10 +293,13 @@ def main(report=None):
         )
 
         t0 = time.time()
-        ctx = build_brick_cache(field, state.params, mc, dilate=1)
-        _sync(ctx["packed"])
+        # f16 pool — the facade's auto default (105.8 dB vs f32, half the
+        # gathered bytes: 6.7→8.7 fps @512², NOTES_ROUND4 sweep2)
+        ctx = build_brick_cache(field, state.params, mc, dilate=1,
+                                dtype=jnp.float16)
+        _sync(ctx["packed"].astype(jnp.float32))
         log(f"brick cache build: {time.time() - t0:.2f}s "
-            f"({ctx['packed'].nbytes / 1e6:.0f} MB)")
+            f"({ctx['packed'].nbytes / 1e6:.0f} MB f16)")
         bset = RaymarchSettings(n_iters=8, max_skips=1, compact=True)
         rb = Renderer(size, size, mc, tf, brick_sample_fn, sample_ctx=ctx,
                       settings=bset)
@@ -343,13 +346,19 @@ def main(report=None):
         log(f"brick wavefront {size}x{size} ORBIT: "
             f"{report['brick_orbit_fps']:.3f} fps")
         del rbo
-        # the reference's own benchmark frame size, streaming mode
+        # the reference's own benchmark frame size, streaming mode —
+        # 3-band frame tiling + 64k tail finisher (the facade defaults at
+        # ≥480k rays; bit-identical scheduling — NOTES_ROUND4 sweeps)
+        import dataclasses as _dc
+
         rb768 = Renderer(768, 768, mc, tf, brick_sample_fn, sample_ctx=ctx,
-                         settings=bset)
+                         settings=_dc.replace(bset, tiles=3,
+                                              finish_bucket=65536))
         rb768.set_camera(cam)
         rb768.warmup()
         report["brick_fps_768"] = _time_frames(rb768, 4, warm=1)
-        log(f"brick wavefront 768x768: {report['brick_fps_768']:.3f} fps")
+        log(f"brick wavefront 768x768 (tiles=3): "
+            f"{report['brick_fps_768']:.3f} fps")
         del rb768
     except Exception as e:  # noqa: BLE001
         log(f"brick wavefront stage failed: {e!r}")

@@ -768,12 +768,19 @@ class VNRenderer:
                 # evaluation (the reference's literal mode-5 semantics).
                 from instantvnr_tpu.render.brickcache import brick_sample_fn
 
+                # big frames tile into 3 row bands with a bigger tail
+                # finisher (bit-identical pure scheduling; 768² measured
+                # 2.85 → 5.4 fps with the f16 pool, while 512² prefers
+                # the untiled default — NOTES_ROUND4 tiling sweeps)
+                big = self.width * self.height >= 480_000
                 impl = Renderer(
                     self.width, self.height, mc, tf, brick_sample_fn,
                     sample_ctx=ctx,
                     settings=RaymarchSettings(
                         shading=shading, compact=True, n_iters=8,
-                        max_skips=1, sampling_rate=self.sampling_rate,
+                        max_skips=1, tiles=3 if big else 1,
+                        finish_bucket=65536 if big else None,
+                        sampling_rate=self.sampling_rate,
                         density_scale=self.density_scale),
                     transform=xf,
                 )
@@ -1064,11 +1071,16 @@ class VNRenderer:
         self._lazy = None
         args = (self.neural.field, self.neural.state.params, mc)
         if self.streaming_cache == "brick":
+            # explicit "brick" keeps the f32 pool — the bit-exact
+            # decoded-grid-parity escape hatch
             return build_brick_cache(*args)
         budget = float(os.environ.get("VNR_BRICK_MAX_MB", "4096")) * 2**20
         nbytes = brick_cache_bytes(mc)  # f32
-        dtype = (jnp.float32 if nbytes <= budget
-                 else jnp.float16 if nbytes / 2 <= budget else None)
+        # f16 pool by default: densities are [0,1] and the f16 pool frame
+        # measured 105.8 dB vs f32 at bench scale (indistinguishable),
+        # while halving the gathered bytes — 6.7 → 8.7 fps @512²,
+        # 3.0 → 4.8 @768²·tiles=4 (NOTES_ROUND4 sweep2)
+        dtype = jnp.float16 if nbytes / 2 <= budget else None
         if dtype is None:
             return None
         if self.streaming_cache == "lazy":
@@ -1101,6 +1113,11 @@ class VNRenderer:
                 info["resolved"] = "none"
             info["quality"] = ("exact-network" if info["resolved"] == "none"
                                else "decoded-trilinear")
+            if info["resolved"] != "none":
+                ctx = (self._lazy.ctx if self._lazy is not None
+                       else self._impl.sample_ctx)
+                # f16 pools measured 105.8 dB vs f32 (indistinguishable)
+                info["pool_dtype"] = str(ctx["packed"].dtype)
         return info
 
     def refresh_params(self, budget_bricks: int | None = None):

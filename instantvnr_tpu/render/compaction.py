@@ -447,11 +447,12 @@ def warmup_programs(sample_fn, settings: RaymarchSettings, mc, tf, r: int,
     rays = (jnp.zeros((r, 3), jnp.float32), dirn, zeros, zeros)
     light = jnp.asarray(settings.light_dir, jnp.float32)
     sizes = bucket_sizes(r)
+    finish_bucket = settings.finish_bucket or _FINISH_BUCKET
 
     def warm_one(m: int):
         # fresh state/rays per call: the programs donate their buffers
         st = init_ray_state(zeros + 0.0, zeros + 0.0)
-        if m <= _FINISH_BUCKET:
+        if m <= finish_bucket:
             # budget must be a TRACED scalar like the render-time calls —
             # budget=None is a DIFFERENT jit-cache entry and would leave
             # the real finisher cold (None vs int32 cache separately)
@@ -582,7 +583,8 @@ def raymarch_compacted(
                  shadow_vol is None)
     rays, state, perm = drive_compacted(
         r, make_initial, dispatch_super, dispatch_finish,
-        settings.max_supersteps, 1, _FINISH_BUCKET,
+        settings.max_supersteps, 1,
+        settings.finish_bucket or _FINISH_BUCKET,
         speculate=settings.speculate,
         schedule_cache=schedule_cache if settings.schedule_replay else None,
         sched_key=sched_key, defer=defer)

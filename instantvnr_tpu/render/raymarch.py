@@ -128,6 +128,12 @@ class RaymarchSettings:
     # Band programs share the bucket family of an untiled frame of the
     # band's size. 1 = off.
     tiles: int = 1
+    # run-to-completion threshold override for the compacted driver
+    # (None → compaction._FINISH_BUCKET = 32768). Bigger frames amortize
+    # more compute per dispatch, so their tails tolerate a bigger
+    # finisher: 65536 measured best at 768²·tiles=3 (5.4 vs 5.0 fps,
+    # NOTES_ROUND4), while 512² keeps the default.
+    finish_bucket: int | None = None
 
     def __post_init__(self):
         assert self.shading in ("none", "gradient", "ssh",

@@ -286,8 +286,10 @@ class TestBrickCache:
         assert np.isfinite(r.mapframe()).all()
 
     def test_facade_memory_gating(self, monkeypatch):
-        """streaming_cache='auto' degrades with the pool budget: f32 pool
-        → f16 pool → exact network sampling (VNR_BRICK_MAX_MB)."""
+        """streaming_cache='auto' builds the f16 pool (the default —
+        105.8 dB vs f32, half the gathered bytes) while it fits
+        VNR_BRICK_MAX_MB and degrades to exact network sampling past it;
+        'brick' still forces the bit-exact f32 pool."""
         from instantvnr_tpu.api import (NeuralVolume, RenderMode,
                                         SimpleVolume, VNRenderer)
         from instantvnr_tpu.config import (EncodingConfig, ModelConfig,
@@ -306,7 +308,7 @@ class TestBrickCache:
                                if hasattr(nv.simple, "macrocell")
                                else nv.macrocell) / 2**20
 
-        cases = [(str(mb * 2), jnp.float32), (str(mb * 0.75), jnp.float16),
+        cases = [(str(mb * 2), jnp.float16), (str(mb * 0.75), jnp.float16),
                  ("0.001", None)]
         for budget, want in cases:
             monkeypatch.setenv("VNR_BRICK_MAX_MB", budget)
@@ -318,6 +320,11 @@ class TestBrickCache:
                 assert ctx["packed"].dtype == want, (budget, ctx["packed"].dtype)
             r.render()
             assert np.isfinite(np.asarray(r._impl._frame)).all()
+        # 'brick' = forced f32 (bit-exact decoded parity escape hatch)
+        monkeypatch.setenv("VNR_BRICK_MAX_MB", "4096")
+        rb = VNRenderer(nv, 16, 16, mode=RenderMode.NEURAL_WAVEFRONT,
+                        streaming_cache="brick")
+        assert rb._impl.sample_ctx["packed"].dtype == jnp.float32
 
     def test_facade_budgeted_refresh(self):
         """VNRenderer.refresh_params(budget_bricks=N) round-robins the
@@ -598,7 +605,7 @@ class TestBrickCache:
         cam = Camera(eye=(22, 18, -26), center=(8, 8, 8), up=(0, 1, 0),
                      fovy=35)
         frames = {}
-        for policy in ("brick", "lazy"):
+        for policy in ("auto", "lazy"):
             r = VNRenderer(nv, 24, 24, mode=RenderMode.NEURAL_WAVEFRONT)
             r.set_streaming_cache(policy)
             r.set_camera(cam)
@@ -609,7 +616,7 @@ class TestBrickCache:
                 assert 0 < r._lazy.n_decoded <= r._lazy.n_bricks
                 lazy_renderer = r
         assert frames["lazy"][..., 3].max() > 0.05
-        np.testing.assert_array_equal(frames["lazy"], frames["brick"])
+        np.testing.assert_array_equal(frames["lazy"], frames["auto"])
 
         # params move → refresh restales; the next render re-decodes the
         # visible set and matches a fresh brick build of the new params
@@ -621,7 +628,7 @@ class TestBrickCache:
         # mirror the lazy renderer's history (render → refresh → render) so
         # the per-frame jitter key sequence is identical
         rb = VNRenderer(nv, 24, 24, mode=RenderMode.NEURAL_WAVEFRONT)
-        rb.set_streaming_cache("brick")
+        rb.set_streaming_cache("auto")
         rb.set_camera(cam)
         rb.render()
         rb.refresh_params()
@@ -640,7 +647,7 @@ class TestBrickCache:
         lazy_renderer.render()
         got2 = lazy_renderer.mapframe()
         rb2 = VNRenderer(nv, 24, 24, mode=RenderMode.NEURAL_WAVEFRONT,
-                         streaming_cache="brick")
+                         streaming_cache="auto")
         rb2.set_camera(cam)
         # mirror the jitter key history: lazy_renderer has rendered twice
         # before this comparison frame, with an accumulation reset between
@@ -663,7 +670,7 @@ class TestBrickCache:
         got_ssh = rs.mapframe()
         assert np.isfinite(got_ssh).all()
         re = VNRenderer(nv, 16, 16, mode=RenderMode.NEURAL_WAVEFRONT_SSH,
-                        streaming_cache="brick")
+                        streaming_cache="auto")
         re.set_camera(cam)
         re.render()
         np.testing.assert_array_equal(got_ssh, re.mapframe())
