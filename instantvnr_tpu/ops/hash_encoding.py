@@ -127,6 +127,25 @@ def init_hash_table(key: jax.Array, spec: HashGridSpec,
     ).astype(dtype)
 
 
+# Pre-casting the f32 master table to the 16-bit compute dtype BEFORE the
+# forward gather halves the gathered bytes at identical numerics (the cast
+# commutes with the gather; the current path casts gathered rows anyway).
+# Measured (scratch/precast_fwd.py, B=2^16 encode fwd, v5e): 2^19 schema
+# 28.2 → 23.6 ms; 2^14 (cache-resident) neutral-to-negative, so the cast is
+# gated on table footprint. Per-level split gathers measured WORSE (43.5 ms
+# bf16 / 23.7 f32) — the footprint effect seen on random indices does not
+# survive real corner indices, whose spatial locality already caches well.
+_PRECAST_MIN_BYTES = 1 << 25  # 32 MB f32 — between the 2^14/2^19 schemas
+
+
+def _precast_for_gather(table: jnp.ndarray, compute_dtype) -> jnp.ndarray:
+    dt = jnp.dtype(compute_dtype)
+    if (dt.itemsize == 2 and table.dtype == jnp.float32
+            and table.nbytes >= _PRECAST_MIN_BYTES):
+        return table.astype(dt)
+    return table
+
+
 def corner_indices_and_weights(spec: HashGridSpec, coords: jnp.ndarray):
     """Compute flat table indices and trilinear weights for all levels.
 
@@ -323,7 +342,7 @@ def hash_encode(table: jnp.ndarray, coords: jnp.ndarray,
         return hash_encode_paired(table, coords, spec, compute_dtype)
     b = coords.shape[0]
     indices, weights = corner_indices_and_weights(spec, coords)
-    feats = table[indices]  # [B, L*8, F] — one gather
+    feats = _precast_for_gather(table, compute_dtype)[indices]  # one gather
     feats = feats.astype(compute_dtype) * weights.astype(compute_dtype)[..., None]
     feats = feats.reshape(b, spec.n_levels, 8, spec.n_features).sum(axis=2)
     return feats.reshape(b, spec.n_levels * spec.n_features)
@@ -483,7 +502,7 @@ def hash_encode_paired(table: jnp.ndarray, coords: jnp.ndarray,
     paired_corner_indices_and_weights)."""
     b = coords.shape[0]
     indices, weights = paired_corner_indices_and_weights(spec, coords)
-    feats = table[indices]  # [B, L*8, F] — one gather
+    feats = _precast_for_gather(table, compute_dtype)[indices]  # one gather
     feats = (feats.astype(compute_dtype)
              * weights.astype(compute_dtype)[..., None])
     feats = feats.reshape(b, spec.n_levels, 8, spec.n_features).sum(axis=2)

@@ -273,6 +273,40 @@ class TestSplatBackward:
             np.asarray(hash_encode_splat(table, coords, spec)),
             np.asarray(hash_encode(table, coords, spec)))
 
+    def test_precast_gather_bit_identical(self, monkeypatch):
+        """Big-table forwards cast the f32 table to the 16-bit compute
+        dtype BEFORE the gather (half the gathered bytes, hash_encoding.py
+        _precast_for_gather). The cast commutes with the gather, so the
+        output must be BIT-identical to the gather-then-cast path for both
+        hash variants."""
+        import instantvnr_tpu.ops.hash_encoding as he
+        from instantvnr_tpu.config import EncodingConfig
+        from instantvnr_tpu.ops.hash_encoding import (
+            HashGridSpec,
+            hash_encode,
+            init_hash_table,
+        )
+
+        key = jax.random.PRNGKey(3)
+        for variant in ("tcnn", "paired"):
+            spec = HashGridSpec.from_config(
+                EncodingConfig(n_levels=3, n_features_per_level=2,
+                               log2_hashmap_size=8, base_resolution=4,
+                               hash_variant=variant))
+            table = init_hash_table(key, spec)
+            coords = jax.random.uniform(key, (64, 3), jnp.float32)
+            monkeypatch.setattr(he, "_PRECAST_MIN_BYTES", 1 << 60)
+            ref = np.asarray(hash_encode(table, coords, spec,
+                                         compute_dtype=jnp.bfloat16))
+            monkeypatch.setattr(he, "_PRECAST_MIN_BYTES", 0)
+            got = np.asarray(hash_encode(table, coords, spec,
+                                         compute_dtype=jnp.bfloat16))
+            np.testing.assert_array_equal(got, ref)
+            # f32 compute never casts, gate or not
+            f32 = np.asarray(hash_encode(table, coords, spec,
+                                         compute_dtype=jnp.float32))
+            assert f32.dtype == np.float32
+
     def test_coords_grad_matches_scatter_path(self):
         """The splat path must give the SAME position gradients as the
         plain autodiff path (consumers that differentiate through sample
