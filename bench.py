@@ -64,6 +64,26 @@ def _time_frames(r, frames: int, warm: int = 3) -> float:
     return frames / (time.time() - t0)
 
 
+def _warm_fused(r, frames: int = 4):
+    """Record + stabilize the schedule, block for the background fused
+    whole-frame compile (persistently cached after the first bench run on
+    a machine), then prime the settle pipeline — so _time_frames measures
+    the fused steady state (compaction.fused_frame)."""
+    from instantvnr_tpu.render.compaction import wait_fused_compiles
+
+    for _ in range(frames):
+        r.render()
+    _sync(r._frame)
+    t0 = time.time()
+    wait_fused_compiles()
+    dt = time.time() - t0
+    if dt > 1.0:
+        log(f"fused whole-frame compile: {dt:.1f}s (background)")
+    for _ in range(r._fused_depth + 1):
+        r.render()
+    _sync(r._frame)
+
+
 def main(report=None):
     if report is None:
         report = {}
@@ -121,9 +141,13 @@ def main(report=None):
         from instantvnr_tpu.render.raymarch import RaymarchSettings
         from instantvnr_tpu.render.renderer import Renderer, make_neural_sample_fn
 
+        # fused_replay off: each exact frame is ~1s of compute (dispatch
+        # overhead is noise) and the background whole-frame compile would
+        # straggle into later stages' wait_fused_compiles
         rw = Renderer(size, size, mc, tf, make_neural_sample_fn(field),
                       sample_ctx=render_params(state.params, field),
-                      settings=RaymarchSettings(n_iters=4, compact=True))
+                      settings=RaymarchSettings(n_iters=4, compact=True,
+                                                fused_replay=False))
         rw.set_camera(cam)
         t_warm = time.time()
 
@@ -310,8 +334,11 @@ def main(report=None):
         t0 = time.time()
         rb.render(); _sync(rb._frame)
         log(f"brick-wavefront first frame: {time.time() - t0:.2f}s")
-        report["brick_fps"] = _time_frames(rb, 6, warm=0)
-        log(f"brick wavefront {size}x{size}: {report['brick_fps']:.3f} fps")
+        _warm_fused(rb)
+        report["brick_fps"] = _time_frames(rb, 8, warm=0)
+        log(f"brick wavefront {size}x{size} (fused frames: "
+            f"{rb._sched_cache.get('fused_frames', 0)}): "
+            f"{report['brick_fps']:.3f} fps")
         rb.reset_accumulation()
         rb.render()
         brick_frame = np.asarray(rb._frame)
@@ -321,8 +348,12 @@ def main(report=None):
         # --orbit analog)
         import math
 
+        import dataclasses as _dc
+
+        # fused_replay off: every orbit step records a fresh schedule, so
+        # whole-frame fusion would only pile up background compiles
         rbo = Renderer(size, size, mc, tf, brick_sample_fn, sample_ctx=ctx,
-                       settings=bset)
+                       settings=_dc.replace(bset, fused_replay=False))
 
         def _orbit(i, n=64):
             a = 2 * math.pi * i / n
@@ -349,15 +380,15 @@ def main(report=None):
         # the reference's own benchmark frame size, streaming mode —
         # 3-band frame tiling + 64k tail finisher (the facade defaults at
         # ≥480k rays; bit-identical scheduling — NOTES_ROUND4 sweeps)
-        import dataclasses as _dc
-
         rb768 = Renderer(768, 768, mc, tf, brick_sample_fn, sample_ctx=ctx,
                          settings=_dc.replace(bset, tiles=3,
                                               finish_bucket=65536))
         rb768.set_camera(cam)
         rb768.warmup()
-        report["brick_fps_768"] = _time_frames(rb768, 4, warm=1)
-        log(f"brick wavefront 768x768 (tiles=3): "
+        _warm_fused(rb768)
+        report["brick_fps_768"] = _time_frames(rb768, 6, warm=0)
+        log(f"brick wavefront 768x768 (tiles=3, fused frames: "
+            f"{rb768._sched_cache.get('fused_frames', 0)}): "
             f"{report['brick_fps_768']:.3f} fps")
         del rb768
     except Exception as e:  # noqa: BLE001
@@ -398,7 +429,8 @@ def main(report=None):
             raise RuntimeError("paired training stage failed earlier")
         rwp = Renderer(size, size, mc, tf, make_neural_sample_fn(fieldp),
                        sample_ctx=render_params(paired_state.params, fieldp),
-                       settings=RaymarchSettings(n_iters=4, compact=True))
+                       settings=RaymarchSettings(n_iters=4, compact=True,
+                                                 fused_replay=False))
         rwp.set_camera(cam)
         t0 = time.time()
         rwp.warmup()

@@ -138,6 +138,10 @@ def _finish_prefix(sample_fn, settings: RaymarchSettings, m: int,
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2, 3))
 def _compact_prefix(m: int, rays, state, perm):
+    return _compact_body(m, rays, state, perm)
+
+
+def _compact_body(m: int, rays, state, perm):
     """Within the prefix [0:m], move live rays to the front (stable).
 
     Permutes the per-ray inputs, the marching state, and the slot→pixel
@@ -181,6 +185,310 @@ def _compact_prefix(m: int, rays, state, perm):
         out.append(l.at[:m].set(c))
         off += w_
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+# ---------------------------------------------------------------------------
+# Fused schedule execution — the whole recorded frame as ONE device program
+#
+# A replayed frame still pays per-dispatch link overhead: the 512² brick
+# wavefront replays 7 dispatches (3 supersteps + 3 compactions + finisher)
+# in ~112 ms while the same schedule fused into one jit runs in ~66 ms
+# (scratch/megaframe.py, v5e) — the tunnel gaps between free-running
+# dispatches cost ~40% of the frame. Once a schedule has been replayed
+# unchanged twice, it is AOT-compiled in a BACKGROUND thread (compilation
+# releases the GIL; frames keep replaying per-dispatch meanwhile) and
+# swapped in when ready. Execution semantics are identical to _replay:
+# the same superstep/compact/finisher math in the same order, with the
+# same live-count validity checks (count before each compaction ≤ its
+# bucket) read back asynchronously — an invalid fused frame falls back to
+# the serialized re-render exactly like an invalid replay.
+#
+# Numerics: a fused frame is ALLCLOSE to the per-dispatch frame, not
+# bitwise equal — XLA fuses across the former dispatch boundaries, which
+# reorders a handful of f32 accumulations (measured ≤ ~3e-7 absolute on
+# the CPU test scene). The wavefront's bit-identical-under-any-SCHEDULE
+# property still holds; program PARTITIONING is what moves ulps.
+# ---------------------------------------------------------------------------
+
+_FUSED_EXE: dict = {}  # key -> compiled executable | "compiling" | "failed"
+_FUSED_THREADS: list = []  # in-flight compile threads (wait_fused_compiles)
+_FUSED_MAX = 64  # compile-cache cap: schedules beyond this keep replaying
+# Tests set this False (conftest) so fused engagement is explicit: a
+# background compile finishing mid-test would otherwise swap the ~1-ulp
+# fused result under assertions nondeterministically. Production keeps it.
+FUSED_AUTOCOMPILE = True
+
+
+def _fusable(ops) -> bool:
+    """Only schedules that END in a run-to-completion finisher can fuse:
+    anything else needs live-count reads mid-frame to terminate."""
+    return bool(ops) and ops[-1][0] == "F"
+
+
+def _fused_body(sample_fn, settings, ops, budget_total, budget_step,
+                mc, tf, light, rays, state, perm, sample_ctx, scale,
+                shadow_vol):
+    """The traced whole-frame program for one recorded schedule.
+
+    Returns (rays, state, perm, counts[n_S + 1] int32): counts[0] is the
+    initial live count, counts[1+i] the live count after the i-th
+    superstep — the same quantities _replay async-copies per dispatch."""
+    fn = partial(sample_fn, sample_ctx)
+    occ_aux, fused_fn = _fused_sampling(sample_fn, sample_ctx)
+    m = state.active.shape[0]
+    counts = [jnp.sum(state.active.astype(jnp.int32))]
+    used = 0
+    for op in ops:
+        # rays is REASSIGNED by every compaction: unpack per op, or the
+        # supersteps would march pre-compaction rays against compacted state
+        org, dirn, t_far, jitter = rays
+        if op[0] == "S":
+            pre = jax.tree_util.tree_map(lambda a: a[:m], state)
+            sub = _superstep(fn, org[:m], dirn[:m], t_far[:m], jitter[:m],
+                             mc, tf, settings, light, pre, scale=scale,
+                             shadow_vol=shadow_vol, occ_aux=occ_aux,
+                             fused_fn=fused_fn)
+            state = jax.tree_util.tree_map(
+                lambda full, part: jax.lax.dynamic_update_slice(
+                    full, part, (0,) * full.ndim), state, sub)
+            counts.append(jnp.sum(sub.active.astype(jnp.int32)))
+            used += budget_step
+        elif op[0] == "C":
+            rays, state, perm = _compact_body(m, rays, state, perm)
+            m = op[1]
+        else:  # "F" — terminal run-to-completion tail
+            mf = op[1]
+            pre = jax.tree_util.tree_map(lambda a: a[:mf], state)
+            budget = jnp.int32(budget_total - used)
+
+            def cond(carry):
+                st_, i = carry
+                return jnp.any(st_.active) & (i < budget)
+
+            def body(carry):
+                st_, i = carry
+                st_ = _superstep(fn, org[:mf], dirn[:mf], t_far[:mf],
+                                 jitter[:mf], mc, tf, settings, light, st_,
+                                 scale=scale, shadow_vol=shadow_vol,
+                                 occ_aux=occ_aux, fused_fn=fused_fn)
+                return st_, i + 1
+
+            sub, _ = jax.lax.while_loop(cond, body, (pre, jnp.int32(0)))
+            state = jax.tree_util.tree_map(
+                lambda full, part: jax.lax.dynamic_update_slice(
+                    full, part, (0,) * full.ndim), state, sub)
+    return rays, state, perm, jnp.stack(counts)
+
+
+class _CountRow:
+    """Lazy int view of one row of the fused frame's counts array
+    (settle_pending calls int(h); the array transfers once, not per row)."""
+
+    __slots__ = ("arr", "i")
+
+    def __init__(self, arr, i):
+        self.arr = arr
+        self.i = i
+
+    def __int__(self):
+        import numpy as _np
+
+        return int(_np.asarray(self.arr)[self.i])
+
+
+def _frame_body(sample_fn, settings, bands, mc, tf, light, org, dirn,
+                t_near, t_far, key, accum, frame_index, sample_ctx, scale,
+                shadow_vol):
+    """The whole-frame fused program: per-frame RNG advance + jitter draw,
+    every band's recorded schedule (`bands` = ((start, stop, ops), ...)
+    static), the pixel-order unpermute, and the progressive accumulation —
+    the entire render() turned into ONE dispatch. The peripheral work the
+    per-dispatch path pays per frame (key split, jitter gen, make_initial
+    copies, unpermute, accumulate dispatches AND the cam/frame-index
+    host→device uploads) each cost ~2-10 ms of link latency through the
+    tunnel; folding them in here is where half the fused-path win is.
+
+    `key` is the renderer's MASTER key and `frame_index` the PREVIOUS
+    frame count, both device-resident: the program advances them exactly
+    like Renderer.render does on the host (split; +1), so the fallback
+    paths continue the identical sequence.
+
+    Returns (key_next, frame_index, accum, frame, rgba, counts): rgba
+    feeds the deferred-validation rollback, counts the per-band
+    compaction validity checks (concatenated band-major, counts[0] of
+    each band = its initial live count, then one per superstep —
+    _frame_pend maps them to buckets)."""
+    r = org.shape[0]
+    key_next, sub = jax.random.split(key)
+    frame_index = frame_index + 1
+    jitter = jax.random.uniform(sub, (r,), jnp.float32)
+    rgba_parts, counts_parts = [], []
+    for (a, b, ops) in bands:
+        rays = tuple(x + 0.0 for x in
+                     (org[a:b], dirn[a:b], t_far[a:b], jitter[a:b]))
+        state = init_ray_state(t_near[a:b] + 0.0, rays[2])
+        perm = jnp.arange(b - a, dtype=jnp.int32)
+        rays, state, perm, counts = _fused_body(
+            sample_fn, settings, ops, settings.max_supersteps, 1,
+            mc, tf, light, rays, state, perm, sample_ctx, scale, shadow_vol)
+        color, alpha, bw, bp, bc = _unpermute(
+            perm, state.color, state.alpha, state.best_w, state.best_pos,
+            state.best_rgb)
+        rgba_parts.append(jnp.concatenate([color, alpha[:, None]], axis=-1))
+        counts_parts.append(counts)
+    rgba = (rgba_parts[0] if len(rgba_parts) == 1
+            else jnp.concatenate(rgba_parts, axis=0))
+    accum = jnp.where(frame_index == 1, rgba, accum + rgba)
+    frame = accum / frame_index.astype(jnp.float32)
+    return (key_next, frame_index, accum, frame, rgba,
+            jnp.concatenate(counts_parts))
+
+
+def _frame_pend(bands, counts):
+    """Validity pairs of a fused frame: for each band compaction, the live
+    count just before it (a row of the async-copied counts array) vs its
+    bucket — exactly _replay's checks, band-major."""
+    pend = []
+    ci = 0
+    for (_a, _b, ops) in bands:
+        ci += 1  # the band's initial count
+        for op in ops:
+            if op[0] == "S":
+                ci += 1
+            elif op[0] == "C":
+                pend.append((_CountRow(counts, ci - 1), op[1]))
+    return pend
+
+
+def _band_layout(r: int, settings: RaymarchSettings, scale, shadow_vol):
+    """The (start, stop, sub_settings, sub_cache_key, sched_key) of every
+    band of a frame — MUST mirror raymarch_compacted's tiling exactly."""
+    import dataclasses
+
+    t_ = settings.tiles
+    if t_ <= 1:
+        sk = (r, dataclasses.astuple(settings), scale is None,
+              shadow_vol is None)
+        return [(0, r, settings, None, sk)]
+    band = -(-r // t_)
+    sub_settings = dataclasses.replace(settings, tiles=1)
+    out = []
+    for i in range(t_):
+        a = i * band
+        b = min((i + 1) * band, r)
+        if a >= r:
+            break
+        sk = (b - a, dataclasses.astuple(sub_settings), scale is None,
+              shadow_vol is None)
+        out.append((a, b, sub_settings, f"tile{i}", sk))
+    return out
+
+
+def fused_frame(sample_fn, settings: RaymarchSettings, schedule_cache: dict,
+                mc, tf, light, org, dirn, t_near, t_far, key, accum,
+                frame_index, sample_ctx=None, scale=None, shadow_vol=None):
+    """Try to render this frame as ONE fused device program.
+
+    `key` is the MASTER rng key and `frame_index` the PREVIOUS frame
+    count (both device-resident; the program advances them — see
+    _frame_body). Returns None (no stable fusable schedule yet, or the
+    executable is still compiling) or
+
+        (key_next, frame_index, accum, frame, rgba, pend, sub_caches)
+
+    The result is ALWAYS provisional: `pend` holds the (count, bucket)
+    validity pairs and the caller must check them before trusting the
+    frame — but NOT immediately: blocking on a frame's counts before
+    dispatching the next serializes the pipeline at compute+RTT per frame
+    (the renderer settles with a 2-frame lag, keeping 2 fused frames in
+    flight; see Renderer._settle_fused). On invalid, clear every cache in
+    `sub_caches` ("ops") and roll the frame's rgba out of the
+    accumulation (additive — an old frame's fix stays exact).
+
+    The caller owns ray/camera buffers (org/dirn/t_near/t_far are NOT
+    donated — cache them per camera); `accum` IS donated."""
+    if settings.shading == "ssh" or not (settings.fused_replay
+                                         and settings.schedule_replay):
+        return None  # ssh's deferred shadow pass marches separately
+    r = org.shape[0]
+    layout = _band_layout(r, settings, scale, shadow_vol)
+    bands = []
+    sub_caches = []
+    for (a, b, sub_settings, cache_key, sk) in layout:
+        sub = (schedule_cache if cache_key is None
+               else schedule_cache.get(cache_key))
+        if (not sub or not sub.get("ops") or sub.get("key") != sk
+                or not _fusable(tuple(sub["ops"]))):
+            schedule_cache.pop("_fused_prev", None)
+            return None
+        bands.append((a, b, tuple(sub["ops"])))
+        sub_caches.append(sub)
+    bands = tuple(bands)
+    dyn = (mc, tf, light, org, dirn, t_near, t_far, key, accum,
+           frame_index, sample_ctx, scale, shadow_vol)
+    leaves, treedef = jax.tree_util.tree_flatten(dyn)
+    shape_fp = (treedef, tuple(
+        (l.shape, str(l.dtype)) if hasattr(l, "shape") else l
+        for l in leaves))
+    # sub_settings is identical across bands (tiles stripped); key on it
+    exe_key = (sample_fn, layout[0][2], bands, shape_fp)
+    exe = _FUSED_EXE.get(exe_key)
+    if exe is None:
+        # kick the background AOT compile once the schedule repeats
+        # unchanged (one frame of per-dispatch replay proves stability)
+        if FUSED_AUTOCOMPILE and schedule_cache.get("_fused_prev") == bands:
+            _compile_frame(exe_key, layout[0][2], dyn)
+        schedule_cache["_fused_prev"] = bands
+        return None
+    if exe in ("compiling", "failed"):
+        return None
+    key_next, fidx, accum, frame, rgba, counts = exe(*dyn)
+    counts.copy_to_host_async()
+    pend = _frame_pend(bands, counts)
+    schedule_cache["replays"] = schedule_cache.get("replays", 0) + 1
+    schedule_cache["fused_frames"] = (
+        schedule_cache.get("fused_frames", 0) + 1)
+    return key_next, fidx, accum, frame, rgba, pend, sub_caches
+
+
+def _compile_frame(exe_key, settings, dyn):
+    """Background AOT compile of one whole-frame program (compilation
+    releases the GIL; frames keep replaying per-dispatch meanwhile)."""
+    sample_fn, _settings, bands, _fp = exe_key
+    if sum(1 for v in _FUSED_EXE.values() if v != "failed") >= _FUSED_MAX:
+        return
+    _FUSED_EXE[exe_key] = "compiling"
+    jitted = jax.jit(partial(_frame_body, sample_fn, settings, bands),
+                     donate_argnums=(8,))  # accum
+
+    def absify(x):
+        if hasattr(x, "shape") and hasattr(x, "dtype"):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype)
+        return x
+
+    dyn_abs = jax.tree_util.tree_map(absify, dyn)
+
+    def compile_one():
+        try:
+            _FUSED_EXE[exe_key] = jitted.lower(*dyn_abs).compile()
+        except Exception:  # noqa: BLE001 — never take a frame down
+            _FUSED_EXE[exe_key] = "failed"
+
+    import threading
+
+    t = threading.Thread(target=compile_one, daemon=True,
+                         name="fused-frame-compile")
+    t.start()
+    _FUSED_THREADS.append(t)
+
+
+def wait_fused_compiles(timeout: float | None = None):
+    """Block until all in-flight fused-schedule compiles finish (bench &
+    tests; interactive callers just let them land between frames)."""
+    for t in list(_FUSED_THREADS):
+        t.join(timeout)
+    _FUSED_THREADS[:] = [t for t in _FUSED_THREADS if t.is_alive()]
+    return not _FUSED_THREADS
 
 
 _REPLAY_HEADROOM = 0.95  # see _replay docstring

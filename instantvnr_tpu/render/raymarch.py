@@ -134,6 +134,13 @@ class RaymarchSettings:
     # finisher: 65536 measured best at 768²·tiles=3 (5.4 vs 5.0 fps,
     # NOTES_ROUND4), while 512² keeps the default.
     finish_bucket: int | None = None
+    # fuse a stable replayed schedule into ONE whole-frame device program
+    # (AOT-compiled in the background after the schedule repeats
+    # unchanged; compaction._FusedAdapter). Eliminates the per-dispatch
+    # link gaps of free-running replay: 512² brick wavefront measured
+    # 112 → 66 ms/frame (scratch/megaframe.py). Output and validation
+    # semantics are identical to per-dispatch replay.
+    fused_replay: bool = True
 
     def __post_init__(self):
         assert self.shading in ("none", "gradient", "ssh",

@@ -174,6 +174,24 @@ class Renderer:
         # (rgba, cam_arrays, sub key, frame_index) — settled at the next
         # render()/mapframe(), rolled back + re-rendered if invalid
         self._pending_frame = None
+        # per-camera ray buffers for the fused whole-frame path (the rays
+        # of a progressive accumulation are identical frame to frame; the
+        # fused program must NOT be handed freshly dispatched ray programs
+        # each frame — that link latency is what it exists to remove)
+        self._rays_cache = None  # (key tuple, _frame_rays output)
+        self._cam_cache = None  # (Camera, device cam_arrays)
+        # device-resident frame counter for the fused path (the program
+        # advances it, sparing the per-frame int32 upload); None = resync
+        # from self.frame_index at next fused frame
+        self._fidx_dev = None
+        # fused provisional frames awaiting validation, settled with a
+        # lag so the pipeline keeps frames in flight (blocking on a
+        # frame's counts before dispatching the next costs a full
+        # compute+RTT serialization per frame: 9.7 → 12.9 fps @512² at
+        # depth 3, flat at 4 — NOTES_ROUND4): list of
+        # (rgba, cam_arrays, lazysub, frame_index, pend, subs)
+        self._pending_fused = []
+        self._fused_depth = 3
 
     # -- transactional updates (reference MainRenderer::set_*) --------------
 
@@ -217,8 +235,11 @@ class Renderer:
     def resize(self, width: int, height: int):
         pf, self._pending_frame = self._pending_frame, None
         discard_provisional(self._sched_cache, pf)
+        self._discard_fused()
         self._sched_cache.pop("ops", None)  # schedules are size-specific
         self.width, self.height = width, height
+        self._fidx_dev = None
+        self._rays_cache = None
         self._accum = jnp.zeros((width * height, 4), jnp.float32)
         # _frame must match the new size too: a mapframe() between resize
         # and the next render (e.g. an async viewer answering a frame
@@ -229,7 +250,21 @@ class Renderer:
     def reset_accumulation(self):
         pf, self._pending_frame = self._pending_frame, None
         discard_provisional(self._sched_cache, pf)
+        self._discard_fused()
         self.frame_index = 0
+        self._fidx_dev = None  # device counter resyncs at next fused frame
+
+    def _discard_fused(self):
+        """Drop fused provisional frames with the accumulation they belong
+        to — but still resolve validity so an unsafe schedule is cleared
+        for re-recording (mirrors discard_provisional)."""
+        pendings, self._pending_fused = self._pending_fused, []
+        for _rgba, _ca, _sub, _fidx, pend, subs in pendings:
+            if not all(int(h) <= m_new for h, m_new in pend):
+                self._sched_cache["invalidated"] = (
+                    self._sched_cache.get("invalidated", 0) + 1)
+                for c in subs:
+                    c.pop("ops", None)
 
     def warmup(self, parallel: bool = True):
         """Pre-compile this renderer's programs before the first timed frame.
@@ -289,30 +324,120 @@ class Renderer:
             shadow_vol=self.shadow_volume,
             schedule_cache=schedule_cache, defer=defer)
 
+    def _cached_frame_rays(self, cam_arrays):
+        """The frame's ray buffers, cached per (camera, size, transform,
+        light): identical across a progressive accumulation, so the fused
+        whole-frame path reuses them instead of re-dispatching _frame_rays
+        (and its link round-trip) every frame."""
+        ck = (self.camera, self.width, self.height, id(self.transform),
+              self.settings.light_dir)
+        if self._rays_cache is not None and self._rays_cache[0] == ck:
+            return self._rays_cache[1]
+        out = _frame_rays(self.width, self.height, cam_arrays,
+                          jnp.array(self.mc.volume_dims, jnp.float32),
+                          jnp.asarray(self.settings.light_dir, jnp.float32),
+                          self.transform)
+        self._rays_cache = (ck, out)
+        return out
+
+    def _cached_cam_arrays(self):
+        if self._cam_cache is not None and self._cam_cache[0] == self.camera:
+            return self._cam_cache[1]
+        cam = self.camera
+        ca = (jnp.asarray(cam.eye, jnp.float32),
+              jnp.asarray(cam.center, jnp.float32),
+              jnp.asarray(cam.up, jnp.float32), jnp.float32(cam.fovy))
+        self._cam_cache = (cam, ca)
+        return ca
+
+    def _fused_frame_try(self, cam_arrays):
+        """One whole-frame fused dispatch (compaction.fused_frame), or
+        None when the schedule isn't stable/compiled yet. Passes the
+        PRE-advance master key + frame counter (the program advances
+        both); donates the accumulation buffer. Returns
+        (key_next, fidx_dev, accum, frame, rgba)."""
+        from instantvnr_tpu.render.compaction import fused_frame
+
+        org, dirn, t0, t1, light, lo, hi = self._cached_frame_rays(
+            cam_arrays)
+        if self._fidx_dev is None:
+            self._fidx_dev = jnp.int32(self.frame_index)
+        return fused_frame(
+            self.sample_fn, self.settings, self._sched_cache, self.mc,
+            self.tf, light, org, dirn, t0, t1, self._key, self._accum,
+            self._fidx_dev, sample_ctx=self.sample_ctx,
+            scale=self.transform.scale, shadow_vol=self.shadow_volume)
+
     def _settle(self):
         """Resolve the previous frame's deferred replay validation
         (settle_provisional — rollback + same-key serialized redo on the
-        rare invalid replay)."""
+        rare invalid replay) and every fused pending past the pipeline
+        depth."""
         pf, self._pending_frame = self._pending_frame, None
         out = settle_provisional(
             self._sched_cache, pf,
-            lambda ca, sub: self._compacted_rgba(ca, sub, None, False),
+            lambda ca, sub: self._compacted_rgba(
+                ca, self._resolve_sub(sub), None, False),
             self._accum)
         if out is not None:
             self._accum, self._frame = out
+        self._settle_fused(keep=self._fused_depth - 1)
+
+    def _settle_fused(self, keep: int = 0):
+        """Settle fused provisional frames until at most `keep` remain.
+
+        Valid (the overwhelmingly common case): drop. Invalid: clear the
+        schedule caches so the next frame re-records, re-render THAT
+        frame serialized with its own key, and swap its contribution in
+        the accumulation (additive, so fixing an older frame is exact up
+        to ~1 ulp; the division renormalizes by the CURRENT count)."""
+        while len(self._pending_fused) > keep:
+            rgba_bad, ca, sub, fidx, pend, subs = self._pending_fused.pop(0)
+            if all(int(h) <= m_new for h, m_new in pend):
+                continue
+            self._sched_cache["invalidated"] = (
+                self._sched_cache.get("invalidated", 0) + 1)
+            for c in subs:
+                c.pop("ops", None)
+            good = self._compacted_rgba(ca, self._resolve_sub(sub), None,
+                                        False)
+            self._accum, self._frame = _accum_fix(
+                self._accum, rgba_bad, good, jnp.int32(self.frame_index))
+
+    @staticmethod
+    def _resolve_sub(sub):
+        """Fused frames store ("_lazykey", master_key) instead of the
+        frame's sub-key (deriving it eagerly would cost the dispatch the
+        fused path removes); split it here, only on the rare rollback."""
+        if isinstance(sub, tuple) and len(sub) == 2 and sub[0] == "_lazykey":
+            return jax.random.split(sub[1])[1]
+        return sub
 
     def render(self):
         """Render one frame (async dispatch; returns the device frame array)."""
         self._settle()
+        cam_arrays = self._cached_cam_arrays()
+        if self.settings.compact and not self.settings.fixed_steps:
+            # whole-frame fused path first: key/counter advance on device
+            out = self._fused_frame_try(cam_arrays)
+            if out is not None:
+                key_prev = self._key
+                (self._key, self._fidx_dev, self._accum, self._frame,
+                 rgba, pend, subs) = out
+                self.frame_index += 1
+                if pend:
+                    # the redo sub-key is derived from key_prev only on
+                    # the rare rollback (_resolve_sub) — splitting it now
+                    # would cost the dispatch the fused path removes
+                    self._pending_fused.append(
+                        (rgba, cam_arrays, ("_lazykey", key_prev),
+                         self.frame_index, pend, subs))
+                if not self.settings.deferred_validation:
+                    self._settle_fused(keep=0)  # always provisional
+                return self._frame
         self.frame_index += 1
+        self._fidx_dev = None  # fused counter resyncs after host frames
         self._key, sub = jax.random.split(self._key)
-        cam = self.camera
-        cam_arrays = (
-            jnp.asarray(cam.eye, jnp.float32),
-            jnp.asarray(cam.center, jnp.float32),
-            jnp.asarray(cam.up, jnp.float32),
-            jnp.float32(cam.fovy),
-        )
         if self.frame_index == 1:
             # fresh accumulation buffer (donated each frame)
             self._accum = jnp.zeros((self.width * self.height, 4), jnp.float32)
@@ -339,6 +464,7 @@ class Renderer:
         """Blocking device→host readback as [H, W, 4] float32
         (reference FrameBuffer::mapframe, framebuffer.h:84-94)."""
         self._settle()
+        self._settle_fused(keep=0)  # a displayed frame is never provisional
         return np.asarray(self._frame).reshape(self.height, self.width, 4)
 
 

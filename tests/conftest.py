@@ -27,3 +27,26 @@ assert len(jax.devices()) == 8, (
     f"expected 8 virtual CPU devices, got {jax.devices()} — backend was "
     "initialized before conftest could configure it"
 )
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _isolated_fused_schedule_cache():
+    """Fused-schedule hygiene: background-compiled whole-frame programs
+    (render/compaction._FusedAdapter) must neither leak across tests nor
+    engage nondeterministically mid-test — a fused frame is allclose, not
+    bitwise equal, to the per-dispatch frame, so a compile finishing at a
+    race-dependent moment would flake exact-equality assertions. Tests opt
+    in explicitly by monkeypatching compaction.FUSED_AUTOCOMPILE = True."""
+    from instantvnr_tpu.render import compaction as comp
+
+    prev = comp.FUSED_AUTOCOMPILE
+    comp.FUSED_AUTOCOMPILE = False
+    try:
+        yield
+    finally:
+        comp.wait_fused_compiles()
+        comp._FUSED_EXE.clear()
+        comp.FUSED_AUTOCOMPILE = prev

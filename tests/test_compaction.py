@@ -251,6 +251,77 @@ class TestScheduleReplay:
         assert r._sched_cache.get("invalidated", 0) >= 1, r._sched_cache
         np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
 
+    def test_fused_schedule_matches_replay(self, scene, monkeypatch):
+        """Once a schedule repeats unchanged, it is AOT-compiled into ONE
+        whole-frame program (compaction._FusedAdapter) and dispatched in
+        place of per-dispatch replay — frames must stay allclose (fusing
+        across former dispatch boundaries moves ≤ a few ulps) to the
+        no-replay renderer, and the fused path must actually engage."""
+        self._small_buckets(monkeypatch)
+        import instantvnr_tpu.render.compaction as comp
+
+        monkeypatch.setattr(comp, "FUSED_AUTOCOMPILE", True)
+        vol, tf, mc = scene
+        cam = Camera.default_for_dims(vol.dims)
+        ref = Renderer(48, 48, mc, tf, reference_sample_fn,
+                       sample_ctx=vol.data,
+                       settings=RaymarchSettings(
+                           compact=True, schedule_replay=False), seed=5)
+        ref.set_camera(cam)
+        r = Renderer(48, 48, mc, tf, reference_sample_fn,
+                     sample_ctx=vol.data,
+                     settings=RaymarchSettings(compact=True), seed=5)
+        r.set_camera(cam)
+        for i in range(8):
+            ref.render()
+            r.render()
+            if i == 3:
+                # frame 1 records; 2 replays; 3 proves stability and kicks
+                # the background compile — block until it lands so the
+                # remaining frames exercise the fused executable
+                assert comp.wait_fused_compiles(120)
+            np.testing.assert_allclose(
+                np.asarray(r._frame), np.asarray(ref._frame),
+                rtol=0, atol=1e-6)
+        r.mapframe()
+        assert r._sched_cache.get("fused_frames", 0) >= 1, r._sched_cache
+
+    def test_fused_camera_change_falls_back(self, scene, monkeypatch):
+        """A camera change invalidates the fused schedule exactly like a
+        replayed one: the counts check catches it and the frame re-renders
+        serialized — output equal to a no-replay renderer."""
+        self._small_buckets(monkeypatch)
+        import instantvnr_tpu.render.compaction as comp
+
+        monkeypatch.setattr(comp, "FUSED_AUTOCOMPILE", True)
+        vol, tf, mc = scene
+        cam1 = Camera.default_for_dims(vol.dims)
+        cam2 = Camera(eye=(1.5 * vol.dims[0], 8, 4), center=(0, 0, 0),
+                      up=(0, 1, 0), fovy=60)
+        frames = {}
+        for replay in (False, True):
+            r = Renderer(48, 48, mc, tf, reference_sample_fn,
+                         sample_ctx=vol.data,
+                         settings=RaymarchSettings(
+                             compact=True, schedule_replay=replay), seed=9)
+            r.set_camera(cam1)
+            for _ in range(4):
+                r.render()
+            if replay:
+                comp.wait_fused_compiles(120)
+            r.render()  # with replay: the fused frame on cam1
+            if replay:
+                r._settle()
+                assert r._sched_cache.get("fused_frames", 0) >= 1
+            # the camera change resets accumulation; the stale schedule
+            # (and its fused executable) is only a hint — validity checks
+            # must keep the new frame exact
+            r.set_camera(cam2)
+            r.render()
+            frames[replay] = r.mapframe()
+        np.testing.assert_allclose(frames[True], frames[False],
+                                   rtol=0, atol=1e-5)
+
     def test_resize_with_pending_frame(self, scene, monkeypatch):
         """resize() between frames must discard the pending provisional
         frame and the size-specific schedule without touching the old
