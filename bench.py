@@ -71,11 +71,14 @@ def _warm_fused(r, frames: int = 4):
     the fused steady state (compaction.fused_frame)."""
     from instantvnr_tpu.render.compaction import wait_fused_compiles
 
-    for _ in range(frames):
-        r.render()
-    _sync(r._frame)
     t0 = time.time()
-    wait_fused_compiles()
+    for _attempt in range(3):
+        for _ in range(frames):
+            r.render()
+        _sync(r._frame)
+        wait_fused_compiles()
+        if r._sched_cache.get("fused_frames", 0):
+            break  # engaged (later attempts: bucket schedule drifted)
     dt = time.time() - t0
     if dt > 1.0:
         log(f"fused whole-frame compile: {dt:.1f}s (background)")
@@ -516,6 +519,9 @@ def main(report=None):
         t0 = time.time()
         rpt.warmup()
         log(f"pathtrace warmup: {time.time() - t0:.1f}s")
+        _warm_fused(rpt)
+        log(f"pathtrace fused frames: "
+            f"{rpt._sched_cache.get('fused_frames', 0)}")
         report["pt_fps"] = _time_frames(rpt, 10, warm=3)
         log(f"pathtrace {size}x{size}: {report['pt_fps']:.2f} fps")
         del rpt
@@ -531,6 +537,9 @@ def main(report=None):
                                  settings=PathTraceSettings(compact=True))
         rptn.set_camera(cam)
         rptn.warmup()
+        _warm_fused(rptn)
+        log(f"pathtrace neural fused frames: "
+            f"{rptn._sched_cache.get('fused_frames', 0)}")
         report["pt_neural_fps"] = _time_frames(rptn, 10, warm=3)
         log(f"pathtrace neural {size}x{size}: "
             f"{report['pt_neural_fps']:.2f} fps")

@@ -225,6 +225,16 @@ def _fusable(ops) -> bool:
     return bool(ops) and ops[-1][0] == "F"
 
 
+def strip_counts(ops) -> tuple:
+    """Normalize recorded ops to (kind, bucket) pairs. "C" ops carry the
+    measured live count as a third element (replay's headroom logic needs
+    it), but the count is stochastic frame-to-frame while the fused frame
+    program depends only on the BUCKET sequence — keying executables on
+    raw ops would see a near-boundary schedule as 'changed' every frame
+    and never engage (observed: PT counts 127/126/120 at bucket 128)."""
+    return tuple((op[0], op[1]) for op in ops)
+
+
 def _fused_body(sample_fn, settings, ops, budget_total, budget_step,
                 mc, tf, light, rays, state, perm, sample_ctx, scale,
                 shadow_vol):
@@ -421,17 +431,13 @@ def fused_frame(sample_fn, settings: RaymarchSettings, schedule_cache: dict,
                 or not _fusable(tuple(sub["ops"]))):
             schedule_cache.pop("_fused_prev", None)
             return None
-        bands.append((a, b, tuple(sub["ops"])))
+        bands.append((a, b, strip_counts(sub["ops"])))
         sub_caches.append(sub)
     bands = tuple(bands)
     dyn = (mc, tf, light, org, dirn, t_near, t_far, key, accum,
            frame_index, sample_ctx, scale, shadow_vol)
-    leaves, treedef = jax.tree_util.tree_flatten(dyn)
-    shape_fp = (treedef, tuple(
-        (l.shape, str(l.dtype)) if hasattr(l, "shape") else l
-        for l in leaves))
     # sub_settings is identical across bands (tiles stripped); key on it
-    exe_key = (sample_fn, layout[0][2], bands, shape_fp)
+    exe_key = (sample_fn, layout[0][2], bands, shape_fingerprint(dyn))
     exe = _FUSED_EXE.get(exe_key)
     if exe is None:
         # kick the background AOT compile once the schedule repeats
@@ -451,22 +457,29 @@ def fused_frame(sample_fn, settings: RaymarchSettings, schedule_cache: dict,
     return key_next, fidx, accum, frame, rgba, pend, sub_caches
 
 
-def _compile_frame(exe_key, settings, dyn):
+def _absify(x):
+    if hasattr(x, "shape") and hasattr(x, "dtype"):
+        return jax.ShapeDtypeStruct(x.shape, x.dtype)
+    return x
+
+
+def shape_fingerprint(dyn) -> tuple:
+    """Hashable (treedef, per-leaf shape/dtype) key part: an executable is
+    only valid for exactly the argument structure it was lowered with."""
+    leaves, treedef = jax.tree_util.tree_flatten(dyn)
+    return (treedef, tuple(
+        (l.shape, str(l.dtype)) if hasattr(l, "shape") else l
+        for l in leaves))
+
+
+def compile_frame_async(exe_key, jitted, dyn):
     """Background AOT compile of one whole-frame program (compilation
-    releases the GIL; frames keep replaying per-dispatch meanwhile)."""
-    sample_fn, _settings, bands, _fp = exe_key
+    releases the GIL; frames keep replaying per-dispatch meanwhile).
+    Shared by the wavefront and path-trace fused frames."""
     if sum(1 for v in _FUSED_EXE.values() if v != "failed") >= _FUSED_MAX:
         return
     _FUSED_EXE[exe_key] = "compiling"
-    jitted = jax.jit(partial(_frame_body, sample_fn, settings, bands),
-                     donate_argnums=(8,))  # accum
-
-    def absify(x):
-        if hasattr(x, "shape") and hasattr(x, "dtype"):
-            return jax.ShapeDtypeStruct(x.shape, x.dtype)
-        return x
-
-    dyn_abs = jax.tree_util.tree_map(absify, dyn)
+    dyn_abs = jax.tree_util.tree_map(_absify, dyn)
 
     def compile_one():
         try:
@@ -480,6 +493,13 @@ def _compile_frame(exe_key, settings, dyn):
                          name="fused-frame-compile")
     t.start()
     _FUSED_THREADS.append(t)
+
+
+def _compile_frame(exe_key, settings, dyn):
+    sample_fn, _settings, bands, _fp = exe_key
+    jitted = jax.jit(partial(_frame_body, sample_fn, settings, bands),
+                     donate_argnums=(8,))  # accum
+    compile_frame_async(exe_key, jitted, dyn)
 
 
 def wait_fused_compiles(timeout: float | None = None):

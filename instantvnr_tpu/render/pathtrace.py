@@ -39,6 +39,7 @@ import numpy as np
 
 from instantvnr_tpu.accel.macrocell import MACROCELL_SIZE, MacroCell
 from instantvnr_tpu.render.camera import Camera, camera_rays
+from instantvnr_tpu.render.renderer import FusedPipelineMixin
 from instantvnr_tpu.render.raymarch import (_PROBE_EPS, _cell_exit_t,
                                             _cell_flat, _occupancy)
 from instantvnr_tpu.utils.math import normalize, ray_box_intersect
@@ -113,6 +114,12 @@ class PathTraceSettings:
     # RaymarchSettings.deferred_validation); rollback + serialized redo on
     # the rare invalid replay.
     deferred_validation: bool = True
+    # fuse a stable replayed schedule into ONE whole-frame device program
+    # (jittered ray gen + every event chunk/compaction/finisher +
+    # unpermute + accumulation), AOT-compiled in the background — see
+    # RaymarchSettings.fused_replay / compaction._frame_body for the
+    # measured per-dispatch link costs this removes.
+    fused_replay: bool = True
 
     def __post_init__(self):
         # the compacted driver advances whole events_per_dispatch chunks:
@@ -663,7 +670,138 @@ def _pt_frame(sample_fn, width, height, settings, sample_ctx, cam_arrays,
     return accum, accum / frame_index.astype(jnp.float32)
 
 
-class PathTraceRenderer:
+def _pt_frame_body(sample_fn, settings: PathTraceSettings, width: int,
+                   height: int, ops, mc, tf, cam_arrays, key, accum,
+                   frame_index, sample_ctx, xform):
+    """The whole-frame fused PT program (compaction._frame_body analog):
+    master-key split + frame-counter advance, jittered ray generation,
+    the recorded event-chunk/compaction/finisher schedule, unpermute and
+    progressive accumulation — one dispatch per frame. Key discipline
+    matches pathtrace_compacted exactly (same split chain), so a fused
+    frame equals the per-dispatch frame up to XLA fusion ulps.
+
+    Returns (key_next, frame_index, accum, frame, rgba, counts)."""
+    from instantvnr_tpu.render.compaction import (_compact_body,
+                                                  _fused_sampling)
+
+    key_next, sub = jax.random.split(key)
+    frame_index = frame_index + 1
+    org, dirn, t0, t1, light, lo, hi, k_pt, scale = _pt_rays(
+        width, height, settings, cam_arrays, mc.volume_dims, sub, xform)
+    r = width * height
+    consts = _pt_consts(mc, settings, light, scale, lo, hi)
+    k_tau, k = jax.random.split(k_pt)
+    state = _PTState(
+        org=org, dirn=dirn, t=t0, t_far=t1,
+        tau=-jnp.log1p(-jax.random.uniform(k_tau, (r,))),
+        throughput=jnp.ones((r, 3), jnp.float32),
+        radiance=jnp.zeros((r, 3), jnp.float32),
+        scatter_index=jnp.zeros((r,), jnp.int32),
+        shadow=jnp.zeros((r,), bool),
+        active=t0 < t1,
+    )
+    perm = jnp.arange(r, dtype=jnp.int32)
+    fn = partial(sample_fn, sample_ctx)
+    occ_aux, fused_fn = _fused_sampling(sample_fn, sample_ctx)
+    counts = [jnp.sum(state.active.astype(jnp.int32))]
+    used = 0
+    m = r
+    for op in ops:
+        if op[0] == "S":
+            pre = jax.tree_util.tree_map(lambda a: a[:m], state)
+
+            def chunk(carry, _):
+                st, kk = carry
+                kk, st = _pt_event(fn, settings, mc, tf, consts, st, kk,
+                                   occ_aux=occ_aux, fused_fn=fused_fn)
+                return (st, kk), None
+
+            (sub_st, k), _ = jax.lax.scan(
+                chunk, (pre, k), None, length=settings.events_per_dispatch)
+            state = jax.tree_util.tree_map(
+                lambda full, part: jax.lax.dynamic_update_slice(
+                    full, part, (0,) * full.ndim), state, sub_st)
+            counts.append(jnp.sum(sub_st.active.astype(jnp.int32)))
+            used += settings.events_per_dispatch
+        elif op[0] == "C":
+            (), state, perm = _compact_body(m, (), state, perm)
+            m = op[1]
+        else:  # "F" — run-to-completion event tail
+            mf = op[1]
+            pre = jax.tree_util.tree_map(lambda a: a[:mf], state)
+            budget = jnp.int32(settings.max_events - used)
+
+            def cond(carry):
+                st, _kk, i = carry
+                return jnp.any(st.active) & (i < budget)
+
+            def body(carry):
+                st, kk, i = carry
+                kk, st = _pt_event(fn, settings, mc, tf, consts, st, kk,
+                                   occ_aux=occ_aux, fused_fn=fused_fn)
+                return st, kk, i + 1
+
+            sub_st, k, _ = jax.lax.while_loop(cond, body,
+                                              (pre, k, jnp.int32(0)))
+            state = jax.tree_util.tree_map(
+                lambda full, part: jax.lax.dynamic_update_slice(
+                    full, part, (0,) * full.ndim), state, sub_st)
+    rgba = _pt_unpermute(perm, state.radiance, state.scatter_index)
+    accum = jnp.where(frame_index == 1, rgba, accum + rgba)
+    frame = accum / frame_index.astype(jnp.float32)
+    return key_next, frame_index, accum, frame, rgba, jnp.stack(counts)
+
+
+def pt_fused_frame(sample_fn, settings: PathTraceSettings,
+                   schedule_cache: dict, mc, tf, cam_arrays, key, accum,
+                   frame_index, width: int, height: int, sample_ctx=None,
+                   xform=None):
+    """compaction.fused_frame analog for the path tracer (single band).
+
+    Returns None (no stable fusable schedule / still compiling) or
+    (key_next, frame_index, accum, frame, rgba, pend) — ALWAYS
+    provisional; the caller settles `pend` with a pipeline lag and rolls
+    back via the shared protocol on the rare invalid."""
+    import dataclasses
+
+    from instantvnr_tpu.render import compaction as comp
+
+    if not (settings.fused_replay and settings.schedule_replay):
+        return None
+    r = width * height
+    sched_key = (r, dataclasses.astuple(settings), False, False)
+    ops = schedule_cache.get("ops")
+    if (not ops or schedule_cache.get("key") != sched_key
+            or not comp._fusable(tuple(ops))):
+        schedule_cache.pop("_fused_prev", None)
+        return None
+    ops = comp.strip_counts(ops)
+    dyn = (mc, tf, cam_arrays, key, accum, frame_index, sample_ctx, xform)
+    exe_key = (sample_fn, settings, (width, height), ops,
+               comp.shape_fingerprint(dyn))
+    exe = comp._FUSED_EXE.get(exe_key)
+    if exe is None:
+        if (comp.FUSED_AUTOCOMPILE
+                and schedule_cache.get("_fused_prev") == ops):
+            jitted = jax.jit(
+                partial(_pt_frame_body, sample_fn, settings, width, height,
+                        ops),
+                donate_argnums=(4,))  # accum
+            comp.compile_frame_async(exe_key, jitted, dyn)
+        schedule_cache["_fused_prev"] = ops
+        return None
+    if exe in ("compiling", "failed"):
+        return None
+    key_next, fidx, accum, frame, rgba, counts = exe(*dyn)
+    counts.copy_to_host_async()
+    pend = comp._frame_pend(((0, r, ops),), counts)
+    schedule_cache["replays"] = schedule_cache.get("replays", 0) + 1
+    schedule_cache["fused_frames"] = (
+        schedule_cache.get("fused_frames", 0) + 1)
+    return key_next, fidx, accum, frame, rgba, pend
+
+
+class PathTraceRenderer(FusedPipelineMixin):
     """Progressive path-tracing frame orchestrator (same surface as
     render.renderer.Renderer)."""
 
@@ -710,13 +848,16 @@ class PathTraceRenderer:
         self._accum = jnp.zeros((width * height, 4), jnp.float32)
         self._frame = self._accum
         self.frame_index = 0
+        self._init_fused_pipeline()
 
     def reset_accumulation(self):
         from instantvnr_tpu.render.renderer import discard_provisional
 
         pf, self._pending_frame = self._pending_frame, None
         discard_provisional(self._sched_cache, pf)
+        self._discard_fused()
         self.frame_index = 0
+        self._fidx_dev = None  # device counter resyncs at next fused frame
 
     def set_camera(self, cam: Camera):
         self.camera = cam
@@ -774,22 +915,41 @@ class PathTraceRenderer:
         pf, self._pending_frame = self._pending_frame, None
         out = settle_provisional(
             self._sched_cache, pf,
-            lambda ca, sub: self._compacted_rgba(ca, sub, None, False),
+            lambda ca, sub: self._compacted_rgba(
+                ca, self._resolve_sub(sub), None, False),
             self._accum)
         if out is not None:
             self._accum, self._frame = out
+        self._settle_fused(keep=self._fused_depth - 1)
 
     def render(self):
         self._settle()
+        cam_arrays = self._cached_cam_arrays()
+        if self.settings.compact:
+            # whole-frame fused path first (pt_fused_frame): key/counter
+            # advance on device, one dispatch per frame
+            if self._fidx_dev is None:
+                self._fidx_dev = jnp.int32(self.frame_index)
+            out = pt_fused_frame(
+                self.sample_fn, self.settings, self._sched_cache, self.mc,
+                self.tf, cam_arrays, self._key, self._accum,
+                self._fidx_dev, self.width, self.height,
+                sample_ctx=self.sample_ctx, xform=self.transform)
+            if out is not None:
+                key_prev = self._key
+                (self._key, self._fidx_dev, self._accum, self._frame,
+                 rgba, pend) = out
+                self.frame_index += 1
+                if pend:
+                    self._pending_fused.append(
+                        (rgba, cam_arrays, ("_lazykey", key_prev),
+                         self.frame_index, pend, [self._sched_cache]))
+                if not self.settings.deferred_validation:
+                    self._settle_fused(keep=0)  # always provisional
+                return self._frame
         self.frame_index += 1
+        self._fidx_dev = None  # fused counter resyncs after host frames
         self._key, sub = jax.random.split(self._key)
-        cam = self.camera
-        cam_arrays = (
-            jnp.asarray(cam.eye, jnp.float32),
-            jnp.asarray(cam.center, jnp.float32),
-            jnp.asarray(cam.up, jnp.float32),
-            jnp.float32(cam.fovy),
-        )
         if self.frame_index == 1:
             self._accum = jnp.zeros((self.width * self.height, 4), jnp.float32)
         if self.settings.compact:
@@ -815,6 +975,7 @@ class PathTraceRenderer:
         """Frame readback; denoise=True applies the à-trous filter (the
         reference's optional denoiser hook, renderer.cpp:117-121)."""
         self._settle()
+        self._settle_fused(keep=0)  # a displayed frame is never provisional
         frame = self._frame.reshape(self.height, self.width, 4)
         if denoise:
             from instantvnr_tpu.render.denoise import atrous_denoise

@@ -142,7 +142,83 @@ def _render_frame(
     return accum, frame
 
 
-class Renderer:
+class FusedPipelineMixin:
+    """Shared fused whole-frame machinery for the wavefront and path-trace
+    renderers: per-camera array caching, the device-resident frame
+    counter, and the pipelined provisional-frame settle (fused frames'
+    validity counts are read with a lag so frames stay in flight; the
+    rare invalid rolls back via _accum_fix + a serialized same-key
+    redo)."""
+
+    def _init_fused_pipeline(self):
+        self._cam_cache = None  # (Camera, device cam_arrays)
+        # device-resident frame counter (the fused program advances it,
+        # sparing the per-frame int32 upload); None = resync from
+        # self.frame_index at the next fused frame
+        self._fidx_dev = None
+        # fused provisional frames awaiting validation, settled with a
+        # lag so the pipeline keeps frames in flight (blocking on a
+        # frame's counts before dispatching the next costs a full
+        # compute+RTT serialization per frame: 9.7 → 12.9 fps @512² at
+        # depth 3, flat at 4 — NOTES_ROUND4): list of
+        # (rgba, cam_arrays, lazysub, frame_index, pend, subs)
+        self._pending_fused = []
+        self._fused_depth = 3
+
+    def _cached_cam_arrays(self):
+        if self._cam_cache is not None and self._cam_cache[0] == self.camera:
+            return self._cam_cache[1]
+        cam = self.camera
+        ca = (jnp.asarray(cam.eye, jnp.float32),
+              jnp.asarray(cam.center, jnp.float32),
+              jnp.asarray(cam.up, jnp.float32), jnp.float32(cam.fovy))
+        self._cam_cache = (cam, ca)
+        return ca
+
+    @staticmethod
+    def _resolve_sub(sub):
+        """Fused frames store ("_lazykey", master_key) instead of the
+        frame's sub-key (deriving it eagerly would cost the dispatch the
+        fused path removes); split it here, only on the rare rollback."""
+        if isinstance(sub, tuple) and len(sub) == 2 and sub[0] == "_lazykey":
+            return jax.random.split(sub[1])[1]
+        return sub
+
+    def _settle_fused(self, keep: int = 0):
+        """Settle fused provisional frames until at most `keep` remain.
+
+        Valid (the overwhelmingly common case): drop. Invalid: clear the
+        schedule caches so the next frame re-records, re-render THAT
+        frame serialized with its own key, and swap its contribution in
+        the accumulation (additive, so fixing an older frame is exact up
+        to ~1 ulp; the division renormalizes by the CURRENT count)."""
+        while len(self._pending_fused) > keep:
+            rgba_bad, ca, sub, fidx, pend, subs = self._pending_fused.pop(0)
+            if all(int(h) <= m_new for h, m_new in pend):
+                continue
+            self._sched_cache["invalidated"] = (
+                self._sched_cache.get("invalidated", 0) + 1)
+            for c in subs:
+                c.pop("ops", None)
+            good = self._compacted_rgba(ca, self._resolve_sub(sub), None,
+                                        False)
+            self._accum, self._frame = _accum_fix(
+                self._accum, rgba_bad, good, jnp.int32(self.frame_index))
+
+    def _discard_fused(self):
+        """Drop fused provisional frames with the accumulation they belong
+        to — but still resolve validity so an unsafe schedule is cleared
+        for re-recording (mirrors discard_provisional)."""
+        pendings, self._pending_fused = self._pending_fused, []
+        for _rgba, _ca, _sub, _fidx, pend, subs in pendings:
+            if not all(int(h) <= m_new for h, m_new in pend):
+                self._sched_cache["invalidated"] = (
+                    self._sched_cache.get("invalidated", 0) + 1)
+                for c in subs:
+                    c.pop("ops", None)
+
+
+class Renderer(FusedPipelineMixin):
     """Stateful frame orchestrator (host-side state, device-side compute)."""
 
     def __init__(self, width: int, height: int, mc: MacroCell,
@@ -179,19 +255,7 @@ class Renderer:
         # fused program must NOT be handed freshly dispatched ray programs
         # each frame — that link latency is what it exists to remove)
         self._rays_cache = None  # (key tuple, _frame_rays output)
-        self._cam_cache = None  # (Camera, device cam_arrays)
-        # device-resident frame counter for the fused path (the program
-        # advances it, sparing the per-frame int32 upload); None = resync
-        # from self.frame_index at next fused frame
-        self._fidx_dev = None
-        # fused provisional frames awaiting validation, settled with a
-        # lag so the pipeline keeps frames in flight (blocking on a
-        # frame's counts before dispatching the next costs a full
-        # compute+RTT serialization per frame: 9.7 → 12.9 fps @512² at
-        # depth 3, flat at 4 — NOTES_ROUND4): list of
-        # (rgba, cam_arrays, lazysub, frame_index, pend, subs)
-        self._pending_fused = []
-        self._fused_depth = 3
+        self._init_fused_pipeline()
 
     # -- transactional updates (reference MainRenderer::set_*) --------------
 
@@ -253,18 +317,6 @@ class Renderer:
         self._discard_fused()
         self.frame_index = 0
         self._fidx_dev = None  # device counter resyncs at next fused frame
-
-    def _discard_fused(self):
-        """Drop fused provisional frames with the accumulation they belong
-        to — but still resolve validity so an unsafe schedule is cleared
-        for re-recording (mirrors discard_provisional)."""
-        pendings, self._pending_fused = self._pending_fused, []
-        for _rgba, _ca, _sub, _fidx, pend, subs in pendings:
-            if not all(int(h) <= m_new for h, m_new in pend):
-                self._sched_cache["invalidated"] = (
-                    self._sched_cache.get("invalidated", 0) + 1)
-                for c in subs:
-                    c.pop("ops", None)
 
     def warmup(self, parallel: bool = True):
         """Pre-compile this renderer's programs before the first timed frame.
@@ -340,16 +392,6 @@ class Renderer:
         self._rays_cache = (ck, out)
         return out
 
-    def _cached_cam_arrays(self):
-        if self._cam_cache is not None and self._cam_cache[0] == self.camera:
-            return self._cam_cache[1]
-        cam = self.camera
-        ca = (jnp.asarray(cam.eye, jnp.float32),
-              jnp.asarray(cam.center, jnp.float32),
-              jnp.asarray(cam.up, jnp.float32), jnp.float32(cam.fovy))
-        self._cam_cache = (cam, ca)
-        return ca
-
     def _fused_frame_try(self, cam_arrays):
         """One whole-frame fused dispatch (compaction.fused_frame), or
         None when the schedule isn't stable/compiled yet. Passes the
@@ -382,36 +424,6 @@ class Renderer:
         if out is not None:
             self._accum, self._frame = out
         self._settle_fused(keep=self._fused_depth - 1)
-
-    def _settle_fused(self, keep: int = 0):
-        """Settle fused provisional frames until at most `keep` remain.
-
-        Valid (the overwhelmingly common case): drop. Invalid: clear the
-        schedule caches so the next frame re-records, re-render THAT
-        frame serialized with its own key, and swap its contribution in
-        the accumulation (additive, so fixing an older frame is exact up
-        to ~1 ulp; the division renormalizes by the CURRENT count)."""
-        while len(self._pending_fused) > keep:
-            rgba_bad, ca, sub, fidx, pend, subs = self._pending_fused.pop(0)
-            if all(int(h) <= m_new for h, m_new in pend):
-                continue
-            self._sched_cache["invalidated"] = (
-                self._sched_cache.get("invalidated", 0) + 1)
-            for c in subs:
-                c.pop("ops", None)
-            good = self._compacted_rgba(ca, self._resolve_sub(sub), None,
-                                        False)
-            self._accum, self._frame = _accum_fix(
-                self._accum, rgba_bad, good, jnp.int32(self.frame_index))
-
-    @staticmethod
-    def _resolve_sub(sub):
-        """Fused frames store ("_lazykey", master_key) instead of the
-        frame's sub-key (deriving it eagerly would cost the dispatch the
-        fused path removes); split it here, only on the rare rollback."""
-        if isinstance(sub, tuple) and len(sub) == 2 and sub[0] == "_lazykey":
-            return jax.random.split(sub[1])[1]
-        return sub
 
     def render(self):
         """Render one frame (async dispatch; returns the device frame array)."""

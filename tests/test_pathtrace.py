@@ -344,6 +344,40 @@ class TestPathtraceCompaction:
                                    rtol=0.15)
         np.testing.assert_allclose(means[True], means[False], atol=0.35)
 
+    def test_fused_frame_matches_replay(self, scene, monkeypatch):
+        """The fused whole-frame PT program (pt_fused_frame) replays the
+        same schedule with the same key chain as the per-dispatch path:
+        frames must stay allclose (XLA fusion moves ulps) to a
+        fused-disabled renderer, and the fused path must engage."""
+        import instantvnr_tpu.render.compaction as comp
+
+        monkeypatch.setattr(comp, "_MIN_BUCKET", 64)
+        monkeypatch.setattr(comp, "FUSED_AUTOCOMPILE", True)
+        vol, tf, mc = scene
+        cam = Camera(eye=(5, 4, -60), center=(0, 0, 0), up=(0, 1, 0),
+                     fovy=45)
+        frames = {}
+        for fused in (False, True):
+            r = PathTraceRenderer(
+                16, 16, mc, tf, vol.data, seed=21,
+                settings=PathTraceSettings(max_events=160, compact=True,
+                                           finish_bucket=128,
+                                           fused_replay=fused))
+            r.set_camera(cam)
+            fs = []
+            for i in range(8):
+                r.render()
+                if fused and i == 3:
+                    assert comp.wait_fused_compiles(120)
+                fs.append(np.asarray(r._frame).copy())
+            r.mapframe()
+            frames[fused] = fs
+            if fused:
+                assert r._sched_cache.get("fused_frames", 0) >= 1, \
+                    r._sched_cache
+        for a, b in zip(frames[True], frames[False]):
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
+
     def test_warmup_compiles_bucket_family(self, scene):
         from instantvnr_tpu.render.pathtrace import warmup_pt_programs
         from instantvnr_tpu.render.renderer import reference_sample_fn
