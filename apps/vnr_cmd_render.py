@@ -35,6 +35,12 @@ def main():
     p.add_argument("--density-scale", type=float, default=1.0,
                    help="vnrRendererSetVolumeDensityScale "
                    "(batch_renderer.cpp:202)")
+    p.add_argument("--streaming-cache", default="auto",
+                   choices=["auto", "brick", "hq", "lazy", "none"],
+                   help="sample-streaming cache policy for the neural "
+                        "wavefront modes (hq = 2x-supersampled pool, "
+                        "near-exact quality; none = exact per-sample "
+                        "network evaluation)")
     p.add_argument("--denoise", action="store_true",
                    help="a-trous denoiser at mapframe "
                    "(vnrRendererSetDenoiser)")
@@ -104,7 +110,11 @@ def main():
         print(f"[vnr] timestep {args.timestep}/{simple.num_timesteps}")
         simple.set_current_timestep(args.timestep)
 
-    r = VNRenderer(subject, width=args.size, height=args.size, mode=mode)
+    r = VNRenderer(subject, width=args.size, height=args.size, mode=mode,
+                   streaming_cache=args.streaming_cache)
+    info = r.streaming_cache_info
+    if info["quality"] != "n/a":
+        print(f"[vnr] streaming cache: {info}")
     if args.sampling_rate != 1.0:
         r.set_volume_sampling_rate(args.sampling_rate)
     if args.density_scale != 1.0:

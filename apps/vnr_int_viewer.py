@@ -486,10 +486,12 @@ def main():
                    help="streaming-cache bricks re-decoded per trained "
                         "frame (0 = full rebuild each refresh)")
     p.add_argument("--streaming-cache", default="auto",
-                   choices=("auto", "brick", "lazy", "none"),
+                   choices=("auto", "brick", "hq", "lazy", "none"),
                    help="sample-streaming cache policy for the "
-                        "NEURAL_WAVEFRONT* modes (lazy = decode bricks on "
-                        "first visibility; none = exact network sampling)")
+                        "NEURAL_WAVEFRONT* modes (hq = 2x-supersampled "
+                        "pool, near-exact quality; lazy = decode bricks "
+                        "on first visibility; none = exact network "
+                        "sampling)")
     p.add_argument("--pause-training", action="store_true")
     p.add_argument("--view-only", action="store_true",
                    help="view the ground-truth volume without a network")

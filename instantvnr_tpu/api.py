@@ -694,14 +694,17 @@ class VNRenderer:
         self.isovalue = 0.5  # for the ISOSURFACE_* modes
         # sample-streaming cache policy for the NEURAL_WAVEFRONT* modes:
         # "auto"/"brick" = macrocell-guided decoded-brick pool (fast,
-        # decoded-path quality); "lazy" = same pool, bricks decoded on
-        # first visibility (render/brickcache.LazyBrickCache — faster
-        # first frame on big volumes); "none" = exact per-sample network
-        # evaluation (reference mode-5 literal semantics). A constructor
-        # argument (not only set_streaming_cache) so "lazy" skips the
-        # eager build entirely — setting it after __init__ would pay the
-        # full decode first, defeating the policy's point.
-        assert streaming_cache in ("auto", "brick", "lazy", "none"), \
+        # decoded-path quality); "hq" = the pool decoded at a 2× nested
+        # lattice (trilinear error falls ~h² — much closer to the exact
+        # network at ~7.4× pool memory, same per-sample gather count);
+        # "lazy" = 1× pool, bricks decoded on first visibility
+        # (render/brickcache.LazyBrickCache — faster first frame on big
+        # volumes); "none" = exact per-sample network evaluation
+        # (reference mode-5 literal semantics). A constructor argument
+        # (not only set_streaming_cache) so "lazy" skips the eager build
+        # entirely — setting it after __init__ would pay the full decode
+        # first, defeating the policy's point.
+        assert streaming_cache in ("auto", "brick", "hq", "lazy", "none"), \
             streaming_cache
         self.streaming_cache = streaming_cache
         self._lazy = None  # LazyBrickCache when streaming_cache == "lazy"
@@ -756,7 +759,8 @@ class VNRenderer:
                        RenderMode.NEURAL_WAVEFRONT_GRADIENT: "gradient",
                        RenderMode.NEURAL_WAVEFRONT_SSH: "ssh"}[mode]
             ctx = (self._build_streaming_ctx(mc)
-                   if self.streaming_cache in ("auto", "brick", "lazy")
+                   if self.streaming_cache in ("auto", "brick", "hq",
+                                               "lazy")
                    else None)
             if ctx is not None:
                 # macrocell-guided brick cache (render/brickcache.py): the
@@ -989,9 +993,10 @@ class VNRenderer:
     def set_streaming_cache(self, policy: str):
         """Sample-streaming cache policy for NEURAL_WAVEFRONT* modes:
         "auto"/"brick" (macrocell-guided decoded-brick pool, fast),
+        "hq" (2×-supersampled pool — near-exact quality, ~7.4× memory),
         "lazy" (same pool, bricks decoded on first visibility) or
         "none" (exact per-sample network evaluation)."""
-        assert policy in ("auto", "brick", "lazy", "none"), policy
+        assert policy in ("auto", "brick", "hq", "lazy", "none"), policy
         self.streaming_cache = policy
         if self.mode in (RenderMode.NEURAL_WAVEFRONT,
                          RenderMode.NEURAL_WAVEFRONT_GRADIENT,
@@ -1075,6 +1080,16 @@ class VNRenderer:
             # decoded-grid-parity escape hatch
             return build_brick_cache(*args)
         budget = float(os.environ.get("VNR_BRICK_MAX_MB", "4096")) * 2**20
+        if self.streaming_cache == "hq":
+            # 2×-supersampled f16 pool: trilinear error falls ~h² vs the
+            # 1× pool (measured +~9 dB vs exact network at bench scale,
+            # tests/test_brickcache.py), one gather/sample unchanged.
+            # Past the memory gate, degrade to the 1× f16 pool (visible
+            # via streaming_cache_info["supersample"]).
+            if brick_cache_bytes(mc, dtype=jnp.float16,
+                                 supersample=2) <= budget:
+                return build_brick_cache(*args, dtype=jnp.float16,
+                                         supersample=2)
         nbytes = brick_cache_bytes(mc)  # f32
         # f16 pool by default: densities are [0,1] and the f16 pool frame
         # measured 105.8 dB vs f32 at bench scale (indistinguishable),
@@ -1114,10 +1129,16 @@ class VNRenderer:
             info["quality"] = ("exact-network" if info["resolved"] == "none"
                                else "decoded-trilinear")
             if info["resolved"] != "none":
+                from instantvnr_tpu.render.brickcache import ctx_supersample
+
                 ctx = (self._lazy.ctx if self._lazy is not None
                        else self._impl.sample_ctx)
                 # f16 pools measured 105.8 dB vs f32 (indistinguishable)
                 info["pool_dtype"] = str(ctx["packed"].dtype)
+                # >1 ⇒ the "hq" nested-lattice pool (h² less trilinear
+                # error vs exact); ==1 under policy "hq" ⇒ memory-gated
+                # degrade to the standard pool
+                info["supersample"] = ctx_supersample(ctx)
         return info
 
     def refresh_params(self, budget_bricks: int | None = None):
@@ -1151,7 +1172,7 @@ class VNRenderer:
                                    budget_bricks=budget_bricks)
                 self._impl.set_sample_ctx(self._lazy.ctx)
                 return
-            is_brick = (self.streaming_cache in ("auto", "brick")
+            is_brick = (self.streaming_cache in ("auto", "brick", "hq")
                         and isinstance(self._impl.sample_ctx, dict)
                         and "packed" in self._impl.sample_ctx)
             if is_brick:

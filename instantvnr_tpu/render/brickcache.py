@@ -51,17 +51,44 @@ _CORNER_OFFS = tuple(
 )
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4))
+# ---- supersampled pools (quality policy) ----------------------------------
+# A pool can be decoded at `ss`× the volume's texel lattice: texel g_ss sits
+# at fractional voxel g_ss/ss and holds network((g_ss/ss + 0.5)/N) — a
+# NESTED refinement (g_ss = ss·g reproduces the 1× texel exactly), so the
+# ss pool agrees with the 1× pool on the original lattice and only adds
+# midpoints. Trilinear interpolation error falls ~h², closing most of the
+# brick-vs-exact quality gap (measured in tests/test_brickcache.py) at
+# ss³-ish memory/decode cost; sampling stays ONE packed-row gather. The
+# factor rides the ctx as a LEAFLESS static marker ("ss": ((),)·k — part
+# of the jit treedef, no device data; same trick as params["_render"]).
+
+
+def _ss_geom(ss: int) -> tuple:
+    """(brick edge, brick texels) at supersample `ss`. Edge covers the
+    same physical span as the 1× brick ([cell·16−GHOST, +BRICK) voxels):
+    local_ss = i0_ss − ss·(cell·16 − GHOST) ∈ [0, ss·(BRICK−1)+1)."""
+    b = ss * (BRICK - 1) + 1
+    return b, b * b * b
+
+
+def ctx_supersample(ctx: dict) -> int:
+    """Static supersample factor of a brick ctx (1 when absent)."""
+    return len(ctx["ss"]) if "ss" in ctx else 1
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def _decode_brick_chunk(field, params, cell_ids, mc_dims: tuple,
-                        vol_dims: tuple) -> jnp.ndarray:
-    """Decode `len(cell_ids)` bricks → [n, BRICK³] float32.
+                        vol_dims: tuple, ss: int = 1) -> jnp.ndarray:
+    """Decode `len(cell_ids)` bricks → [n, brick³] float32.
 
     cell_ids: [n] int32 flat macrocell ids ((z·my + y)·mx + x). Texels sit
-    at the decode lattice (g + 0.5)/N with g clamped to the grid (CUDA
-    clamp addressing), g = cell·16 − GHOST + local.
+    at the decode lattice (g/ss + 0.5)/N with g/ss clamped to the grid
+    (CUDA clamp addressing), g = ss·(cell·16 − GHOST) + local in ss-texel
+    units — ss=1 is the `models.metrics.decode_volume` lattice exactly.
     """
     from instantvnr_tpu.models.network import network_apply_chunked
 
+    brick, brick3 = _ss_geom(ss)
     mx, my, _ = mc_dims
     dims = jnp.asarray(vol_dims, jnp.float32)  # (dx, dy, dz)
     cx = cell_ids % mx
@@ -69,26 +96,30 @@ def _decode_brick_chunk(field, params, cell_ids, mc_dims: tuple,
     cz = cell_ids // (mx * my)
     cell = jnp.stack([cx, cy, cz], axis=-1)  # [n, 3]
 
-    l1 = jnp.arange(BRICK, dtype=jnp.int32)
+    l1 = jnp.arange(brick, dtype=jnp.int32)
     lz, ly, lx = jnp.meshgrid(l1, l1, l1, indexing="ij")
-    local = jnp.stack([lx, ly, lz], axis=-1).reshape(-1, 3)  # [BRICK³, 3]
+    local = jnp.stack([lx, ly, lz], axis=-1).reshape(-1, 3)  # [brick³, 3]
 
-    g = (cell[:, None, :] * MACROCELL_SIZE - GHOST + local[None, :, :])
-    g = jnp.clip(g.astype(jnp.float32), 0.0, dims - 1.0)
-    coords = ((g + 0.5) / dims).reshape(-1, 3)
+    g = (cell[:, None, :] * (MACROCELL_SIZE * ss) - GHOST * ss
+         + local[None, :, :])
+    u = jnp.clip(g.astype(jnp.float32) / float(ss), 0.0, dims - 1.0)
+    coords = ((u + 0.5) / dims).reshape(-1, 3)
     vals = network_apply_chunked(params, coords, field)[:, 0]
-    return vals.reshape(-1, _BRICK3)
+    return vals.reshape(-1, brick3)
 
 
-@jax.jit
-def _pack_corners(pool_flat: jnp.ndarray) -> jnp.ndarray:
+@partial(jax.jit, static_argnums=(1,))
+def _pack_corners(pool_flat: jnp.ndarray, ss: int = 1) -> jnp.ndarray:
     """[M] texel pool → [M, 8] corner-packed rows (row i = the 8 trilinear
     corners of the dual cell whose min corner is texel i). Flat shifts are
     safe: addressed min-corners never sit on a brick's last row/col/slice
-    (local ≤ BRICK−2 by construction), so no shift crosses a brick."""
+    (local ≤ brick−2 by construction), so no shift crosses a brick."""
+    brick, _ = _ss_geom(ss)
     m = pool_flat.shape[0]
     cols = []
-    for off in _CORNER_OFFS:
+    for c in range(8):
+        off = (((c >> 2) & 1) * brick * brick + ((c >> 1) & 1) * brick
+               + (c & 1))
         if off == 0:
             cols.append(pool_flat)
         else:
@@ -134,17 +165,28 @@ def _lut_and_cells(mc: MacroCell, dilate: int):
 
 
 def build_brick_cache(field, params, mc: MacroCell, dilate: int = 1,
-                      dtype=jnp.float32, chunk_bricks: int = 32) -> dict:
+                      dtype=jnp.float32, chunk_bricks: int = 32,
+                      supersample: int = 1) -> dict:
     """Decode the occupied bricks and return the sample ctx for
     `brick_sample_fn`. Dispatches the decode in host-side chunks of
     `chunk_bricks` (bounded device programs — the tunnel faults on very
     long ones, CLAUDE.md).
 
-    ctx = {"lut" [n_cells] int32 (slot or −1), "packed" [n·BRICK³, 8],
-           "dims" [3] f32, "mcdims" [3] i32, "_render" ()}
+    supersample > 1 decodes at a finer NESTED lattice (see _ss_geom) —
+    the "hq" streaming-cache policy: ~(ss·19/20)³× memory for ~h² less
+    trilinear error vs the exact network, same per-sample gather count.
+
+    ctx = {"lut" [n_cells] int32 (slot or −1), "packed" [n·brick³, 8],
+           "dims" [3] f32, "mcdims" [3] i32, "_render" (),
+           "ss" (only when supersample > 1)}
     """
+    ss = int(supersample)
+    _, brick3 = _ss_geom(ss)
     cells, lut, mc_dims, vol_dims = _lut_and_cells(mc, dilate)
     n = int(cells.size)
+    # fewer bricks per dispatch at ss>1: keep device programs comparably
+    # sized (brick³ grows ~ss³)
+    chunk_bricks = max(1, chunk_bricks // (ss * ss * ss))
     parts = []
     for i in range(0, n, chunk_bricks):
         ids = cells[i:i + chunk_bricks]
@@ -154,11 +196,11 @@ def build_brick_cache(field, params, mc: MacroCell, dilate: int = 1,
             ids = np.concatenate(
                 [ids, np.full(chunk_bricks - ids.size, ids[-1], np.int32)])
         vals = _decode_brick_chunk(field, params, jnp.asarray(ids),
-                                   mc_dims, vol_dims)
+                                   mc_dims, vol_dims, ss)
         parts.append(vals)
     pool = jnp.concatenate(parts, axis=0)[:n].astype(dtype)
-    packed = _pack_corners(pool.reshape(-1))
-    return _brick_ctx(lut, packed, vol_dims, mc_dims, mc)
+    packed = _pack_corners(pool.reshape(-1), ss)
+    return _brick_ctx(lut, packed, vol_dims, mc_dims, mc, ss=ss)
 
 
 def build_brick_cache_from_grid(vol, mc: MacroCell, dilate: int = 1,
@@ -197,7 +239,8 @@ def build_brick_cache_from_grid(vol, mc: MacroCell, dilate: int = 1,
     return _brick_ctx(lut, packed, (dx, dy, dz), mc_dims, mc)
 
 
-def _brick_ctx(lut, packed, vol_dims, mc_dims, mc: MacroCell) -> dict:
+def _brick_ctx(lut, packed, vol_dims, mc_dims, mc: MacroCell,
+               ss: int = 1) -> dict:
     """Assemble the sample ctx. Besides the LUT, it carries "occ_slot"
     [n_cells, 2] = (macrocell max opacity, slot) rows for the wavefront's
     fused sampling path (raymarch._emit_samples occ_aux): the emit probe
@@ -214,6 +257,10 @@ def _brick_ctx(lut, packed, vol_dims, mc_dims, mc: MacroCell) -> dict:
         "mcdims": jnp.asarray(mc_dims, jnp.int32),
         "_render": (),
     }
+    if ss > 1:
+        # leafless static supersample marker (k = len) — absent at ss=1 so
+        # every existing 1× ctx keeps its treedef (nothing retraces)
+        ctx["ss"] = ((),) * ss
     if lut.size <= (1 << 24):
         ctx["occ_slot"] = jnp.stack(
             [mc.max_opacity.reshape(-1).astype(jnp.float32),
@@ -266,6 +313,9 @@ def refresh_brick_pool(field, params, ctx: dict,
     if n <= 0:
         return ctx, 0
 
+    ss = ctx_supersample(ctx)
+    _, brick3 = _ss_geom(ss)
+    chunk_bricks = max(1, chunk_bricks // (ss * ss * ss))
     packed = ctx["packed"]
     for i in range(start, start + n, chunk_bricks):
         ids = cells[i:min(i + chunk_bricks, start + n)]
@@ -274,9 +324,9 @@ def refresh_brick_pool(field, params, ctx: dict,
             ids = np.concatenate(
                 [ids, np.full(chunk_bricks - ids.size, ids[-1], np.int32)])
         vals = _decode_brick_chunk(field, params, jnp.asarray(ids),
-                                   mc_dims, vol_dims)[:done]
-        rows = _pack_corners(vals.reshape(-1).astype(packed.dtype))
-        packed = _pool_update(packed, rows, jnp.int32(i * _BRICK3))
+                                   mc_dims, vol_dims, ss)[:done]
+        rows = _pack_corners(vals.reshape(-1).astype(packed.dtype), ss)
+        packed = _pool_update(packed, rows, jnp.int32(i * brick3))
     new_ctx = dict(ctx)
     new_ctx["packed"] = packed
     nxt = start + n
@@ -284,10 +334,11 @@ def refresh_brick_pool(field, params, ctx: dict,
 
 
 def brick_cache_bytes(mc: MacroCell, dilate: int = 1,
-                      dtype=jnp.float32) -> int:
+                      dtype=jnp.float32, supersample: int = 1) -> int:
     """Device bytes the packed pool would take (for auto/memory gating)."""
     n = max(int(occupied_cells(mc, dilate=dilate).size), 1)
-    return n * _BRICK3 * 8 * jnp.dtype(dtype).itemsize
+    _, brick3 = _ss_geom(int(supersample))
+    return n * brick3 * 8 * jnp.dtype(dtype).itemsize
 
 
 # ---------------------------------------------------------------------------
@@ -478,13 +529,16 @@ class LazyBrickCache:
     """
 
     def __init__(self, field, params, mc: MacroCell, dilate: int = 1,
-                 dtype=jnp.float32, chunk_bricks: int = 32):
+                 dtype=jnp.float32, chunk_bricks: int = 32,
+                 supersample: int = 1):
         cells, lut, self._mc_dims, self._vol_dims = _lut_and_cells(
             mc, dilate)
+        self._ss = int(supersample)
+        _, self._brick3 = _ss_geom(self._ss)
         n = int(cells.size)
-        # pool row offsets (slot · BRICK³) are computed in int32 throughout
+        # pool row offsets (slot · brick³) are computed in int32 throughout
         # (they also ride f32 lanes in the fused occ_slot path)
-        assert n * _BRICK3 < (1 << 31), (
+        assert n * self._brick3 < (1 << 31), (
             f"brick pool too large for int32 row offsets ({n} bricks)")
         self._cells = cells  # slot i ↔ cells[i] (the LUT's inverse)
         self._lut_np = lut
@@ -499,9 +553,10 @@ class LazyBrickCache:
         self.field = field
         self.params = params
         self.mc = mc
-        self.chunk = int(chunk_bricks)
-        self.ctx = _brick_ctx(lut, jnp.zeros((n * _BRICK3, 8), dtype),
-                              self._vol_dims, self._mc_dims, mc)
+        ss3 = self._ss ** 3
+        self.chunk = max(1, int(chunk_bricks) // ss3)
+        self.ctx = _brick_ctx(lut, jnp.zeros((n * self._brick3, 8), dtype),
+                              self._vol_dims, self._mc_dims, mc, ss=self._ss)
 
     @property
     def n_bricks(self) -> int:
@@ -541,14 +596,16 @@ class LazyBrickCache:
                 sl = np.concatenate([sl, np.full(pad, sl[-1], np.int32)])
             vals = _decode_brick_chunk(self.field, self.params,
                                        jnp.asarray(ch), self._mc_dims,
-                                       self._vol_dims)
+                                       self._vol_dims, self._ss)
             # per-chunk packing is valid in isolation (cross-chunk shift
             # spill lands only in dead rows — refresh_brick_pool docstring)
-            rows = _pack_corners(vals.reshape(-1).astype(packed.dtype))
+            rows = _pack_corners(vals.reshape(-1).astype(packed.dtype),
+                                 self._ss)
             scatter = (_pool_scatter_bricks if i == 0
                        else _pool_scatter_bricks_donated)
-            packed = scatter(packed, rows.reshape(self.chunk, _BRICK3, 8),
-                             jnp.asarray(sl * _BRICK3))
+            packed = scatter(packed,
+                             rows.reshape(self.chunk, self._brick3, 8),
+                             jnp.asarray(sl * self._brick3))
         self._decoded[need] = True
         self.ctx = dict(self.ctx)
         self.ctx["packed"] = packed
@@ -614,17 +671,20 @@ def _pool_lookup(ctx: dict, p: jnp.ndarray, cell: jnp.ndarray,
                  slot: jnp.ndarray) -> jnp.ndarray:
     """Shared tail of both samplers: one packed-pool row gather + the
     trilinear reduction, given the (cell, slot) pair already resolved."""
+    ss = ctx_supersample(ctx)
+    brick, brick3 = _ss_geom(ss)
     dims = ctx["dims"]  # (dx, dy, dz) f32
-    # texel coords: p(N−1) ∈ [0, N−1] (the remap p(1−1/N)+0.5/N, ×N, −0.5)
-    x = jnp.clip(p * (dims - 1.0), 0.0, dims - 1.0)
+    # texel coords: p·ss(N−1) ∈ [0, ss(N−1)] (the remap p(1−1/N)+0.5/N,
+    # ×N, −0.5, refined ss×: texel g sits at fractional voxel g/ss)
+    x = jnp.clip(p * (ss * (dims - 1.0)), 0.0, ss * (dims - 1.0))
     i0 = jnp.floor(x).astype(jnp.int32)
     frac = x - i0.astype(jnp.float32)
 
-    local = i0 - (cell * MACROCELL_SIZE - GHOST)
+    local = i0 - (cell * (MACROCELL_SIZE * ss) - GHOST * ss)
     # defensively clamp: out-of-brick locals only occur for miss queries
-    local = jnp.clip(local, 0, BRICK - 2)
-    lflat = (local[:, 2] * BRICK + local[:, 1]) * BRICK + local[:, 0]
-    idx = jnp.where(slot >= 0, slot, 0) * _BRICK3 + lflat
+    local = jnp.clip(local, 0, brick - 2)
+    lflat = (local[:, 2] * brick + local[:, 1]) * brick + local[:, 0]
+    idx = jnp.where(slot >= 0, slot, 0) * brick3 + lflat
     rows = ctx["packed"][idx].astype(jnp.float32)  # [N, 8]
 
     fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]

@@ -511,6 +511,15 @@ def wait_fused_compiles(timeout: float | None = None):
     return not _FUSED_THREADS
 
 
+# interpreter teardown while an XLA compile is mid-flight on a daemon
+# thread aborts the process (LLVM ERROR: ... TypeSize, observed on CLI
+# exits right after a schedule stabilized); draining the threads first
+# costs at most one compile
+import atexit  # noqa: E402
+
+atexit.register(wait_fused_compiles)
+
+
 _REPLAY_HEADROOM = 0.95  # see _replay docstring
 
 

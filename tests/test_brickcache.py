@@ -704,3 +704,154 @@ class TestBrickCache:
             frames[name] = np.asarray(r._frame)
         np.testing.assert_allclose(frames["brick"], frames["decoded"],
                                    rtol=0, atol=1e-4)
+
+
+class TestSupersampledPool:
+    """The "hq" 2×-supersampled pool: a NESTED refinement of the decode
+    lattice (texel 2g reproduces the 1× texel), so it agrees with the 1×
+    pool on the original lattice and cuts trilinear error ~h² between
+    texels — closing most of the brick-vs-exact-network quality gap at
+    the same one-gather-per-sample cost."""
+
+    def _exact(self, field, params, p, dims):
+        """The continuous field both pools approximate: the network at the
+        decode-lattice convention coordinate (clip(p(N−1)) + 0.5)/N."""
+        d = jnp.asarray([float(x) for x in dims], jnp.float32)
+        u = jnp.clip(p * (d - 1.0), 0.0, d - 1.0)
+        from instantvnr_tpu.models.network import network_apply
+
+        return network_apply(params, (u + 0.5) / d, field)[:, 0]
+
+    def _occupied_points(self, mc, n=512, seed=0):
+        occ = occupied_cells(mc, dilate=0)
+        rng = np.random.default_rng(seed)
+        mx, my, _ = (int(d) for d in mc.dims)
+        pick = occ[rng.integers(0, occ.size, n)]
+        cx, cy, cz = pick % mx, (pick // mx) % my, pick // (mx * my)
+        base = np.stack([cx, cy, cz], -1).astype(np.float32) * 16.0
+        pos_v = base + rng.random((n, 3), np.float32) * 16.0
+        return jnp.asarray(pos_v) / jnp.asarray(
+            [float(d) for d in mc.volume_dims])
+
+    def test_nested_lattice_agrees_with_1x_at_original_texels(self):
+        """At the original texel positions p = g/(N−1) the ss=2 pool must
+        reproduce the 1× pool (texel 2g holds the same network sample)."""
+        from instantvnr_tpu.render.brickcache import ctx_supersample
+
+        vol, tf, mc, field, state = _scene()
+        ctx1 = build_brick_cache(field, state.params, mc, dilate=1)
+        ctx2 = build_brick_cache(field, state.params, mc, dilate=1,
+                                 supersample=2)
+        assert ctx_supersample(ctx1) == 1
+        assert ctx_supersample(ctx2) == 2
+        n = tuple(int(d) for d in mc.volume_dims)
+        occ = occupied_cells(mc, dilate=0)
+        rng = np.random.default_rng(3)
+        mx, my, _ = (int(d) for d in mc.dims)
+        pick = occ[rng.integers(0, occ.size, 256)]
+        cx, cy, cz = pick % mx, (pick // mx) % my, pick // (mx * my)
+        g = (np.stack([cx, cy, cz], -1) * 16
+             + rng.integers(0, 16, (256, 3)))  # integer texels in-cell
+        p = jnp.asarray(g.astype(np.float32)
+                        / (np.asarray(n, np.float32) - 1.0))
+        v1 = np.asarray(brick_sample_fn(ctx1, p))
+        v2 = np.asarray(brick_sample_fn(ctx2, p))
+        np.testing.assert_allclose(v2, v1, rtol=0, atol=2e-5)
+
+    def test_quality_improves_vs_exact_network(self):
+        """Between texels the ss=2 pool must be substantially closer to
+        the exact network than the 1× pool (h² trilinear error)."""
+        vol, tf, mc, field, state = _scene(train=120)
+        ctx1 = build_brick_cache(field, state.params, mc, dilate=1)
+        ctx2 = build_brick_cache(field, state.params, mc, dilate=1,
+                                 supersample=2)
+        p = self._occupied_points(mc, n=2048, seed=11)
+        dims = tuple(int(d) for d in mc.volume_dims)
+        want = np.asarray(self._exact(field, state.params, p, dims))
+        err1 = np.mean((np.asarray(brick_sample_fn(ctx1, p)) - want) ** 2)
+        err2 = np.mean((np.asarray(brick_sample_fn(ctx2, p)) - want) ** 2)
+        # h² error ⇒ ~16× MSE; demand ≥4× (12 dB theoretical, ≥6 dB floor)
+        assert err2 < err1 / 4.0, (err1, err2)
+
+    def test_refresh_preserves_supersample(self):
+        """refresh_brick_pool on an ss ctx re-decodes at the ss lattice
+        (geometry read from the ctx) — equal to a fresh ss build."""
+        from instantvnr_tpu.render.brickcache import refresh_brick_pool
+
+        vol, tf, mc, field, state = _scene(train=30)
+        ctx = build_brick_cache(field, state.params, mc, dilate=1,
+                                supersample=2)
+        state2 = train_steps(field, vol.data, state, 30, 4096)
+        cur = 0
+        while True:
+            ctx, cur = refresh_brick_pool(field, state2.params, ctx,
+                                          start=cur, n_bricks=3)
+            if cur == 0:
+                break
+        fresh = build_brick_cache(field, state2.params, mc, dilate=1,
+                                  supersample=2)
+        # compare by SAMPLING: raw pools differ only in dead rows (corner
+        # -pack shift spill, chunked vs whole-pool — never addressed)
+        p = self._occupied_points(mc, n=1024, seed=5)
+        np.testing.assert_allclose(np.asarray(brick_sample_fn(ctx, p)),
+                                   np.asarray(brick_sample_fn(fresh, p)),
+                                   rtol=0, atol=2e-5)
+
+    def test_lazy_supersample_matches_eager(self):
+        from instantvnr_tpu.render.brickcache import (LazyBrickCache,
+                                                      ctx_supersample)
+
+        vol, tf, mc, field, state = _scene(train=30)
+        lazy = LazyBrickCache(field, state.params, mc, dilate=1,
+                              supersample=2)
+        assert ctx_supersample(lazy.ctx) == 2
+        lazy.ensure_all()
+        eager = build_brick_cache(field, state.params, mc, dilate=1,
+                                  supersample=2)
+        # sampling comparison — dead-row spill differs (see refresh test)
+        p = self._occupied_points(mc, n=1024, seed=6)
+        np.testing.assert_allclose(
+            np.asarray(brick_sample_fn(lazy.ctx, p)),
+            np.asarray(brick_sample_fn(eager, p)), rtol=0, atol=2e-5)
+
+    def test_facade_hq_policy(self, monkeypatch):
+        """streaming_cache='hq' builds the 2× f16 pool under the memory
+        gate, degrades to the 1× pool past it, and reports the factor in
+        streaming_cache_info."""
+        from instantvnr_tpu.api import (NeuralVolume, RenderMode,
+                                        SimpleVolume, VNRenderer)
+        from instantvnr_tpu.config import (EncodingConfig, ModelConfig,
+                                           NetworkConfig)
+        from instantvnr_tpu.data import synthetic_volume as _sv
+        from instantvnr_tpu.render.brickcache import brick_cache_bytes
+
+        vol = _sv((32, 32, 32), kind="vorts")
+        cfg = ModelConfig(
+            encoding=EncodingConfig(n_levels=4, n_features_per_level=4,
+                                    log2_hashmap_size=12, base_resolution=4),
+            network=NetworkConfig(n_neurons=32, n_hidden_layers=2))
+        nv = NeuralVolume(cfg, simple=SimpleVolume(vol), train_batch=4096)
+        nv.train(30)
+        mc = nv.simple.macrocell if hasattr(nv.simple, "macrocell") \
+            else nv.macrocell
+        mb2 = brick_cache_bytes(mc, dtype=jnp.float16,
+                                supersample=2) / 2**20
+
+        monkeypatch.setenv("VNR_BRICK_MAX_MB", str(mb2 * 2))
+        r = VNRenderer(nv, 16, 16, mode=RenderMode.NEURAL_WAVEFRONT,
+                       streaming_cache="hq")
+        info = r.streaming_cache_info
+        assert info["resolved"] == "brick"
+        assert info["supersample"] == 2, info
+        assert info["pool_dtype"] == "float16"
+        r.render()
+        assert np.isfinite(np.asarray(r._impl._frame)).all()
+
+        # memory-gated degrade: hq budget too small → 1× f16 pool
+        monkeypatch.setenv("VNR_BRICK_MAX_MB", str(mb2 * 0.5))
+        r2 = VNRenderer(nv, 16, 16, mode=RenderMode.NEURAL_WAVEFRONT,
+                        streaming_cache="hq")
+        info2 = r2.streaming_cache_info
+        assert info2["supersample"] == 1, info2
+        r2.render()
+        assert np.isfinite(np.asarray(r2._impl._frame)).all()
