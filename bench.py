@@ -313,6 +313,7 @@ def main(report=None):
     # (macrocell-guided decoded-brick pool, render/brickcache.py — the
     # TPU-native sample-streaming fast path; round-3 redesign)
     brick_frame = None
+    exact_frame = None
     try:
         from instantvnr_tpu.render.brickcache import (
             brick_sample_fn,
@@ -342,6 +343,10 @@ def main(report=None):
         log(f"brick wavefront {size}x{size} (fused frames: "
             f"{rb._sched_cache.get('fused_frames', 0)}): "
             f"{report['brick_fps']:.3f} fps")
+        # matched-jitter protocol: align the key chain before every
+        # comparison frame — two different jitter draws alone differ by
+        # ~37 dB (measured), which would swamp the field-quality signal
+        rb._key = jax.random.PRNGKey(123)
         rb.reset_accumulation()
         rb.render()
         brick_frame = np.asarray(rb._frame)
@@ -413,6 +418,7 @@ def main(report=None):
         log(f"exact neural wavefront {size}x{size}: "
             f"{report['wavefront_fps']:.3f} fps")
         if brick_frame is not None:
+            rw._key = jax.random.PRNGKey(123)  # matched-jitter protocol
             rw.reset_accumulation()
             rw.render()
             exact_frame = np.asarray(rw._frame)
@@ -423,6 +429,42 @@ def main(report=None):
         del rw
     except Exception as e:  # noqa: BLE001
         log(f"exact wavefront measurement failed: {e!r}")
+
+    # ---- hq (2x-supersampled) brick pool: the "hq" streaming-cache
+    # policy — nested-lattice decode cuts trilinear error ~h² vs the
+    # exact network (the closest interactive point to the reference's
+    # literal mode-5 quality; README quality note)
+    try:
+        t0 = time.time()
+        ctx_hq = build_brick_cache(field, state.params, mc, dilate=1,
+                                   dtype=jnp.float16, supersample=2,
+                                   convention="exact")
+        _sync(ctx_hq["packed"][0].astype(jnp.float32))
+        log(f"hq brick cache build: {time.time() - t0:.2f}s "
+            f"({ctx_hq['packed'].nbytes / 1e6:.0f} MB f16 2x)")
+        rhq = Renderer(size, size, mc, tf, brick_sample_fn,
+                       sample_ctx=ctx_hq,
+                       settings=RaymarchSettings(n_iters=8, max_skips=1,
+                                                 compact=True))
+        rhq.set_camera(cam)
+        rhq.warmup()
+        _warm_fused(rhq)
+        report["brick_hq_fps"] = _time_frames(rhq, 8, warm=0)
+        log(f"hq brick wavefront {size}x{size} (2x pool): "
+            f"{report['brick_hq_fps']:.3f} fps")
+        if exact_frame is not None:
+            rhq._key = jax.random.PRNGKey(123)  # matched-jitter protocol
+            rhq.reset_accumulation()
+            rhq.render()
+            hq_frame = np.asarray(rhq._frame)
+            mse = float(np.mean((hq_frame - exact_frame) ** 2))
+            report["hq_vs_exact_psnr"] = 10 * np.log10(1.0 / max(mse, 1e-12))
+            log(f"hq-vs-exact frame PSNR: "
+                f"{report['hq_vs_exact_psnr']:.1f} dB "
+                f"(1x pool: {report.get('brick_vs_exact_psnr', 0):.1f})")
+        del rhq, ctx_hq
+    except Exception as e:  # noqa: BLE001
+        log(f"hq brick wavefront stage failed: {e!r}")
 
     # exact streaming with the PAIRED schema: same mode-5 semantics, ~2x
     # fewer gather rows/sample at the bench schema (1 dense + 7 hashed:
@@ -575,6 +617,8 @@ def _json_line(report):
         ("brick_fps_768", "brick_wavefront_fps_768"),
         ("wavefront_fps", "neural_wavefront_fps_512"),
         ("brick_vs_exact_psnr", "brick_vs_exact_frame_psnr_db"),
+        ("brick_hq_fps", "brick_wavefront_hq_fps_512"),
+        ("hq_vs_exact_psnr", "hq_vs_exact_frame_psnr_db"),
         ("train_msps", "train_msamples_per_s_hash14"),
         ("train_msps_full", "train_msamples_per_s_hash19_ref_schema"),
         ("train_msps_paired14", "train_msamples_per_s_hash14_paired"),

@@ -1081,15 +1081,23 @@ class VNRenderer:
             return build_brick_cache(*args)
         budget = float(os.environ.get("VNR_BRICK_MAX_MB", "4096")) * 2**20
         if self.streaming_cache == "hq":
-            # 2×-supersampled f16 pool: trilinear error falls ~h² vs the
-            # 1× pool (measured +~9 dB vs exact network at bench scale,
-            # tests/test_brickcache.py), one gather/sample unchanged.
-            # Past the memory gate, degrade to the 1× f16 pool (visible
-            # via streaming_cache_info["supersample"]).
+            # EXACT-convention lattice (brickcache.ctx_convention):
+            # pool(p) → net(p), i.e. it approximates the reference's
+            # literal mode-5 field rather than the decoded modes'
+            # half-texel-warped one. Measured @512² matched-jitter vs the
+            # exact render (bench scene): decoded 44.5 dB → exact-1×
+            # 50.7 (same memory/fps) → exact-2× 51.8 dB. 2×-supersampled
+            # when it fits the memory gate, else the exact-convention 1×
+            # pool (supersample degrade visible via
+            # streaming_cache_info["supersample"]); one gather/sample
+            # either way.
+            ss = (2 if brick_cache_bytes(mc, dtype=jnp.float16,
+                                         supersample=2) <= budget else 1)
             if brick_cache_bytes(mc, dtype=jnp.float16,
-                                 supersample=2) <= budget:
+                                 supersample=ss) <= budget:
                 return build_brick_cache(*args, dtype=jnp.float16,
-                                         supersample=2)
+                                         supersample=ss,
+                                         convention="exact")
         nbytes = brick_cache_bytes(mc)  # f32
         # f16 pool by default: densities are [0,1] and the f16 pool frame
         # measured 105.8 dB vs f32 at bench scale (indistinguishable),
@@ -1108,8 +1116,9 @@ class VNRenderer:
     @property
     def streaming_cache_info(self) -> dict:
         """Active sample-streaming cache policy + quality class — makes the
-        NEURAL_WAVEFRONT* default (brick pool: decoded-grade trilinear,
-        ~38 dB vs exact at bench scale) VISIBLE instead of silent. The
+        NEURAL_WAVEFRONT* default (brick pool: decoded-lattice trilinear,
+        44.5 dB vs exact at bench scale, matched-jitter) VISIBLE instead
+        of silent. The
         reference's mode 5 evaluates the real network per sample; policy
         "none" restores that exactly. Surfaced in the viewer's /api/state
         and README."""
@@ -1138,7 +1147,18 @@ class VNRenderer:
                 # >1 ⇒ the "hq" nested-lattice pool (h² less trilinear
                 # error vs exact); ==1 under policy "hq" ⇒ memory-gated
                 # degrade to the standard pool
+                from instantvnr_tpu.render.brickcache import ctx_convention
+
                 info["supersample"] = ctx_supersample(ctx)
+                # "exact" = pool approximates net(p) itself (mode-5
+                # semantics); "decoded" = the decoding modes' half-texel
+                # lattice (bit-exact with DECODED_* renders)
+                info["lattice"] = ctx_convention(ctx)
+                if info["lattice"] == "exact":
+                    # trilinear of the exact field (50.7/51.8 dB vs the
+                    # exact render at 1×/2×, bench scale) — not the
+                    # decoding modes' warped one
+                    info["quality"] = "exact-trilinear"
         return info
 
     def refresh_params(self, budget_bricks: int | None = None):

@@ -17,12 +17,15 @@ its macrocell-driven empty-space culling; the cache itself is new — CUDA
 in-shader inference made per-sample evaluation cheap enough not to need
 one, the v5e gather engine does not.
 
-Numerics: brick texels are decoded at the SAME half-voxel lattice as
-`models.metrics.decode_volume` ((i+0.5)/N, clamp addressing), and sampling
-applies the same cell-centered remap as `ops.trilinear.sample_volume` —
-so on occupied cells the cache reproduces the decoded-grid render
-bit-for-bit (tested), and differs from exact per-sample network evaluation
-only by the trilinear interpolation the DECODING modes already accept.
+Numerics: by default brick texels are decoded at the SAME half-voxel
+lattice as `models.metrics.decode_volume` ((i+0.5)/N, clamp addressing),
+and sampling applies the same cell-centered remap as
+`ops.trilinear.sample_volume` — so on occupied cells the cache reproduces
+the decoded-grid render bit-for-bit (tested). Note the decoding modes'
+remap warps the field by up to half a voxel vs raw net(p) (the reference's
+grid modes share this, raytracing.h:105-110); pools built with
+convention="exact" decode at the align-corner lattice instead, converging
+to the exact per-sample field as `supersample` grows (ctx_convention).
 
 Cache keying/invalidation is the caller's job (api.VNRenderer rebuilds on
 params/TF change, like the reference re-uploading inference params per
@@ -76,15 +79,35 @@ def ctx_supersample(ctx: dict) -> int:
     return len(ctx["ss"]) if "ss" in ctx else 1
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def ctx_convention(ctx: dict) -> str:
+    """Static decode-lattice convention of a brick ctx.
+
+    "decoded": texel g holds net((g/ss + 0.5)/N) — the decoded-grid /
+    tex3D half-texel lattice; the pool reproduces the DECODING modes'
+    field bit-for-bit (their cell-centered remap warps net by up to half
+    a voxel vs raw coordinates — raytracing.h:105-110, a warp the
+    reference's grid modes share).
+    "exact": texel g holds net(g/(ss(N−1))) — the align-corner positions
+    the SAMPLER interpolates at, so pool(p) → net(p) as ss grows: the
+    convention that approximates the reference's literal mode-5 field
+    (method_raymarching.cu:707-716 feeds raw object-space coords to the
+    network). The "hq" policy uses this.
+    """
+    return "exact" if "conv_exact" in ctx else "decoded"
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
 def _decode_brick_chunk(field, params, cell_ids, mc_dims: tuple,
-                        vol_dims: tuple, ss: int = 1) -> jnp.ndarray:
+                        vol_dims: tuple, ss: int = 1,
+                        convention: str = "decoded") -> jnp.ndarray:
     """Decode `len(cell_ids)` bricks → [n, brick³] float32.
 
     cell_ids: [n] int32 flat macrocell ids ((z·my + y)·mx + x). Texels sit
-    at the decode lattice (g/ss + 0.5)/N with g/ss clamped to the grid
-    (CUDA clamp addressing), g = ss·(cell·16 − GHOST) + local in ss-texel
-    units — ss=1 is the `models.metrics.decode_volume` lattice exactly.
+    at g = ss·(cell·16 − GHOST) + local in ss-texel units, evaluated at
+    the lattice of `convention` (see ctx_convention): "decoded" =
+    (g/ss + 0.5)/N with g/ss clamped to the grid (CUDA clamp addressing;
+    ss=1 is the `models.metrics.decode_volume` lattice exactly), "exact"
+    = g/(ss(N−1)) clamped to [0,1] (pool(p) → net(p) as ss grows).
     """
     from instantvnr_tpu.models.network import network_apply_chunked
 
@@ -102,8 +125,12 @@ def _decode_brick_chunk(field, params, cell_ids, mc_dims: tuple,
 
     g = (cell[:, None, :] * (MACROCELL_SIZE * ss) - GHOST * ss
          + local[None, :, :])
-    u = jnp.clip(g.astype(jnp.float32) / float(ss), 0.0, dims - 1.0)
-    coords = ((u + 0.5) / dims).reshape(-1, 3)
+    if convention == "exact":
+        coords = jnp.clip(g.astype(jnp.float32) / (float(ss) * (dims - 1.0)),
+                          0.0, 1.0).reshape(-1, 3)
+    else:
+        u = jnp.clip(g.astype(jnp.float32) / float(ss), 0.0, dims - 1.0)
+        coords = ((u + 0.5) / dims).reshape(-1, 3)
     vals = network_apply_chunked(params, coords, field)[:, 0]
     return vals.reshape(-1, brick3)
 
@@ -166,7 +193,8 @@ def _lut_and_cells(mc: MacroCell, dilate: int):
 
 def build_brick_cache(field, params, mc: MacroCell, dilate: int = 1,
                       dtype=jnp.float32, chunk_bricks: int = 32,
-                      supersample: int = 1) -> dict:
+                      supersample: int = 1,
+                      convention: str = "decoded") -> dict:
     """Decode the occupied bricks and return the sample ctx for
     `brick_sample_fn`. Dispatches the decode in host-side chunks of
     `chunk_bricks` (bounded device programs — the tunnel faults on very
@@ -196,11 +224,12 @@ def build_brick_cache(field, params, mc: MacroCell, dilate: int = 1,
             ids = np.concatenate(
                 [ids, np.full(chunk_bricks - ids.size, ids[-1], np.int32)])
         vals = _decode_brick_chunk(field, params, jnp.asarray(ids),
-                                   mc_dims, vol_dims, ss)
+                                   mc_dims, vol_dims, ss, convention)
         parts.append(vals)
     pool = jnp.concatenate(parts, axis=0)[:n].astype(dtype)
     packed = _pack_corners(pool.reshape(-1), ss)
-    return _brick_ctx(lut, packed, vol_dims, mc_dims, mc, ss=ss)
+    return _brick_ctx(lut, packed, vol_dims, mc_dims, mc, ss=ss,
+                      convention=convention)
 
 
 def build_brick_cache_from_grid(vol, mc: MacroCell, dilate: int = 1,
@@ -240,7 +269,7 @@ def build_brick_cache_from_grid(vol, mc: MacroCell, dilate: int = 1,
 
 
 def _brick_ctx(lut, packed, vol_dims, mc_dims, mc: MacroCell,
-               ss: int = 1) -> dict:
+               ss: int = 1, convention: str = "decoded") -> dict:
     """Assemble the sample ctx. Besides the LUT, it carries "occ_slot"
     [n_cells, 2] = (macrocell max opacity, slot) rows for the wavefront's
     fused sampling path (raymarch._emit_samples occ_aux): the emit probe
@@ -261,6 +290,8 @@ def _brick_ctx(lut, packed, vol_dims, mc_dims, mc: MacroCell,
         # leafless static supersample marker (k = len) — absent at ss=1 so
         # every existing 1× ctx keeps its treedef (nothing retraces)
         ctx["ss"] = ((),) * ss
+    if convention == "exact":
+        ctx["conv_exact"] = ()  # leafless static marker (ctx_convention)
     if lut.size <= (1 << 24):
         ctx["occ_slot"] = jnp.stack(
             [mc.max_opacity.reshape(-1).astype(jnp.float32),
@@ -314,6 +345,7 @@ def refresh_brick_pool(field, params, ctx: dict,
         return ctx, 0
 
     ss = ctx_supersample(ctx)
+    conv = ctx_convention(ctx)
     _, brick3 = _ss_geom(ss)
     chunk_bricks = max(1, chunk_bricks // (ss * ss * ss))
     packed = ctx["packed"]
@@ -324,7 +356,7 @@ def refresh_brick_pool(field, params, ctx: dict,
             ids = np.concatenate(
                 [ids, np.full(chunk_bricks - ids.size, ids[-1], np.int32)])
         vals = _decode_brick_chunk(field, params, jnp.asarray(ids),
-                                   mc_dims, vol_dims, ss)[:done]
+                                   mc_dims, vol_dims, ss, conv)[:done]
         rows = _pack_corners(vals.reshape(-1).astype(packed.dtype), ss)
         packed = _pool_update(packed, rows, jnp.int32(i * brick3))
     new_ctx = dict(ctx)
@@ -530,7 +562,7 @@ class LazyBrickCache:
 
     def __init__(self, field, params, mc: MacroCell, dilate: int = 1,
                  dtype=jnp.float32, chunk_bricks: int = 32,
-                 supersample: int = 1):
+                 supersample: int = 1, convention: str = "decoded"):
         cells, lut, self._mc_dims, self._vol_dims = _lut_and_cells(
             mc, dilate)
         self._ss = int(supersample)
@@ -555,8 +587,10 @@ class LazyBrickCache:
         self.mc = mc
         ss3 = self._ss ** 3
         self.chunk = max(1, int(chunk_bricks) // ss3)
+        self._conv = convention
         self.ctx = _brick_ctx(lut, jnp.zeros((n * self._brick3, 8), dtype),
-                              self._vol_dims, self._mc_dims, mc, ss=self._ss)
+                              self._vol_dims, self._mc_dims, mc, ss=self._ss,
+                              convention=convention)
 
     @property
     def n_bricks(self) -> int:
@@ -596,7 +630,7 @@ class LazyBrickCache:
                 sl = np.concatenate([sl, np.full(pad, sl[-1], np.int32)])
             vals = _decode_brick_chunk(self.field, self.params,
                                        jnp.asarray(ch), self._mc_dims,
-                                       self._vol_dims, self._ss)
+                                       self._vol_dims, self._ss, self._conv)
             # per-chunk packing is valid in isolation (cross-chunk shift
             # spill lands only in dead rows — refresh_brick_pool docstring)
             rows = _pack_corners(vals.reshape(-1).astype(packed.dtype),

@@ -843,6 +843,7 @@ class TestSupersampledPool:
         info = r.streaming_cache_info
         assert info["resolved"] == "brick"
         assert info["supersample"] == 2, info
+        assert info["lattice"] == "exact", info
         assert info["pool_dtype"] == "float16"
         r.render()
         assert np.isfinite(np.asarray(r._impl._frame)).all()
@@ -853,5 +854,36 @@ class TestSupersampledPool:
                         streaming_cache="hq")
         info2 = r2.streaming_cache_info
         assert info2["supersample"] == 1, info2
+        # the degrade keeps the exact lattice (the policy's whole point)
+        assert info2["lattice"] == "exact", info2
         r2.render()
         assert np.isfinite(np.asarray(r2._impl._frame)).all()
+
+    def test_exact_convention_approximates_exact_sampler(self):
+        """convention="exact" (the hq policy's lattice) must converge to
+        the REAL exact sampler net(p) (make_neural_sample_fn — raw
+        coords, method_raymarching.cu:707-716), which the decoded-lattice
+        pool cannot: the decoding modes' cell-centered remap warps the
+        field by up to half a voxel (trilinear.py docstring), a floor no
+        amount of supersampling removes."""
+        from instantvnr_tpu.models.network import render_params
+        from instantvnr_tpu.render.renderer import make_neural_sample_fn
+
+        vol, tf, mc, field, state = _scene(train=120)
+        p = self._occupied_points(mc, n=2048, seed=13)
+        exact_fn = make_neural_sample_fn(field)
+        want = np.asarray(exact_fn(render_params(state.params, field), p))
+
+        def mse(ctx):
+            return float(np.mean(
+                (np.asarray(brick_sample_fn(ctx, p)) - want) ** 2))
+
+        e_dec1 = mse(build_brick_cache(field, state.params, mc, dilate=1))
+        e_dec2 = mse(build_brick_cache(field, state.params, mc, dilate=1,
+                                       supersample=2))
+        e_ex2 = mse(build_brick_cache(field, state.params, mc, dilate=1,
+                                      supersample=2, convention="exact"))
+        # the warp floor: decoded-lattice supersampling stalls…
+        assert e_dec2 > e_ex2 * 2, (e_dec1, e_dec2, e_ex2)
+        # …while the exact lattice actually converges
+        assert e_ex2 < e_dec1 / 4, (e_dec1, e_ex2)
