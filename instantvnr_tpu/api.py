@@ -1067,7 +1067,13 @@ class VNRenderer:
         ensures the camera frustum's bricks per frame (frustum ∪
         light-swept for SSH, whose shadow rays leave the frustum only
         along the light). Same memory gates — lazy saves decode TIME, not
-        pool memory."""
+        pool memory.
+
+        Lattice: "auto"/"lazy"/"hq" decode on the EXACT convention
+        (pool(p) → net(p), the reference's literal mode-5 field — +6 dB
+        vs the exact render at identical cost, NOTES_ROUND4); only
+        "brick" keeps the decoded half-texel lattice, as the bit-exact
+        DECODED_*-parity escape hatch."""
         import os
 
         from instantvnr_tpu.render.brickcache import (brick_cache_bytes,
@@ -1109,9 +1115,10 @@ class VNRenderer:
         if self.streaming_cache == "lazy":
             from instantvnr_tpu.render.brickcache import LazyBrickCache
 
-            self._lazy = LazyBrickCache(*args, dtype=dtype)
+            self._lazy = LazyBrickCache(*args, dtype=dtype,
+                                        convention="exact")
             return self._lazy.ctx
-        return build_brick_cache(*args, dtype=dtype)
+        return build_brick_cache(*args, dtype=dtype, convention="exact")
 
     @property
     def streaming_cache_info(self) -> dict:

@@ -548,7 +548,10 @@ class TestBrickCache:
         nv.train(10)
         for policy, resolved, quality in (
                 ("brick", "brick", "decoded-trilinear"),
-                ("lazy", "lazy", "decoded-trilinear"),
+                # auto/lazy decode on the exact-convention lattice (the
+                # mode-5 field, +6 dB vs exact at identical cost)
+                ("auto", "brick", "exact-trilinear"),
+                ("lazy", "lazy", "exact-trilinear"),
                 ("none", "none", "exact-network")):
             r = VNRenderer(nv, 16, 16, mode=RenderMode.NEURAL_WAVEFRONT,
                            streaming_cache=policy)
