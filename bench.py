@@ -279,7 +279,12 @@ def main(report=None):
                 ModelConfig().encoding, hash_variant="paired"))
         field19p = NeuralField.from_config(cfg19p)
         st19p = create_train_state(jax.random.PRNGKey(0), field19p)
-        st19p = train_steps(field19p, vol.data, st19p, 10, batch)
+        # warm with the SAME step count as the timed call: train_steps
+        # jits per scan length, so a 10-step warmup would leave the
+        # 5-step program to compile INSIDE the timed region (observed:
+        # 0.013 "Msamples/s" that was really a ~25 s remote compile)
+        st19p = train_steps(field19p, vol.data, st19p, 5, batch)
+        st19p = train_steps(field19p, vol.data, st19p, 5, batch)
         _ = float(st19p.loss)
         t0 = time.time()
         st19p = train_steps(field19p, vol.data, st19p, 5, batch)
@@ -321,10 +326,12 @@ def main(report=None):
         )
 
         t0 = time.time()
-        # f16 pool — the facade's auto default (105.8 dB vs f32, half the
-        # gathered bytes: 6.7→8.7 fps @512², NOTES_ROUND4 sweep2)
+        # f16 pool on the exact-convention lattice — the facade's auto
+        # default (f16: 105.8 dB vs f32, half the gathered bytes; exact
+        # lattice: the mode-5 field, +6 dB vs the exact render at the
+        # same cost — NOTES_ROUND4)
         ctx = build_brick_cache(field, state.params, mc, dilate=1,
-                                dtype=jnp.float16)
+                                dtype=jnp.float16, convention="exact")
         _sync(ctx["packed"].astype(jnp.float32))
         log(f"brick cache build: {time.time() - t0:.2f}s "
             f"({ctx['packed'].nbytes / 1e6:.0f} MB f16)")
