@@ -46,13 +46,32 @@ from instantvnr_tpu.render.raymarch import (
 
 _MIN_BUCKET = 8192
 
+# Midpoint buckets: admit 3·2^k prefix sizes between the powers of two.
+# Superstep compute is ∝ bucket size whatever the live count (masked lanes
+# still issue their gathers), so a finer bucket ladder tracks the decaying
+# live count tighter — average lane waste drops from ~33% to ~17% at the
+# cost of a ~2× bucket-program family (warmed in parallel) and fused
+# schedules that sit nearer their validity boundaries. Env-gated until
+# measured end-to-end (scratch/midpoint_sweep.py).
+import os as _os
+
+_MIDPOINT_BUCKETS = _os.environ.get("VNR_BUCKET_MIDPOINTS", "0") == "1"
+
 
 def _bucket(count: int, r: int) -> int:
-    """Smallest power-of-2 prefix ≥ count (≥ _MIN_BUCKET, ≤ r)."""
+    """Smallest admissible prefix ≥ count (≥ _MIN_BUCKET, ≤ r): powers of
+    two, plus their 1.5× midpoints when _MIDPOINT_BUCKETS."""
     m = _MIN_BUCKET
     while m < count:
+        if _MIDPOINT_BUCKETS and count <= m + m // 2:
+            return min(m + m // 2, r)
         m *= 2
     return min(m, r)
+
+
+def _next_bucket(m: int, r: int) -> int:
+    """The admissible size one rung ABOVE m (for replay's headroom bump)."""
+    return min(_bucket(m + 1, r), r)
 
 
 def _fused_sampling(sample_fn, sample_ctx):
@@ -611,7 +630,7 @@ def _replay(r, make_initial, dispatch_super, dispatch_finish, budget_total,
         if op[0] == "C":
             m_new, c_just = op[1], op[2]
             if c_just > _REPLAY_HEADROOM * m_new:
-                m_new = min(2 * m_new, r)
+                m_new = _next_bucket(m_new, r)
             if m_new >= m:
                 continue
             checks.append((len(counts) - 1, m_new))
@@ -754,11 +773,14 @@ def _unpermute(perm, color, alpha, best_w, best_pos, best_rgb):
 
 def bucket_sizes(r: int) -> list[int]:
     """All bucket sizes the compacted marcher can dispatch for frame size r:
-    {r} ∪ {powers of two in [_MIN_BUCKET, r)}, descending."""
+    {r} ∪ {powers of two in [_MIN_BUCKET, r)} (∪ their 1.5× midpoints when
+    _MIDPOINT_BUCKETS), descending."""
     sizes = [r]
     m = _MIN_BUCKET
     while m < r:
         sizes.append(m)
+        if _MIDPOINT_BUCKETS and m + m // 2 < r:
+            sizes.append(m + m // 2)
         m *= 2
     return sorted(set(sizes), reverse=True)
 

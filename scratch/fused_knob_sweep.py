@@ -1,0 +1,141 @@
+"""Re-sweep (n_iters, finish_bucket, tiles) under FUSED whole-frame
+execution — the round-3 optima (n8, fin32k@512/64k@768) were tuned when
+each dispatch cost ~25-30 ms of link latency; fused frames remove that,
+shifting the optimum toward less masked-lane compute (smaller supersteps,
+tighter tail buckets)."""
+import dataclasses, os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+def log(*a): print(*a, file=sys.stderr, flush=True)
+def sync(x): return float(x.ravel()[0])
+
+
+def main():
+    from instantvnr_tpu.accel import macrocell as mcmod
+    from instantvnr_tpu.config import ModelConfig, TransferFunctionConfig
+    from instantvnr_tpu.data import synthetic_volume
+    from instantvnr_tpu.models import NeuralField, create_train_state, train_steps
+    from instantvnr_tpu.render.brickcache import brick_sample_fn, build_brick_cache
+    from instantvnr_tpu.render.camera import Camera
+    from instantvnr_tpu.render.raymarch import RaymarchSettings
+    from instantvnr_tpu.render.renderer import Renderer
+    from instantvnr_tpu.utils.tfn import bake_transfer_function
+    from instantvnr_tpu.render.compaction import wait_fused_compiles
+
+    dims = (128, 128, 128)
+    vol = synthetic_volume(dims, kind="vorts")
+    tf = bake_transfer_function(TransferFunctionConfig())
+    mc = mcmod.build(vol.data, vol.dims, tf)
+    cam = Camera(eye=(0.15 * dims[0], 0.1 * dims[1], -2.0 * dims[2]),
+                 center=(0, 0, 0), up=(0, 1, 0), fovy=45)
+    cfg = ModelConfig()
+    cfg = dataclasses.replace(
+        cfg, encoding=dataclasses.replace(cfg.encoding, log2_hashmap_size=14))
+    field = NeuralField.from_config(cfg)
+    state = create_train_state(jax.random.PRNGKey(0), field)
+    for _ in range(10):
+        state = train_steps(field, vol.data, state, 10, 1 << 16)
+    _ = float(state.loss)
+    ctx = build_brick_cache(field, state.params, mc, dilate=1,
+                            dtype=jnp.float16, convention="exact")
+    _ = sync(ctx["packed"].astype(jnp.float32))
+    log("scene ready")
+
+    def run(name, size, settings, frames_n=8):
+        r = Renderer(size, size, mc, tf, brick_sample_fn,
+                     sample_ctx=ctx, settings=settings)
+        r.set_camera(cam)
+        t0 = time.time(); r.warmup(); wu = time.time() - t0
+        # record + stabilize schedule, wait for the background fused compile
+        t0 = time.time()
+        for _attempt in range(3):
+            for _ in range(4): r.render()
+            sync(r._frame)
+            wait_fused_compiles()
+            if r._sched_cache.get("fused_frames", 0):
+                break
+        fc = time.time() - t0
+        for _ in range(r._fused_depth + 1): r.render()
+        sync(r._frame)
+        t0 = time.time()
+        for _ in range(frames_n): r.render()
+        sync(r._frame)
+        fps = frames_n / (time.time() - t0)
+        log(f"{name}: {fps:.3f} fps (wu {wu:.0f}s, fused-compile {fc:.0f}s, "
+            f"fused_frames {r._sched_cache.get('fused_frames', 0)})")
+        del r
+        return fps
+
+    base = RaymarchSettings(n_iters=8, max_skips=1, compact=True)
+    which = sys.argv[1] if len(sys.argv) > 1 else "512"
+    if which == "512":
+        run("512 n8 fin32k (cur)", 512, base)
+        run("512 n8 fin8k", 512, dataclasses.replace(base, finish_bucket=8192))
+        run("512 n8 fin16k", 512,
+            dataclasses.replace(base, finish_bucket=16384))
+        run("512 n4 fin8k", 512,
+            dataclasses.replace(base, n_iters=4, finish_bucket=8192))
+        run("512 n16 fin32k", 512, dataclasses.replace(base, n_iters=16))
+    elif which == "768":
+        t3 = dataclasses.replace(base, tiles=3)
+        run("768 T3 fin64k (cur)", 768,
+            dataclasses.replace(t3, finish_bucket=65536), frames_n=6)
+        run("768 T3 fin16k", 768,
+            dataclasses.replace(t3, finish_bucket=16384), frames_n=6)
+        run("768 T3 fin8k", 768,
+            dataclasses.replace(t3, finish_bucket=8192), frames_n=6)
+        run("768 T1 fin8k", 768,
+            dataclasses.replace(base, finish_bucket=8192), frames_n=6)
+        run("768 T3 n4 fin8k", 768,
+            dataclasses.replace(t3, n_iters=4, finish_bucket=8192),
+            frames_n=6)
+    elif which == "orbit":
+        # fused executables key on the stripped (kind, bucket) schedule —
+        # camera-independent — so an orbit whose bucket sequence is stable
+        # can reuse ONE executable; bench currently turns fused off there.
+        import math
+
+        def orbit_cam(i, n=64):
+            a = 2 * math.pi * i / n
+            rr = 2.2 * dims[0]
+            return Camera(eye=(rr * math.sin(a), 0.15 * dims[1],
+                               -rr * math.cos(a)),
+                          center=(0, 0, 0), up=(0, 1, 0), fovy=45)
+
+        def run_orbit(name, settings, extra=None):
+            r = Renderer(512, 512, mc, tf, brick_sample_fn,
+                         sample_ctx=ctx, settings=settings)
+            r.set_camera(orbit_cam(0))
+            r.warmup()
+            # warm lap: let schedules record + fused compiles kick off
+            for i in range(12):
+                r.set_camera(orbit_cam(i))
+                r.render()
+            sync(r._frame)
+            wait_fused_compiles()
+            for i in range(12, 16):
+                r.set_camera(orbit_cam(i))
+                r.render()
+            sync(r._frame)
+            t0 = time.time()
+            for i in range(16, 32):
+                r.set_camera(orbit_cam(i))
+                r.render()
+            sync(r._frame)
+            fps = 16 / (time.time() - t0)
+            log(f"{name}: {fps:.3f} fps (fused_frames "
+                f"{r._sched_cache.get('fused_frames', 0)}, serialized "
+                f"{r._sched_cache.get('serialized', 0)}, invalidated "
+                f"{r._sched_cache.get('invalidated', 0)})")
+            del r
+            return fps
+
+        run_orbit("orbit fused OFF (bench cur)",
+                  dataclasses.replace(base, fused_replay=False))
+        run_orbit("orbit fused ON", base)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""A/B the midpoint bucket ladder (VNR_BUCKET_MIDPOINTS) under fused
+whole-frame execution. Run: python scratch/midpoint_sweep.py [512|768]
+— set VNR_BUCKET_MIDPOINTS=1 in the env for the B arm."""
+import dataclasses, os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+def log(*a): print(*a, file=sys.stderr, flush=True)
+def sync(x): return float(x.ravel()[0])
+
+
+def main():
+    from instantvnr_tpu.accel import macrocell as mcmod
+    from instantvnr_tpu.config import ModelConfig, TransferFunctionConfig
+    from instantvnr_tpu.data import synthetic_volume
+    from instantvnr_tpu.models import NeuralField, create_train_state, train_steps
+    from instantvnr_tpu.render.brickcache import brick_sample_fn, build_brick_cache
+    from instantvnr_tpu.render.camera import Camera
+    from instantvnr_tpu.render.raymarch import RaymarchSettings
+    from instantvnr_tpu.render.renderer import Renderer
+    from instantvnr_tpu.utils.tfn import bake_transfer_function
+    from instantvnr_tpu.render.compaction import (wait_fused_compiles,
+                                                  _MIDPOINT_BUCKETS)
+    log(f"midpoint buckets: {_MIDPOINT_BUCKETS}")
+
+    dims = (128, 128, 128)
+    vol = synthetic_volume(dims, kind="vorts")
+    tf = bake_transfer_function(TransferFunctionConfig())
+    mc = mcmod.build(vol.data, vol.dims, tf)
+    cam = Camera(eye=(0.15 * dims[0], 0.1 * dims[1], -2.0 * dims[2]),
+                 center=(0, 0, 0), up=(0, 1, 0), fovy=45)
+    cfg = ModelConfig()
+    cfg = dataclasses.replace(
+        cfg, encoding=dataclasses.replace(cfg.encoding, log2_hashmap_size=14))
+    field = NeuralField.from_config(cfg)
+    state = create_train_state(jax.random.PRNGKey(0), field)
+    for _ in range(10):
+        state = train_steps(field, vol.data, state, 10, 1 << 16)
+    _ = float(state.loss)
+    ctx = build_brick_cache(field, state.params, mc, dilate=1,
+                            dtype=jnp.float16, convention="exact")
+    _ = sync(ctx["packed"].astype(jnp.float32))
+    log("scene ready")
+
+    def run(name, size, settings, frames_n=8):
+        r = Renderer(size, size, mc, tf, brick_sample_fn,
+                     sample_ctx=ctx, settings=settings)
+        r.set_camera(cam)
+        t0 = time.time(); r.warmup(); wu = time.time() - t0
+        t0 = time.time()
+        for _attempt in range(4):
+            for _ in range(4): r.render()
+            sync(r._frame)
+            wait_fused_compiles()
+            if r._sched_cache.get("fused_frames", 0):
+                break
+        fc = time.time() - t0
+        for _ in range(r._fused_depth + 1): r.render()
+        sync(r._frame)
+        t0 = time.time()
+        for _ in range(frames_n): r.render()
+        sync(r._frame)
+        fps = frames_n / (time.time() - t0)
+        log(f"{name}: {fps:.3f} fps (wu {wu:.0f}s, fused-compile {fc:.0f}s, "
+            f"fused {r._sched_cache.get('fused_frames', 0)}, serialized "
+            f"{r._sched_cache.get('serialized', 0)}, invalidated "
+            f"{r._sched_cache.get('invalidated', 0)})")
+        del r
+        return fps
+
+    base = RaymarchSettings(n_iters=8, max_skips=1, compact=True)
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    tag = "MID" if _MIDPOINT_BUCKETS else "P2"
+    if which in ("512", "both"):
+        run(f"512 {tag}", 512, base)
+    if which in ("768", "both"):
+        run(f"768 T3 {tag}", 768,
+            dataclasses.replace(base, tiles=3, finish_bucket=65536),
+            frames_n=6)
+
+
+if __name__ == "__main__":
+    main()

@@ -120,6 +120,44 @@ def test_bucket_schedule():
     assert _bucket(1 << 20, 1 << 18) == 1 << 18
 
 
+def test_bucket_midpoints(monkeypatch):
+    """The 3·2^k midpoint ladder (VNR_BUCKET_MIDPOINTS)."""
+    import instantvnr_tpu.render.compaction as comp
+
+    monkeypatch.setattr(comp, "_MIDPOINT_BUCKETS", True)
+    assert comp._bucket(8193, 1 << 20) == 12288
+    assert comp._bucket(12289, 1 << 20) == 16384
+    assert comp._bucket(20000, 1 << 20) == 24576
+    assert comp._bucket(1, 1 << 20) == 8192
+    assert comp._bucket(1 << 20, 1 << 18) == 1 << 18
+    assert comp._next_bucket(8192, 1 << 20) == 12288
+    assert comp._next_bucket(12288, 1 << 20) == 16384
+    assert comp.bucket_sizes(65536) == [65536, 49152, 32768, 24576,
+                                        16384, 12288, 8192]
+
+
+def test_midpoint_buckets_bit_identical(scene, monkeypatch):
+    """Output is bit-identical under the midpoint ladder (the wavefront's
+    schedule-independence invariant — per-ray state is slot-independent)."""
+    import instantvnr_tpu.render.compaction as comp
+
+    monkeypatch.setattr(comp, "_MIN_BUCKET", 256)
+    monkeypatch.setattr(comp, "_FINISH_BUCKET", 384)
+    vol, tf, mc = scene
+    cam = Camera.default_for_dims(vol.dims)
+    frames = {}
+    for mid in (False, True):
+        monkeypatch.setattr(comp, "_MIDPOINT_BUCKETS", mid)
+        r = Renderer(48, 48, mc, tf, reference_sample_fn,
+                     sample_ctx=vol.data,
+                     settings=RaymarchSettings(compact=True), seed=7)
+        r.set_camera(cam)
+        for _ in range(3):
+            r.render()
+        frames[mid] = r.mapframe()
+    np.testing.assert_array_equal(frames[True], frames[False])
+
+
 def test_renderer_compact_flag(scene):
     """Renderer.render with compact=True equals compact=False (same key)."""
     vol, tf, mc = scene
