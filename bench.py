@@ -397,7 +397,7 @@ def main(report=None):
         # ≥480k rays; bit-identical scheduling — NOTES_ROUND4 sweeps)
         rb768 = Renderer(768, 768, mc, tf, brick_sample_fn, sample_ctx=ctx,
                          settings=_dc.replace(bset, tiles=3,
-                                              finish_bucket=65536))
+                                              finish_bucket=16384))
         rb768.set_camera(cam)
         rb768.warmup()
         _warm_fused(rb768)

@@ -772,10 +772,12 @@ class VNRenderer:
                 # evaluation (the reference's literal mode-5 semantics).
                 from instantvnr_tpu.render.brickcache import brick_sample_fn
 
-                # big frames tile into 3 row bands with a bigger tail
+                # big frames tile into 3 row bands with a 16k tail
                 # finisher (bit-identical pure scheduling; 768² measured
-                # 2.85 → 5.4 fps with the f16 pool, while 512² prefers
-                # the untiled default — NOTES_ROUND4 tiling sweeps)
+                # 2.85 → 5.4 fps with the f16 pool + tiles, then 6.14 →
+                # 6.39 fps moving the finisher 64k → 16k once fused
+                # whole-frame execution made dispatch free — while 512²
+                # prefers the untiled defaults; NOTES_ROUND4 sweeps)
                 big = self.width * self.height >= 480_000
                 impl = Renderer(
                     self.width, self.height, mc, tf, brick_sample_fn,
@@ -783,7 +785,7 @@ class VNRenderer:
                     settings=RaymarchSettings(
                         shading=shading, compact=True, n_iters=8,
                         max_skips=1, tiles=3 if big else 1,
-                        finish_bucket=65536 if big else None,
+                        finish_bucket=16384 if big else None,
                         sampling_rate=self.sampling_rate,
                         density_scale=self.density_scale),
                     transform=xf,
