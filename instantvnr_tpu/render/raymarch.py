@@ -129,10 +129,12 @@ class RaymarchSettings:
     # band's size. 1 = off.
     tiles: int = 1
     # run-to-completion threshold override for the compacted driver
-    # (None → compaction._FINISH_BUCKET = 32768). Bigger frames amortize
-    # more compute per dispatch, so their tails tolerate a bigger
-    # finisher: 65536 measured best at 768²·tiles=3 (5.4 vs 5.0 fps,
-    # NOTES_ROUND4), while 512² keeps the default.
+    # (None → compaction._FINISH_BUCKET = 32768). Under per-dispatch
+    # replay bigger tails amortized link latency (65536 best at
+    # 768²·tiles=3, 5.4 vs 5.0 fps); once fused whole-frame execution
+    # made dispatch free the optimum moved DOWN to 16384 (6.39 vs 6.14 —
+    # less masked-lane compute in the finisher; NOTES_ROUND4 sweeps).
+    # 512² keeps the default either way.
     finish_bucket: int | None = None
     # fuse a stable replayed schedule into ONE whole-frame device program
     # (AOT-compiled in the background after the schedule repeats
