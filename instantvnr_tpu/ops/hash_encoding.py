@@ -734,6 +734,33 @@ def _dense_level_grad_splat(spec: HashGridSpec, lvl: int, coords: jnp.ndarray,
         [fold2, jnp.zeros((size - out_len, f_), fold2.dtype)])
 
 
+# Dense-level backward crossover (measured v5e, B=2^16, scratch/
+# dense_bwd_alt.py r5): the separable splat's reassociated matmul grows
+# ∝ res³ while a plain per-level scatter-add stays ~flat in table size
+# (updates-bound) — res 16: 4.6 ms splat / 7.4 scatter; res 32: 10.9 /
+# 11.4; res 64: 34.2 / 10.8. So splat up to res 32, scatter above (f32
+# accumulation: scat32 measured ≤ scat16 at these sizes, and f32 keeps
+# dense grads exact). Cut the 2^19 full step 107 → ~84 ms.
+_SPLAT_MAX_RES = 32
+
+
+def _dense_level_grad_scatter(spec: HashGridSpec, lvl: int,
+                              coords: jnp.ndarray,
+                              g_lvl: jnp.ndarray) -> jnp.ndarray:
+    """Plain per-level scatter-add backward for a BIG dense level."""
+    idx, w = _dense_level_corners(spec, lvl, coords)
+    upd = (w[..., None] * g_lvl[:, None, :]).reshape(-1, spec.n_features)
+    t = jnp.zeros((spec.level_sizes[lvl], spec.n_features), jnp.float32)
+    return t.at[idx.reshape(-1)].add(upd)
+
+
+def _dense_level_grad(spec: HashGridSpec, lvl: int, coords: jnp.ndarray,
+                      g_lvl: jnp.ndarray) -> jnp.ndarray:
+    if spec.resolutions[lvl] <= _SPLAT_MAX_RES:
+        return _dense_level_grad_splat(spec, lvl, coords, g_lvl)
+    return _dense_level_grad_scatter(spec, lvl, coords, g_lvl)
+
+
 def _make_splat_encode(spec: HashGridSpec, compute_dtype,
                        packed_fwd: bool = False):
     if spec.paired:
@@ -776,7 +803,7 @@ def _make_splat_encode(spec: HashGridSpec, compute_dtype,
         parts = [None] * spec.n_levels
 
         for l in dense_lvls:
-            parts[l] = _dense_level_grad_splat(spec, l, coords, g[:, l, :])
+            parts[l] = _dense_level_grad(spec, l, coords, g[:, l, :])
 
         if hashed_lvls:
             # PER-LEVEL scatters, not one fused scatter into the concatenated
@@ -839,7 +866,7 @@ def _make_paired_splat_encode(spec: HashGridSpec, compute_dtype):
         parts = [None] * spec.n_levels
 
         for l in dense_lvls:
-            parts[l] = _dense_level_grad_splat(spec, l, coords, g[:, l, :])
+            parts[l] = _dense_level_grad(spec, l, coords, g[:, l, :])
 
         for l in hashed_lvls:
             rows, w2 = _paired_level_rows(spec, l, coords)  # local

@@ -300,6 +300,31 @@ def _brick_ctx(lut, packed, vol_dims, mc_dims, mc: MacroCell,
 
 
 @jax.jit
+def _occ_parity(occ_slot, max_opacity):
+    return jnp.all(occ_slot[:, 0]
+                   == max_opacity.reshape(-1).astype(jnp.float32))
+
+
+def emission_parity_handle(mc: MacroCell, ctx):
+    """Async check of the LOAD-BEARING fused-emission invariant: the ctx's
+    occ_slot column 0 must equal mc.max_opacity, or the fused occ_slot
+    sampling row (raymarch occ_aux) emits against stale occupancy and the
+    image silently diverges from the unfused path (CLAUDE.md invariant,
+    _brick_ctx). Returns an async bool handle (copy_to_host_async already
+    issued — resolving it later costs no extra round-trip) or None when the
+    ctx carries no occ_slot. Render paths resolve it at the next settle
+    point, never per dispatch."""
+    occ = ctx.get("occ_slot") if isinstance(ctx, dict) else None
+    if occ is None:
+        return None
+    if occ.shape[0] != int(np.prod(np.asarray(mc.dims))):
+        return np.bool_(False)  # wrong macrocell entirely — instantly loud
+    h = _occ_parity(occ, mc.max_opacity)
+    h.copy_to_host_async()
+    return h
+
+
+@jax.jit
 def _pool_update(packed, rows, start):
     """Swap refreshed corner-packed rows into the pool. NOT donated: a
     previously dispatched frame may still hold the old buffer; the copy is

@@ -611,7 +611,9 @@ def _replay(r, make_initial, dispatch_super, dispatch_finish, budget_total,
         roll back the provisional accumulation on the rare invalid).
 
     Compaction buckets get a headroom bump (previous count within
-    `_REPLAY_HEADROOM` of the bucket ⇒ next power of two) so near-boundary
+    `_REPLAY_HEADROOM` of the bucket ⇒ next admissible bucket size, one
+    `_next_bucket` rung up — a 1.5× midpoint under the midpoint ladder,
+    the next power of two otherwise) so near-boundary
     counts don't oscillate between replay and re-render. Frame-to-frame
     counts differ only by the per-frame jitter draw, so the margin can be
     thin: 0.8 measurably hurt 768² (skipped compactions kept supersteps at

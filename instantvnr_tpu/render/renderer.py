@@ -255,7 +255,9 @@ class Renderer(FusedPipelineMixin):
         # fused program must NOT be handed freshly dispatched ray programs
         # each frame — that link latency is what it exists to remove)
         self._rays_cache = None  # (key tuple, _frame_rays output)
+        self._parity_handle = None
         self._init_fused_pipeline()
+        self._queue_parity_check()
 
     # -- transactional updates (reference MainRenderer::set_*) --------------
 
@@ -270,13 +272,46 @@ class Renderer(FusedPipelineMixin):
     def set_sample_fn(self, sample_fn, sample_ctx=None):
         self.sample_fn = sample_fn
         self.sample_ctx = sample_ctx
+        self._queue_parity_check()
         self.reset_accumulation()
 
     def set_sample_ctx(self, sample_ctx):
         """Swap the sample context (e.g. updated network params during
         online training) WITHOUT retracing the frame program."""
         self.sample_ctx = sample_ctx
+        self._queue_parity_check()
         self.reset_accumulation()
+
+    def _queue_parity_check(self):
+        """Queue the async emission-parity check (occ_slot col 0 ==
+        mc.max_opacity — brickcache.emission_parity_handle). Resolved at the
+        next mapframe(); dedup by array identity so repeated ctx swaps of
+        the same pool cost nothing."""
+        ctx = self.sample_ctx
+        occ = ctx.get("occ_slot") if isinstance(ctx, dict) else None
+        if occ is None:
+            self._parity_handle = None
+            return
+        key = (id(occ), id(self.mc.max_opacity))
+        if key == getattr(self, "_parity_ok_key", None):
+            return
+        from instantvnr_tpu.render.brickcache import emission_parity_handle
+
+        self._parity_handle = emission_parity_handle(self.mc, ctx)
+        self._parity_key = key
+
+    def _resolve_parity_check(self):
+        h = getattr(self, "_parity_handle", None)
+        if h is None:
+            return
+        self._parity_handle = None
+        if not bool(h):
+            raise RuntimeError(
+                "emission-parity invariant violated: sample_ctx['occ_slot']"
+                " column 0 != mc.max_opacity — the fused occ_slot sampling"
+                " row would emit against stale occupancy (rebuild the brick"
+                " pool after any macrocell update; see render/brickcache.py)")
+        self._parity_ok_key = self._parity_key
 
     def set_settings(self, settings: RaymarchSettings):
         self.settings = settings
@@ -477,6 +512,7 @@ class Renderer(FusedPipelineMixin):
         (reference FrameBuffer::mapframe, framebuffer.h:84-94)."""
         self._settle()
         self._settle_fused(keep=0)  # a displayed frame is never provisional
+        self._resolve_parity_check()
         return np.asarray(self._frame).reshape(self.height, self.width, 4)
 
 

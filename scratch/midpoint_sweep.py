@@ -56,6 +56,9 @@ def main():
             if r._sched_cache.get("fused_frames", 0):
                 break
         fc = time.time() - t0
+        if not r._sched_cache.get("fused_frames", 0):
+            log(f"{name}: WARNING fused never engaged after 4 attempts — "
+                "the timing below measures per-dispatch replay, NOT fused")
         for _ in range(r._fused_depth + 1): r.render()
         sync(r._frame)
         t0 = time.time()
