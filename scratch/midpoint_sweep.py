@@ -78,8 +78,9 @@ def main():
     if which in ("512", "both"):
         run(f"512 {tag}", 512, base)
     if which in ("768", "both"):
-        run(f"768 T3 {tag}", 768,
-            dataclasses.replace(base, tiles=3, finish_bucket=65536),
+        # current facade defaults for big frames: tiles=3, finish=16k
+        run(f"768 T3 fin16k {tag}", 768,
+            dataclasses.replace(base, tiles=3, finish_bucket=16384),
             frames_n=6)
 
 

@@ -471,6 +471,30 @@ class TestCollectiveProfiles:
         # fwd activation psum + its autodiff transpose + ONE fused grad psum
         assert count_collectives(step, state, vol.data) == {"psum": 3}
 
+    def test_bench_multichip_smoke(self):
+        """bench_multichip.py runs end-to-end on a virtual CPU mesh and
+        emits one parseable JSON line (the same code path runs unmodified
+        on real multi-chip hardware — VERDICT r4 #7)."""
+        import json
+        import os
+        import subprocess
+        import sys
+
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        out = subprocess.run(
+            [sys.executable, "bench_multichip.py", "--cpu", "2",
+             "--preset", "tiny"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            env=env, capture_output=True, text=True, timeout=540)
+        assert out.returncode == 0, out.stderr[-2000:]
+        line = out.stdout.strip().splitlines()[-1]
+        j = json.loads(line)
+        assert j["unit"] == "%"
+        sec = j["secondary"]
+        assert sec["devices"] == 2 and sec["backend"] == "cpu"
+        assert sec["dp_msamples_per_s_n1"] > 0
+        assert sec["render_mrays_per_s_n2"] > 0
+
     def test_fused_pmean_matches_leafwise(self):
         from functools import partial
 
