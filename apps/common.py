@@ -38,6 +38,12 @@ def add_volume_args(p: argparse.ArgumentParser):
                         "ANALYTIC field trained with no in-core volume)")
     g.add_argument("--dims", type=int, nargs="+", default=[64],
                    help="synthetic volume dims (1 or 3 ints)")
+    g.add_argument("--volume",
+                   help=".vdb volume file (OpenVDB FloatGrid — the "
+                        "reference's OpenVKL VDB source, data/vdb.py)")
+    g.add_argument("--vdb-grid", default=None,
+                   help="grid name inside the .vdb (default: the single "
+                        "grid, or 'density')")
 
 
 def add_model_args(p: argparse.ArgumentParser):
@@ -53,6 +59,15 @@ def add_model_args(p: argparse.ArgumentParser):
 def load_simple_volume(args):
     from instantvnr_tpu.api import SimpleVolume
 
+    if getattr(args, "volume", None):
+        if not args.volume.endswith(".vdb"):
+            raise SystemExit(
+                f"--volume {args.volume}: only .vdb files are supported "
+                "here (raw volumes need a scene JSON for dims/dtype)")
+        from instantvnr_tpu.data.vdb import vdb_to_volume
+
+        return SimpleVolume(
+            vdb_to_volume(args.volume, getattr(args, "vdb_grid", None)))
     if args.scene:
         return SimpleVolume(args.scene)
     kind = args.synthetic or "vorts"

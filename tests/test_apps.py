@@ -53,6 +53,24 @@ class TestApps:
         assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
         assert "fps average" in r.stdout
 
+    def test_train_on_vdb_volume(self, tmp_path):
+        """`vnr_cmd_train --volume foo.vdb` — the OpenVKL VDB source class
+        (neural_sampler.cpp:756-770) through the CLI."""
+        from instantvnr_tpu.data.vdb import write_vdb
+
+        z, y, x = np.meshgrid(*(np.linspace(0, 1, 24),) * 3, indexing="ij")
+        d = np.exp(-((x - .5) ** 2 + (y - .5) ** 2 + (z - .5) ** 2) * 14)
+        vdb = str(tmp_path / "blob.vdb")
+        write_vdb(vdb, d.astype(np.float32), compression="zip+mask",
+                  active_threshold=0.02)
+        ckpt = str(tmp_path / "m.bson")
+        r = run_app("vnr_cmd_train.py", "--volume", vdb, "--max-num-steps",
+                    "40", "--batch", "2048", "--save", ckpt,
+                    "--report-psnr")
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+        assert "PSNR" in r.stdout
+        assert os.path.exists(ckpt)
+
     def test_render_orbit(self, tmp_path):
         png = str(tmp_path / "o.png")
         r = run_app("vnr_cmd_render.py", "--synthetic", "sphere", "--dims",
