@@ -81,8 +81,36 @@ def precompile(size: int, simple, model_cfg, modes: list[str]) -> dict:
         timed(name, lambda r=r: (r._impl.warmup()
                                  if hasattr(r._impl, "warmup")
                                  else r.render()))
+        if name in ("wavefront", "wavefront_exact", "pathtrace",
+                    "pathtrace_neural"):
+            # also compile the FUSED whole-frame executable (VERDICT r4
+            # #5): render until the recorded schedule repeats and the
+            # background AOT compile lands in the persistent cache, so a
+            # fresh session's fused path engages within one settle depth
+            # instead of after ~1-2 min of background compiles
+            timed(f"{name}-fused", lambda r=r: _warm_fused(r))
         del r
     return times
+
+
+def _warm_fused(r, attempts: int = 4) -> bool:
+    """Render until the fused whole-frame executable exists (its
+    compilation then sits in the persistent cache keyed on the lowered
+    program; schedules are camera+scene determined, so the default-camera
+    executable is exactly what a fresh session needs first)."""
+    from instantvnr_tpu.render.compaction import wait_fused_compiles
+
+    impl = r._impl
+    for _ in range(attempts):
+        for _f in range(4):
+            r.render()
+        float(impl._frame.ravel()[0])
+        wait_fused_compiles()
+        if impl._sched_cache.get("fused_frames", 0):
+            return True
+    log("fused schedule never stabilized (frame too small for replay, "
+        "or fused_replay disabled for this mode) — skipped")
+    return False
 
 
 def report(size: int, simple, model_cfg) -> None:

@@ -95,6 +95,47 @@ class TestApps:
         assert r.returncode == 0, r.stderr[-2000:]
         assert "total:" in r.stderr
 
+    def test_precompile_warms_fused_whole_frame(self, tmp_path):
+        """vnr_precompile compiles the FUSED whole-frame executable into an
+        isolated persistent cache; a fresh session with that cache engages
+        fused within one settle depth (VERDICT r4 #5)."""
+        cache = str(tmp_path / "cache")
+        r = run_app("vnr_precompile.py", "--synthetic", "sphere", "--dims",
+                    "24", "--size", "48", "--modes", "wavefront",
+                    "--cache-dir", cache, timeout=540)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "wavefront-fused" in r.stderr, r.stderr[-2000:]
+        assert os.path.isdir(cache) and os.listdir(cache)
+
+        # fresh process, same cache: fused must engage within a few frames
+        code = f"""
+import jax
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_compilation_cache_dir', {cache!r})
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+import sys; sys.path.insert(0, {REPO!r})
+from instantvnr_tpu.api import NeuralVolume, RenderMode, VNRenderer
+from instantvnr_tpu.config import ModelConfig
+from instantvnr_tpu.api import SimpleVolume
+from instantvnr_tpu.render.compaction import wait_fused_compiles
+simple = SimpleVolume.synthetic(dims=(24, 24, 24), kind='sphere')
+nv = NeuralVolume(ModelConfig(), simple=simple, train_batch=1 << 14)
+nv.train(1)
+r = VNRenderer(nv, width=48, height=48, mode=RenderMode.NEURAL_WAVEFRONT)
+depth = getattr(r._impl, '_fused_depth', 3)
+for i in range(3 + depth):
+    r.render()
+    wait_fused_compiles()
+print('fused_frames', r._impl._sched_cache.get('fused_frames', 0))
+"""
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        out = subprocess.run([sys.executable, "-c", code], timeout=540,
+                             capture_output=True, text=True, env=env)
+        assert out.returncode == 0, out.stderr[-2000:]
+        n = int(out.stdout.strip().rsplit(" ", 1)[-1])
+        assert n >= 1, out.stdout + out.stderr[-1000:]
+
     def test_env_knob_n_iters(self, monkeypatch):
         from instantvnr_tpu.render.raymarch import RaymarchSettings
 
