@@ -215,19 +215,26 @@ def main(report=None):
         report["train_msps_full"] = 5 * batch / dt19 / 1e6
         log(f"train throughput (hash 2^19, reference schema): "
             f"{report['train_msps_full']:.2f} Msamples/s")
-        # MFU-style statement vs the measured hardware ceiling: v5e random
-        # row-gathers are issue-bound at ~13 ns/row regardless of width
-        # (NOTES_ROUND1), so the training FORWARD alone cannot exceed
-        # 1/(rows_per_sample × 13 ns) samples/s. State where we sit.
-        row_ns = 13.0
+        # MFU-style statement vs the measured hardware ceiling, RE-MEASURED
+        # r5 (VERDICT r4 #1): the bf16-precast fused gather with real corner
+        # indices costs ~6 ns/row at the 2^19 footprint (scratch/
+        # split_final.py: 23.8 ms for 2^16 x 64 rows; round 1's 13 ns/row
+        # figure predates the precast + real-index locality), so the
+        # training FORWARD alone cannot exceed 1/(rows x 6 ns) samples/s.
+        # The step's measured composition (NOTES_ROUND5): fwd gather ~24,
+        # bwd scatter+splat ~50, MLP 2.5, sampling+Adam ~8 ms at B=2^16 —
+        # i.e. the step sits near its fwd+bwd component floor; the bound %
+        # below is vs the (unreachable) gather-only forward.
+        row_ns = 6.0
         rows19 = 8 * field19.spec.n_levels
         bound19 = 1e3 / (rows19 * row_ns)  # Msamples/s
         report["train_bound_msps"] = bound19
         report["train_bound_pct"] = 100 * report["train_msps_full"] / bound19
         log(f"  forward-gather bound ({rows19} rows/sample x {row_ns:.0f} "
-            f"ns): {bound19:.2f} Msamples/s -> full step runs at "
-            f"{report['train_bound_pct']:.0f}% of the gather-only bound "
-            f"(remainder: backward scatter + Adam)")
+            f"ns, re-measured r5): {bound19:.2f} Msamples/s -> full step "
+            f"runs at {report['train_bound_pct']:.0f}% of the gather-only "
+            f"bound (remainder: backward scatter — the measured v5e "
+            f"scatter floor — + Adam)")
 
         # reference-protocol run: 1000 steps (batch_trainer.cpp:42) at the
         # untouched schema, PSNR+SSIM after (VERDICT r2: first-class, not
@@ -293,8 +300,11 @@ def main(report=None):
         log(f"train throughput (hash 2^19, paired): "
             f"{report['train_msps_paired19']:.2f} Msamples/s")
         sp = field19p.spec
-        rows_p = sum(8 if d else 4 for d in sp.level_is_dense)
-        bound_p = 1e3 / (rows_p * 13.0)
+        # paired's FORWARD gathers narrow per-corner rows (8/level, same as
+        # tcnn — the pair win is the halved backward scatter), so the
+        # forward bound uses 8 rows/level at the re-measured 6 ns/row
+        rows_p = 8 * sp.n_levels
+        bound_p = 1e3 / (rows_p * 6.0)
         report["train_bound_pct_paired"] = (
             100 * report["train_msps_paired19"] / bound_p)
         log(f"  paired forward-gather bound ({rows_p} rows/sample): "
@@ -608,9 +618,116 @@ def main(report=None):
                              center=(0, 0, 0), up=(0, 1, 0), fovy=45))
         report["fps_512cube"] = _time_frames(r5, 10, warm=3)
         log(f"render 512x512 of 512^3: {report['fps_512cube']:.2f} fps")
-        del r5, vol5, mc5
+        del r5
     except Exception as e:  # noqa: BLE001
         log(f"512^3 stage failed: {e!r}")
+        vol5 = mc5 = None
+
+    # ---- 512³ brick wavefront: the streaming cache's headline use case ---
+    # (VERDICT r4 #4a: the memory-gated pool + wavefront at the scale the
+    # design exists for — pool memory + fps, not just the 128³ bench scene)
+    try:
+        if vol5 is None:
+            raise RuntimeError("512^3 volume unavailable")
+        from instantvnr_tpu.render.brickcache import (
+            brick_cache_bytes,
+            brick_sample_fn,
+            build_brick_cache,
+        )
+
+        # brief training so the pool decodes a real field of this volume
+        cfg5 = dataclasses.replace(
+            cfg, encoding=dataclasses.replace(cfg.encoding,
+                                              log2_hashmap_size=14))
+        field5 = NeuralField.from_config(cfg5)
+        st5 = create_train_state(jax.random.PRNGKey(0), field5)
+        for _ in range(10):
+            st5 = train_steps(field5, vol5.data, st5, 10, 1 << 16)
+        _ = float(st5.loss)
+        pool_mb = brick_cache_bytes(mc5, dilate=1, dtype=jnp.float16) / 2**20
+        t0 = time.time()
+        ctx5 = build_brick_cache(field5, st5.params, mc5, dilate=1,
+                                 dtype=jnp.float16, convention="exact")
+        _sync(ctx5["packed"][:1].astype(jnp.float32))
+        log(f"512^3 brick pool: {pool_mb:.0f} MB f16, "
+            f"decode+pack {time.time() - t0:.1f}s")
+        report["pool_mb_512cube"] = pool_mb
+        from instantvnr_tpu.render.renderer import Renderer as _WfR
+
+        rb5 = _WfR(size, size, mc5, tf, brick_sample_fn, sample_ctx=ctx5,
+                   settings=RaymarchSettings(n_iters=8, max_skips=1,
+                                             compact=True))
+        rb5.set_camera(Camera(eye=(0.15 * 512, 0.1 * 512, -2.0 * 512),
+                              center=(0, 0, 0), up=(0, 1, 0), fovy=45))
+        t0 = time.time()
+        rb5.warmup()
+        log(f"512^3 wavefront warmup: {time.time() - t0:.1f}s")
+        _warm_fused(rb5)
+        report["brick_fps_512cube"] = _time_frames(rb5, 10, warm=3)
+        log(f"brick wavefront 512x512 of 512^3: "
+            f"{report['brick_fps_512cube']:.2f} fps "
+            f"(pool {pool_mb:.0f} MB)")
+        del rb5, ctx5, st5, vol5, mc5
+    except Exception as e:  # noqa: BLE001
+        log(f"512^3 wavefront stage failed: {e!r}")
+
+    # ---- out-of-core training on a multi-GB file (VERDICT r4 #4b) --------
+    # The terascale flagship: native threaded loader streaming random
+    # blocks from disk while the device trains — measured samples/s and %
+    # of the in-core number at the same schema/batch.
+    try:
+        import os
+
+        from instantvnr_tpu.config import VolumeDesc
+        from instantvnr_tpu.data.outofcore import OutOfCoreSampler
+        from instantvnr_tpu.models.trainer import train_out_of_core
+
+        n_side = 1024  # 1024³ f32 = 4.3 GB — never resident in memory
+        path = f"/tmp/vnr_ooc_bench_{n_side}.raw"
+        nbytes = n_side ** 3 * 4
+        if not (os.path.exists(path) and os.path.getsize(path) == nbytes):
+            t0 = time.time()
+            yy, xx = np.meshgrid(np.linspace(0, 1, n_side),
+                                 np.linspace(0, 1, n_side), indexing="ij")
+            with open(path + ".tmp", "wb") as f:
+                for iz in range(n_side):
+                    zc = iz / (n_side - 1)
+                    slab = (0.5 + 0.5 * np.sin(9 * xx + 5 * zc)
+                            * np.cos(7 * yy - 3 * zc)
+                            * np.exp(-((xx - .5) ** 2 + (yy - .5) ** 2
+                                       + (zc - .5) ** 2) * 4)
+                            ).astype(np.float32)
+                    f.write(slab.tobytes())
+            os.replace(path + ".tmp", path)
+            log(f"generated {path} ({nbytes / 2**30:.1f} GiB, "
+                f"{time.time() - t0:.0f}s)")
+        desc = VolumeDesc(filename=path, dims=(n_side,) * 3, dtype="FLOAT",
+                          value_range=(0.0, 1.0))
+        sampler = OutOfCoreSampler(desc, block_y=32, block_z=32,
+                                   n_threads=4)
+        log(f"OOC loader: native={sampler.is_native}, "
+            f"{sampler.n_resident} resident blocks")
+        sampler.wait_ready(min(8, sampler.n_resident), timeout=120)
+        fo = NeuralField.from_config(cfg)  # same 2^14 schema as in-core
+        sto = create_train_state(jax.random.PRNGKey(3), fo)
+        sto = train_out_of_core(fo, sampler, sto, 5, batch)  # compile+warm
+        _ = float(sto.loss)
+        n_timed = 20
+        t0 = time.time()
+        sto = train_out_of_core(fo, sampler, sto, n_timed, batch)
+        _ = float(sto.loss)
+        dt = time.time() - t0
+        report["ooc_msps"] = n_timed * batch / dt / 1e6
+        if "train_msps" in report:
+            report["ooc_vs_incore_pct"] = (100 * report["ooc_msps"]
+                                           / report["train_msps"])
+        log(f"out-of-core training (1024^3, 4.3 GiB, native loader): "
+            f"{report['ooc_msps']:.2f} Msamples/s"
+            + (f" = {report['ooc_vs_incore_pct']:.0f}% of in-core"
+               if "ooc_vs_incore_pct" in report else ""))
+        del sampler, sto
+    except Exception as e:  # noqa: BLE001
+        log(f"out-of-core stage failed: {e!r}")
 
     _emit_line(_json_line(report))
 
@@ -635,6 +752,10 @@ def _json_line(report):
         ("fps_768", "slab_fps_768"),
         ("fps_shaded", "slab_fps_512_shaded"),
         ("fps_512cube", "slab_fps_512_of_512cube"),
+        ("brick_fps_512cube", "brick_wavefront_fps_512_of_512cube"),
+        ("pool_mb_512cube", "brick_pool_mb_512cube"),
+        ("ooc_msps", "ooc_train_msamples_per_s"),
+        ("ooc_vs_incore_pct", "ooc_vs_incore_pct"),
         ("iso_fps", "isosurface_fps_512"),
         ("pt_fps", "pathtrace_fps_512"),
         ("pt_neural_fps", "pathtrace_neural_fps_512"),
