@@ -50,12 +50,17 @@ _MIN_BUCKET = 8192
 # Superstep compute is ∝ bucket size whatever the live count (masked lanes
 # still issue their gathers), so a finer bucket ladder tracks the decaying
 # live count tighter — average lane waste drops from ~33% to ~17% at the
-# cost of a ~2× bucket-program family (warmed in parallel) and fused
-# schedules that sit nearer their validity boundaries. Env-gated until
-# measured end-to-end (scratch/midpoint_sweep.py).
+# cost of a ~2× bucket-program family (warmed in parallel; one-time per
+# machine via the persistent cache / vnr_precompile). DEFAULT ON since r5:
+# measured end-to-end under fused whole-frame execution
+# (scratch/midpoint_sweep.py, v5e, clean runs):
+#   512² untiled:   15.46 → 18.05 fps (+17%)
+#   768² T3 fin16k:  6.39 →  9.84 fps (+54% — past the reference's tuned
+#                    7.25 fps at its own bench resolution)
+# VNR_BUCKET_MIDPOINTS=0 restores the power-of-two-only ladder.
 import os as _os
 
-_MIDPOINT_BUCKETS = _os.environ.get("VNR_BUCKET_MIDPOINTS", "0") == "1"
+_MIDPOINT_BUCKETS = _os.environ.get("VNR_BUCKET_MIDPOINTS", "1") == "1"
 
 
 def _bucket(count: int, r: int) -> int:

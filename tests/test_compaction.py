@@ -114,7 +114,11 @@ def test_tiled_ssh_matches_untiled(scene, monkeypatch):
     np.testing.assert_array_equal(frames[1], frames[2])
 
 
-def test_bucket_schedule():
+def test_bucket_schedule(monkeypatch):
+    """Power-of-two-only ladder (VNR_BUCKET_MIDPOINTS=0 override)."""
+    import instantvnr_tpu.render.compaction as comp
+
+    monkeypatch.setattr(comp, "_MIDPOINT_BUCKETS", False)
     assert _bucket(1, 1 << 20) == 8192
     assert _bucket(8193, 1 << 20) == 16384
     assert _bucket(1 << 20, 1 << 18) == 1 << 18
@@ -210,7 +214,12 @@ class TestScheduleReplay:
     def test_camera_change_mid_accumulation(self, scene, monkeypatch):
         """A schedule recorded for one camera replays against another —
         validation/continuation must keep the result exact (the stale
-        schedule is only a performance hint, never a correctness input)."""
+        schedule is only a performance hint, never a correctness input).
+        Read through mapframe(): the replayed frame is PROVISIONAL until
+        the deferred validation settles, and under the midpoint ladder's
+        tighter buckets the stale-schedule replay here really is invalid
+        (detected, rolled back, re-rendered) — reading the internal
+        `_frame` before settlement would observe the provisional image."""
         self._small_buckets(monkeypatch)
         vol, tf, mc = scene
         cam1 = Camera.default_for_dims(vol.dims)
@@ -229,7 +238,7 @@ class TestScheduleReplay:
             r.render()
             r.set_camera(cam2)
             r.render()
-            frames[replay] = np.asarray(r._frame).copy()
+            frames[replay] = r.mapframe()
         np.testing.assert_array_equal(frames[True], frames[False])
 
     def test_deferred_validation_bit_identical(self, scene, monkeypatch):
