@@ -140,12 +140,16 @@ def main():
     p.add_argument("--modes", nargs="+", default=["all"],
                    help="program families to compile (default: all)")
     p.add_argument("--cache-dir", default="/tmp/jax_cache")
+    p.add_argument("--cache-min-secs", type=float, default=0.1,
+                   help="persist compiles above this duration (this is a "
+                        "cache-priming tool, so the floor is low)")
     p.add_argument("--report", action="store_true",
                    help="time first frames with the current cache instead")
     args = p.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", args.cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      args.cache_min_secs)
 
     simple = load_simple_volume(args)
     model_cfg = load_model_config(args)

@@ -102,7 +102,8 @@ class TestApps:
         cache = str(tmp_path / "cache")
         r = run_app("vnr_precompile.py", "--synthetic", "sphere", "--dims",
                     "24", "--size", "48", "--modes", "wavefront",
-                    "--cache-dir", cache, timeout=540)
+                    "--cache-dir", cache, "--cache-min-secs", "0",
+                    timeout=540)
         assert r.returncode == 0, r.stderr[-2000:]
         assert "wavefront-fused" in r.stderr, r.stderr[-2000:]
         assert os.path.isdir(cache) and os.listdir(cache)
