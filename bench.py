@@ -375,10 +375,12 @@ def main(report=None):
 
         import dataclasses as _dc
 
-        # fused_replay off: every orbit step records a fresh schedule, so
-        # whole-frame fusion would only pile up background compiles
+        # fused stays ON for the orbit: executables key on the STRIPPED
+        # (kind, bucket) schedule, which is camera-independent, so one
+        # executable serves the whole orbit once the sequence stabilizes
+        # (r4 third session: 5.4 per-dispatch → 9.25 fused)
         rbo = Renderer(size, size, mc, tf, brick_sample_fn, sample_ctx=ctx,
-                       settings=_dc.replace(bset, fused_replay=False))
+                       settings=bset)
 
         def _orbit(i, n=64):
             a = 2 * math.pi * i / n
@@ -387,19 +389,28 @@ def main(report=None):
                                -rr * math.cos(a)),
                           center=(0, 0, 0), up=(0, 1, 0), fovy=45)
 
+        from instantvnr_tpu.render.compaction import wait_fused_compiles
+
         rbo.set_camera(_orbit(0))
         rbo.warmup()
-        for i in range(3):
+        for i in range(12):  # warm lap: record + let fused compiles land
+            rbo.set_camera(_orbit(i))
+            rbo.render()
+        _sync(rbo._frame)
+        wait_fused_compiles()
+        for i in range(12, 16):
             rbo.set_camera(_orbit(i))
             rbo.render()
         _sync(rbo._frame)
         t0 = time.time()
-        for i in range(3, 11):
+        for i in range(16, 24):
             rbo.set_camera(_orbit(i))
             rbo.render()
         _sync(rbo._frame)
         report["brick_orbit_fps"] = 8 / (time.time() - t0)
-        log(f"brick wavefront {size}x{size} ORBIT: "
+        log(f"brick wavefront {size}x{size} ORBIT (fused "
+            f"{rbo._sched_cache.get('fused_frames', 0)}, invalidated "
+            f"{rbo._sched_cache.get('invalidated', 0)}): "
             f"{report['brick_orbit_fps']:.3f} fps")
         del rbo
         # the reference's own benchmark frame size, streaming mode —

@@ -259,6 +259,34 @@ def strip_counts(ops) -> tuple:
     return tuple((op[0], op[1]) for op in ops)
 
 
+def bump_schedule(ops, r: int) -> tuple:
+    """One-rung motion-tolerance transform of a stripped (kind, bucket)
+    schedule: every compaction bucket moves to the next admissible rung
+    and the S/F buckets follow the relaxed trajectory; compactions that
+    stop shrinking the prefix are dropped.
+
+    Replaying a schedule recorded for a DIFFERENT camera/TF/params relies
+    on validation — and the midpoint ladder's tight buckets made that
+    genuinely fail under motion (768² orbit fin16k: 5/16 frames
+    invalidated, 2.7 → 1.7 fps, NOTES_ROUND5). A renderer sets
+    `schedule_cache["bump_next"]` on any transactional change; the next
+    frame replays/fuses this RELAXED schedule (recorded schedules stay
+    tight, so the bump never ratchets), and the steady state returns to
+    the tight executable one frame after motion stops."""
+    out = []
+    m = r
+    for kind, bucket in ops:
+        if kind == "C":
+            nb = min(_next_bucket(bucket, r), r)
+            if nb >= m:
+                continue  # no longer shrinks the prefix — drop
+            m = nb
+            out.append(("C", m))
+        else:
+            out.append((kind, m))
+    return tuple(out)
+
+
 def _fused_body(sample_fn, settings, ops, budget_total, budget_step,
                 mc, tf, light, rays, state, perm, sample_ctx, scale,
                 shadow_vol):
@@ -446,6 +474,7 @@ def fused_frame(sample_fn, settings: RaymarchSettings, schedule_cache: dict,
         return None  # ssh's deferred shadow pass marches separately
     r = org.shape[0]
     layout = _band_layout(r, settings, scale, shadow_vol)
+    bump = bool(schedule_cache.get("bump_next"))
     bands = []
     sub_caches = []
     for (a, b, sub_settings, cache_key, sk) in layout:
@@ -455,7 +484,16 @@ def fused_frame(sample_fn, settings: RaymarchSettings, schedule_cache: dict,
                 or not _fusable(tuple(sub["ops"]))):
             schedule_cache.pop("_fused_prev", None)
             return None
-        bands.append((a, b, strip_counts(sub["ops"])))
+        ops_sb = strip_counts(sub["ops"])
+        if bump:
+            # motion tolerance: execute the one-rung-relaxed schedule
+            # (bump_schedule) — the recorded tight ops stay untouched, so
+            # the tight executable resumes the frame after motion stops
+            ops_sb = bump_schedule(ops_sb, b - a)
+            if not _fusable(ops_sb):
+                schedule_cache.pop("_fused_prev", None)
+                return None
+        bands.append((a, b, ops_sb))
         sub_caches.append(sub)
     bands = tuple(bands)
     dyn = (mc, tf, light, org, dirn, t_near, t_far, key, accum,
@@ -472,6 +510,7 @@ def fused_frame(sample_fn, settings: RaymarchSettings, schedule_cache: dict,
         return None
     if exe in ("compiling", "failed"):
         return None
+    schedule_cache.pop("bump_next", None)  # consumed by this frame
     key_next, fidx, accum, frame, rgba, counts = exe(*dyn)
     counts.copy_to_host_async()
     pend = _frame_pend(bands, counts)
@@ -591,7 +630,7 @@ def _serial_loop(r, m, used, count, rays, state, perm, ops,
 
 def _replay(r, make_initial, dispatch_super, dispatch_finish, budget_total,
             budget_step, finish_bucket, speculate, schedule_cache,
-            defer=False):
+            defer=False, bump=False):
     """Replay the previous frame's recorded schedule free-running.
 
     Progressive accumulation re-renders the same scene every frame, so the
@@ -638,6 +677,10 @@ def _replay(r, make_initial, dispatch_super, dispatch_finish, budget_total,
             m_new, c_just = op[1], op[2]
             if c_just > _REPLAY_HEADROOM * m_new:
                 m_new = _next_bucket(m_new, r)
+            if bump:
+                # motion tolerance (bump_schedule semantics): run one rung
+                # relaxed; the recorded ops are left untouched below
+                m_new = min(_next_bucket(m_new, r), r)
             if m_new >= m:
                 continue
             checks.append((len(counts) - 1, m_new))
@@ -662,7 +705,8 @@ def _replay(r, make_initial, dispatch_super, dispatch_finish, budget_total,
         # schedule still march to termination
         state, _ = dispatch_finish(m, rays, state, budget_total - used)
         replayed.append(("F", m))
-        schedule_cache["ops"] = replayed
+        if not bump:  # a bumped replay never overwrites the tight record
+            schedule_cache["ops"] = replayed
         if defer:
             if pend:  # nothing to validate ⇒ nothing pending
                 schedule_cache["pending"] = pend
@@ -691,7 +735,8 @@ def _replay(r, make_initial, dispatch_super, dispatch_finish, budget_total,
                 r, m, used, live, rays, state, perm, replayed,
                 dispatch_super, dispatch_finish, budget_total, budget_step,
                 finish_bucket, speculate)
-    schedule_cache["ops"] = replayed
+    if not bump:
+        schedule_cache["ops"] = replayed
     return rays, state, perm
 
 
@@ -735,11 +780,13 @@ def drive_compacted(r, make_initial, dispatch_super, dispatch_finish,
     defer=True makes the replay path skip its validation read and leave
     schedule_cache["pending"] for the caller to `settle_pending` — the
     result is PROVISIONAL until then (see _replay)."""
+    bump = bool(schedule_cache.pop("bump_next", False)) \
+        if schedule_cache is not None else False
     if (schedule_cache is not None and schedule_cache.get("ops")
             and schedule_cache.get("key") == sched_key):
         out = _replay(r, make_initial, dispatch_super, dispatch_finish,
                       budget_total, budget_step, finish_bucket, speculate,
-                      schedule_cache, defer=defer)
+                      schedule_cache, defer=defer, bump=bump)
         if out is not None:
             schedule_cache["replays"] = schedule_cache.get("replays", 0) + 1
             return out
@@ -902,6 +949,10 @@ def raymarch_compacted(
         t_ = settings.tiles
         band = -(-r // t_)
         sub_settings = dataclasses.replace(settings, tiles=1)
+        if (schedule_cache is not None
+                and schedule_cache.pop("bump_next", False)):
+            for i in range(t_):  # propagate motion tolerance to every band
+                schedule_cache.setdefault(f"tile{i}", {})["bump_next"] = True
         outs = []
         pend = []
         subs = []

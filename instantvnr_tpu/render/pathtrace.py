@@ -776,6 +776,14 @@ def pt_fused_frame(sample_fn, settings: PathTraceSettings,
         schedule_cache.pop("_fused_prev", None)
         return None
     ops = comp.strip_counts(ops)
+    bump = bool(schedule_cache.get("bump_next"))
+    if bump:
+        # motion tolerance: one-rung-relaxed schedule, tight record kept
+        # (see compaction.bump_schedule)
+        ops = comp.bump_schedule(ops, r)
+        if not comp._fusable(ops):
+            schedule_cache.pop("_fused_prev", None)
+            return None
     dyn = (mc, tf, cam_arrays, key, accum, frame_index, sample_ctx, xform)
     exe_key = (sample_fn, settings, (width, height), ops,
                comp.shape_fingerprint(dyn))
@@ -792,6 +800,7 @@ def pt_fused_frame(sample_fn, settings: PathTraceSettings,
         return None
     if exe in ("compiling", "failed"):
         return None
+    schedule_cache.pop("bump_next", None)  # consumed by this frame
     key_next, fidx, accum, frame, rgba, counts = exe(*dyn)
     counts.copy_to_host_async()
     pend = comp._frame_pend(((0, r, ops),), counts)
@@ -858,6 +867,10 @@ class PathTraceRenderer(FusedPipelineMixin):
         self._discard_fused()
         self.frame_index = 0
         self._fidx_dev = None  # device counter resyncs at next fused frame
+        if self._sched_cache.get("ops"):
+            # stale schedule for the next trajectory: replay it one rung
+            # relaxed (compaction.bump_schedule motion tolerance)
+            self._sched_cache["bump_next"] = True
 
     def set_camera(self, cam: Camera):
         self.camera = cam

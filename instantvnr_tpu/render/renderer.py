@@ -352,6 +352,15 @@ class Renderer(FusedPipelineMixin):
         self._discard_fused()
         self.frame_index = 0
         self._fidx_dev = None  # device counter resyncs at next fused frame
+        if self._sched_cache.get("ops") or any(
+                isinstance(v, dict) and v.get("ops")
+                for v in self._sched_cache.values()):
+            # camera/TF/params changed: the recorded schedule is stale for
+            # the next frame's count trajectory — replay it one rung
+            # relaxed (compaction.bump_schedule) instead of risking an
+            # invalidation rollback (measured: midpoint-tight schedules
+            # invalidated 5/16 orbit frames at 768², NOTES_ROUND5)
+            self._sched_cache["bump_next"] = True
 
     def warmup(self, parallel: bool = True):
         """Pre-compile this renderer's programs before the first timed frame.

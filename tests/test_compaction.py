@@ -124,6 +124,61 @@ def test_bucket_schedule(monkeypatch):
     assert _bucket(1 << 20, 1 << 18) == 1 << 18
 
 
+def test_bump_schedule_transform(monkeypatch):
+    """bump_schedule: every C moves one rung up, S/F follow the relaxed
+    trajectory, useless compactions drop — and it never ratchets because
+    recorded ops stay tight (the transform is re-derived per frame)."""
+    import instantvnr_tpu.render.compaction as comp
+
+    monkeypatch.setattr(comp, "_MIDPOINT_BUCKETS", True)
+    r = 1 << 20
+    ops = (("S", r), ("C", 98304), ("S", 98304), ("C", 12288),
+           ("S", 12288), ("F", 8192))
+    got = comp.bump_schedule(ops, r)
+    assert got == (("S", r), ("C", 131072), ("S", 131072), ("C", 16384),
+                   ("S", 16384), ("F", 16384))
+    # a C whose bumped bucket no longer shrinks the prefix is dropped
+    ops2 = (("C", 98304), ("C", 131072), ("F", 131072))
+    assert comp.bump_schedule(ops2, r) == (("C", 131072), ("F", 131072))
+    # idempotence guard: applying to its own output moves exactly one
+    # more rung (no compounding within a frame)
+    twice = comp.bump_schedule(got, r)
+    assert twice[1] == ("C", 196608)
+
+
+def test_bump_next_consumed_and_record_kept(scene, monkeypatch):
+    """After a camera change the renderer sets bump_next; the next frame
+    consumes it and must NOT overwrite the tight recorded schedule."""
+    import instantvnr_tpu.render.compaction as comp
+
+    monkeypatch.setattr(comp, "_MIN_BUCKET", 256)
+    monkeypatch.setattr(comp, "_FINISH_BUCKET", 512)
+    vol, tf, mc = scene
+    cam1 = Camera.default_for_dims(vol.dims)
+    cam2 = Camera(eye=(1.2 * vol.dims[0], 10, 6), center=(0, 0, 0),
+                  up=(0, 1, 0), fovy=55)
+    r = Renderer(48, 48, mc, tf, reference_sample_fn, sample_ctx=vol.data,
+                 settings=RaymarchSettings(compact=True), seed=11)
+    r.set_camera(cam1)
+    r.render()
+    r.render()
+    tight = list(r._sched_cache.get("ops") or [])
+    assert tight
+    r.set_camera(cam2)
+    assert r._sched_cache.get("bump_next") is True
+    r.render()
+    assert "bump_next" not in r._sched_cache  # consumed by one frame
+    # the bumped replay (valid or not) must not have replaced the record
+    # with relaxed buckets; either the tight record survives or a fresh
+    # serialized record (measured counts) took its place
+    ops = r._sched_cache.get("ops") or []
+    for op in ops:
+        if op[0] == "C":
+            assert op[2] <= op[1]  # recorded C is tight vs its own count
+    r.mapframe()  # settles + parity with the serialized path is covered
+    # by test_camera_change_mid_accumulation
+
+
 def test_bucket_midpoints(monkeypatch):
     """The 3·2^k midpoint ladder (VNR_BUCKET_MIDPOINTS)."""
     import instantvnr_tpu.render.compaction as comp
