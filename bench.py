@@ -144,13 +144,12 @@ def main(report=None):
         from instantvnr_tpu.render.raymarch import RaymarchSettings
         from instantvnr_tpu.render.renderer import Renderer, make_neural_sample_fn
 
-        # fused_replay off: each exact frame is ~1s of compute (dispatch
-        # overhead is noise) and the background whole-frame compile would
-        # straggle into later stages' wait_fused_compiles
+        # n_iters=8 + fused: the r5 exact sweep (scratch/exact_sweep_r5.py,
+        # midpoint ladder on) measured n4 1.083 / n8 1.197 / n8-fused
+        # 1.222 fps — the exact path is superstep-granularity sensitive
         rw = Renderer(size, size, mc, tf, make_neural_sample_fn(field),
                       sample_ctx=render_params(state.params, field),
-                      settings=RaymarchSettings(n_iters=4, compact=True,
-                                                fused_replay=False))
+                      settings=RaymarchSettings(n_iters=8, compact=True))
         rw.set_camera(cam)
         t_warm = time.time()
 
@@ -442,6 +441,7 @@ def main(report=None):
         rw.render()
         _sync(rw._frame)
         log(f"exact-wavefront first frame: {time.time() - t0:.1f}s")
+        _warm_fused(rw)  # n8-fused measured best (scratch/exact_sweep_r5.py)
         report["wavefront_fps"] = _time_frames(rw, 3, warm=0)
         log(f"exact neural wavefront {size}x{size}: "
             f"{report['wavefront_fps']:.3f} fps")
@@ -500,9 +500,12 @@ def main(report=None):
     try:
         if paired_state is None:
             raise RuntimeError("paired training stage failed earlier")
+        # n8 per the r5 exact sweep (paired n4 1.012 / n8 1.175 fps);
+        # fused off — this stage's number documents the paired-forward
+        # null result, one whole-frame compile isn't worth it
         rwp = Renderer(size, size, mc, tf, make_neural_sample_fn(fieldp),
                        sample_ctx=render_params(paired_state.params, fieldp),
-                       settings=RaymarchSettings(n_iters=4, compact=True,
+                       settings=RaymarchSettings(n_iters=8, compact=True,
                                                  fused_replay=False))
         rwp.set_camera(cam)
         t0 = time.time()
