@@ -702,9 +702,18 @@ def _dense_level_grad_splat(spec: HashGridSpec, lvl: int, coords: jnp.ndarray,
     a_zy = (wz[:, :, None] * wy[:, None, :]).reshape(b, r1 * r1)
     b_xf = (wx[:, :, None] * g_lvl[:, None, :]).reshape(b, r1 * f_)
     # HIGHEST: TPU matmuls default to bf16 passes; quantizing the dense-level
-    # gradients costs ~1.5 dB converged PSNR (measured, 150 steps @2^14)
-    grad = jnp.dot(a_zy.T, b_xf, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)  # [zy, xf]
+    # gradients costs ~1.5 dB converged PSNR (measured, 150 steps @2^14).
+    # K-CHUNKED (r5): the one-shot HIGHEST dot at K=2^16 returned
+    # full-magnitude WRONG entries on v5e (float64-oracle check,
+    # scratch/splat_matmul_bug.py — a contraction-dim lowering fault; exact
+    # at K<=8192 and on CPU at any K), so the contraction accumulates over
+    # <=8192-row chunks, which the oracle verifies exact.
+    grad = jnp.zeros((r1 * r1, r1 * f_), jnp.float32)
+    for i in range(0, b, _SPLAT_KCHUNK):
+        grad = grad + jnp.dot(
+            a_zy[i:i + _SPLAT_KCHUNK].T, b_xf[i:i + _SPLAT_KCHUNK],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # [zy, xf]
     grad = grad.reshape(r1, r1, r1, f_)
 
     # fold x-carry: partial index m = x + R·y; x==R lands on row y+1's x==0
@@ -742,6 +751,9 @@ def _dense_level_grad_splat(spec: HashGridSpec, lvl: int, coords: jnp.ndarray,
 # accumulation: scat32 measured ≤ scat16 at these sizes, and f32 keeps
 # dense grads exact). Cut the 2^19 full step 107 → ~84 ms.
 _SPLAT_MAX_RES = 32
+
+# contraction-chunk size for the splat matmul — see _dense_level_grad_splat
+_SPLAT_KCHUNK = 8192
 
 
 def _dense_level_grad_scatter(spec: HashGridSpec, lvl: int,

@@ -254,6 +254,43 @@ class TestSplatBackward:
         np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
                                    atol=1e-4, rtol=1e-3)
 
+    def test_dense_grads_match_f64_oracle_at_train_batch(self):
+        """Both dense-level backwards (splat ≤res32, scatter above) vs a
+        float64 NumPy oracle at the PRODUCTION batch size (B=2^16) on the
+        reference 2^19 dense layout (res 16/32/64). Guards the r5 finding:
+        the one-shot HIGHEST splat matmul at K=2^16 silently produced
+        full-magnitude wrong entries on v5e; the fix is K-chunked
+        accumulation (scratch/splat_matmul_bug.py) and this oracle is the
+        regression net (decisive on TPU runs; on CPU it pins algorithm
+        correctness at scale)."""
+        from instantvnr_tpu.config import EncodingConfig
+        from instantvnr_tpu.ops import hash_encoding as he
+
+        spec = he.HashGridSpec.from_config(
+            EncodingConfig(n_levels=3, n_features_per_level=2,
+                           log2_hashmap_size=19, base_resolution=16,
+                           per_level_scale=2.0))
+        assert spec.resolutions == (16, 32, 64)
+        assert all(spec.level_is_dense)
+        b = 1 << 16
+        coords = jax.random.uniform(jax.random.PRNGKey(1), (b, 3))
+        g = jax.random.normal(jax.random.PRNGKey(2), (b, 2))
+        idx, w = he.corner_indices_and_weights(spec, coords)
+        idxn = np.asarray(idx).reshape(b, 3, 8)
+        wn = np.asarray(w, np.float64).reshape(b, 3, 8)
+        gn = np.asarray(g, np.float64)
+        for l, fn in ((0, he._dense_level_grad_splat),
+                      (1, he._dense_level_grad_splat),
+                      (2, he._dense_level_grad_scatter)):
+            o, s = spec.level_offsets[l], spec.level_sizes[l]
+            ref = np.zeros((s, 2), np.float64)
+            np.add.at(ref, (idxn[:, l] - o).reshape(-1),
+                      (wn[:, l, :, None] * gn[:, None, :]).reshape(-1, 2))
+            got = np.asarray(jax.jit(
+                lambda c, gg, l=l, fn=fn: fn(spec, l, c, gg))(coords, g))
+            np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-4,
+                                       err_msg=f"level {l}")
+
     def test_forward_identical(self):
         from instantvnr_tpu.config import EncodingConfig
         from instantvnr_tpu.ops.hash_encoding import (
