@@ -351,8 +351,9 @@ def hash_encode(table: jnp.ndarray, coords: jnp.ndarray,
 # ---------------------------------------------------------------------------
 # Paired-corner hashing — the TPU-native hashed-level layout
 #
-# The gather wall: v5e gathers cost ~13 ns per ROW regardless of width
-# (NOTES_ROUND1), so the tcnn layout's 8 corner rows per hashed level per
+# The gather wall: v5e row gathers are issue/footprint-bound (~6 ns/row
+# bf16-precast with real corner indices, ~13 ns historical f32 figure —
+# NOTES_ROUND1/5), so the tcnn layout's 8 corner rows per hashed level per
 # sample set the price of both training forward and exact-network
 # rendering. Row gathers being width-flat suggests packing corners into
 # wider rows — which packed_dense_tables does for DENSE levels (corners

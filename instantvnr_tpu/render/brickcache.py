@@ -2,8 +2,10 @@
 
 The sample-streaming wavefront (reference mode 5, `method_raymarching.cu:
 687-973`) evaluates the network at every sample: L·8 = 64 hash-table rows
-per sample, measured issue-bound at ~13 ns/row on v5e (NOTES_ROUND1) —
-~190 ns/sample, which caps the neural wavefront at ~0.8 fps @512².
+per sample at the measured v5e gather floor (~6-13 ns/row depending on
+footprint/precast, NOTES_ROUND1/5) — which caps the exact neural
+wavefront at ~1.2 fps @512² (every split/pack/pair alternative measured
+and refuted, NOTES_ROUND4/5).
 
 This module is the TPU-native redesign that amortizes those lookups
 ACROSS samples and frames: decode the network once per OCCUPIED macrocell
