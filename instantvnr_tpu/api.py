@@ -797,11 +797,12 @@ class VNRenderer:
                     make_neural_sample_fn(self.neural.field),
                     sample_ctx=render_params(self.neural.state.params,
                                              self.neural.field),
-                    # host-orchestrated ray compaction + short supersteps:
-                    # measured 2.5x over the plain wavefront at 512² (K=4,
-                    # render/compaction.py)
+                    # host-orchestrated ray compaction; n_iters=8 per the
+                    # r5 exact sweep under the midpoint ladder (n4 1.083 /
+                    # n8 1.197 / n8-fused 1.222 fps @512²,
+                    # scratch/exact_sweep_r5.py)
                     settings=RaymarchSettings(
-                        shading=shading, compact=True, n_iters=4,
+                        shading=shading, compact=True, n_iters=8,
                         sampling_rate=self.sampling_rate,
                         density_scale=self.density_scale),
                     transform=xf,
