@@ -237,18 +237,31 @@ def main(report=None):
 
         # reference-protocol run: 1000 steps (batch_trainer.cpp:42) at the
         # untouched schema, PSNR+SSIM after (VERDICT r2: first-class, not
-        # notes). Continues from the 10 steps above (same protocol).
+        # notes). MEDIAN OF 3 SEEDS (r5): the converged PSNR at 2^19
+        # collision pressure is seed-chaotic — measured spread 51.8-55.5 dB
+        # across 4 seeds with oracle-verified gradients (NOTES_ROUND5) —
+        # so a single draw is ±2 dB noise, not a quality signal.
         t0 = time.time()
         for _ in range(99):
             state19 = train_steps(field19, vol.data, state19, 10, batch)
         _ = float(state19.loss)
-        report["psnr_1000_ref"] = float(psnr_vs(field19, state19.params,
-                                                vol.data))
+        psnrs = [float(psnr_vs(field19, state19.params, vol.data))]
         d19 = decode_volume(field19, state19.params, dims)
         report["ssim_1000_ref"] = float(ssim_arrays(d19, vol.data))
         del d19
-        log(f"reference protocol (1000 steps @2^19): "
-            f"PSNR {report['psnr_1000_ref']:.2f} dB, "
+        for seed in (1, 2):
+            st_s = create_train_state(jax.random.PRNGKey(seed), field19)
+            for _ in range(100):
+                st_s = train_steps(field19, vol.data, st_s, 10, batch)
+            _ = float(st_s.loss)
+            psnrs.append(float(psnr_vs(field19, st_s.params, vol.data)))
+            del st_s
+        psnrs.sort()
+        report["psnr_1000_ref"] = psnrs[1]  # median of 3
+        report["psnr_1000_ref_spread"] = psnrs[-1] - psnrs[0]
+        log(f"reference protocol (1000 steps @2^19, 3 seeds): "
+            f"PSNR median {report['psnr_1000_ref']:.2f} dB "
+            f"(runs: {', '.join(f'{p:.2f}' for p in psnrs)}), "
             f"SSIM {report['ssim_1000_ref']:.4f} "
             f"({time.time() - t0:.0f}s)")
         del state19, field19
@@ -776,6 +789,7 @@ def _json_line(report):
         ("psnr", "psnr_db"),
         ("ssim", "ssim"),
         ("psnr_1000_ref", "psnr_db_1000steps_ref_schema"),
+        ("psnr_1000_ref_spread", "psnr_db_1000steps_seed_spread"),
         ("ssim_1000_ref", "ssim_1000steps_ref_schema"),
         ("compression", "compression_x_fp16_params_128cube"),
         ("compression_512", "compression_x_fp16_params_512cube"),
