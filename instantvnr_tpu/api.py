@@ -566,9 +566,20 @@ class NeuralVolume:
         return grid
 
     def save_inference_volume(self, path: str):
-        """Decode the network over the full grid and dump raw float32
+        """Decode the network over the full grid and dump it
         (vnrNeuralVolumeSerializeVolume → save_inference_volume,
-        network.cu:328-408 / api.cpp:234-244)."""
+        network.cu:328-408 / api.cpp:234-244). Raw float32 by default;
+        a `.vdb` path writes an OpenVDB FloatGrid instead (data/vdb.py —
+        round-trips through `vnr_cmd_train --volume`), closing the VDB
+        source class in both directions."""
+        if path.endswith(".vdb"):
+            import numpy as np
+
+            from instantvnr_tpu.data.vdb import write_vdb
+
+            write_vdb(path, np.asarray(self.decode_volume()),
+                      compression="zip")
+            return
         from instantvnr_tpu.data.volume import save_raw
 
         save_raw(self.decode_volume(), path)

@@ -88,6 +88,20 @@ class TestVolumeDumps:
         # decode-and-diff (SURVEY §4.2): trained net approximates GT
         assert np.abs(inf - ref).mean() < 0.05
 
+    def test_save_inference_as_vdb_roundtrips(self, trained, tmp_path):
+        """A .vdb path exports an OpenVDB FloatGrid of the decoded volume
+        that reads back bit-exact through data/vdb.py."""
+        import numpy as np
+
+        from instantvnr_tpu.data.vdb import read_vdb
+
+        simple, nv = trained
+        p = tmp_path / "inf.vdb"
+        nv.save_inference_volume(str(p))
+        dense, info = read_vdb(str(p))
+        np.testing.assert_array_equal(dense,
+                                      np.asarray(nv.decode_volume()))
+
 
 class TestParamGradients:
     def test_rendered_image_grads_flow_to_network(self, trained):
