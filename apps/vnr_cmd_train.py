@@ -73,11 +73,41 @@ def main():
         # terascale path: never load the volume in-core; the streamed
         # sampler is the only reader (reference OUT_OF_CORE mode,
         # neural_sampler.cpp:1206-1271)
-        from instantvnr_tpu.config import load_scene_config
+        if getattr(args, "volume", None):
+            # .vdb → raw sidecar + descriptor (the native loader preads
+            # contiguous rows; a sparse VDB tree can't be block-read
+            # directly). Densified once, cached next to the .vdb.
+            import os
 
-        assert args.scene, "out-of-core needs a scene file (raw volume)"
-        scene = load_scene_config(args.scene)
-        oc_desc = scene.volume
+            import numpy as np
+
+            from instantvnr_tpu.data.vdb import read_vdb
+
+            assert args.volume.endswith(".vdb"), \
+                "--volume out-of-core supports .vdb (raw files use --scene)"
+            sidecar = args.volume + ".raw"
+            dense, info = read_vdb(args.volume,
+                                   getattr(args, "vdb_grid", None))
+            dz, dy, dx = dense.shape
+            if not (os.path.exists(sidecar)
+                    and os.path.getsize(sidecar) == dense.nbytes):
+                with open(sidecar + ".tmp", "wb") as f:
+                    dense.astype(np.float32).tofile(f)
+                os.replace(sidecar + ".tmp", sidecar)
+                print(f"[vnr] densified {args.volume} -> {sidecar}")
+            from instantvnr_tpu.config import VolumeDesc
+
+            oc_desc = VolumeDesc(
+                filename=sidecar, dims=(dx, dy, dz), dtype="FLOAT",
+                value_range=(float(dense.min()), float(dense.max())))
+            del dense
+        else:
+            from instantvnr_tpu.config import load_scene_config
+
+            assert args.scene, ("out-of-core needs a scene file "
+                                "(raw volume) or --volume foo.vdb")
+            scene = load_scene_config(args.scene)
+            oc_desc = scene.volume
         dims = oc_desc.dims
         print(f"[vnr] volume {dims} (out-of-core, "
               f"{oc_desc.n_bytes/1e9:.1f} GB), device {jax.devices()[0]}")

@@ -71,6 +71,24 @@ class TestApps:
         assert "PSNR" in r.stdout
         assert os.path.exists(ckpt)
 
+    def test_train_vdb_out_of_core(self, tmp_path):
+        """.vdb feeds the OOC descriptor too: densified raw sidecar +
+        native block loader (VERDICT r4 #6's second half)."""
+        from instantvnr_tpu.data.vdb import write_vdb
+
+        rng = np.random.default_rng(3)
+        d = rng.random((24, 24, 24), np.float32)
+        vdb = str(tmp_path / "blob.vdb")
+        write_vdb(vdb, d)
+        ckpt = str(tmp_path / "m.bson")
+        r = run_app("vnr_cmd_train.py", "--volume", vdb, "--sampling-mode",
+                    "out-of-core", "--max-num-steps", "30", "--batch",
+                    "2048", "--save", ckpt)
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+        assert "out-of-core" in r.stdout
+        assert os.path.exists(ckpt)
+        assert os.path.exists(vdb + ".raw")  # densified sidecar
+
     def test_render_orbit(self, tmp_path):
         png = str(tmp_path / "o.png")
         r = run_app("vnr_cmd_render.py", "--synthetic", "sphere", "--dims",
