@@ -177,12 +177,17 @@ void worker_main(Loader* L, uint64_t seed) {
   std::mt19937_64 rng(seed);
   const int64_t nby = (L->dy + L->by - 1) / L->by;
   const int64_t nbz = (L->dz + L->bz - 1) / L->bz;
+  const bool full_coverage = nby * nbz <= (int64_t)L->blocks.size();
   while (!L->stop.load(std::memory_order_relaxed)) {
     // pick a random slot. Empty slots always load; READY slots are only
     // recycled while a majority stays ready — otherwise N threads churn
     // every block through the 'loading' state and sample() never finds a
     // stable resident set (and a small file is re-read thousands of
-    // times per second for nothing).
+    // times per second for nothing). When the resident set covers EVERY
+    // distinct block (small volumes), recycling is pure churn — with one
+    // block it even kept the loader permanently 'loading' (r5 bug:
+    // thousands of loads, ready_blocks stuck at 0) — so ready slots are
+    // left alone entirely.
     size_t slot = rng() % L->blocks.size();
     Block& b = L->blocks[slot];
     int expect0 = 0;
@@ -191,7 +196,7 @@ void worker_main(Loader* L, uint64_t seed) {
       for (auto& x : L->blocks)
         if (x.state.load(std::memory_order_relaxed) == 2) ++n_ready;
       int expect2 = 2;
-      if (!(n_ready > (int)L->blocks.size() / 2 &&
+      if (full_coverage || !(n_ready > (int)L->blocks.size() / 2 &&
             b.state.compare_exchange_strong(expect2, 1))) {
         std::this_thread::sleep_for(std::chrono::milliseconds(1));
         continue;

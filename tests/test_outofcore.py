@@ -71,6 +71,27 @@ class TestNativeLoader:
         assert s.is_native
         s.close()
 
+    def test_native_single_block_volume(self, tmp_path):
+        """A volume that fits in ONE block must become ready (r5 bug: the
+        ready-recycle rule churned the sole block through 'loading'
+        forever — thousands of loads, ready_blocks stuck at 0)."""
+        if native_lib() is None:
+            pytest.skip("native loader not buildable")
+        d = np.random.default_rng(3).random((24, 24, 24)).astype(np.float32)
+        p = str(tmp_path / "tiny.raw")
+        d.tofile(p)
+        from instantvnr_tpu.config import VolumeDesc
+
+        desc = VolumeDesc(filename=p, dims=(24, 24, 24), dtype="FLOAT",
+                          value_range=(0.0, 1.0))
+        s = OutOfCoreSampler(desc, block_y=32, block_z=32, n_threads=4,
+                             use_native=True)
+        assert s.n_resident == 1
+        s.wait_ready(1, timeout=10)
+        coords, vals = s.sample(512)
+        assert np.isfinite(vals).all() and 0.2 < vals.mean() < 0.8
+        s.close()
+
     def test_native_coverage(self, raw_volume):
         """Samples eventually cover the whole volume (random block refresh)."""
         if native_lib() is None:
