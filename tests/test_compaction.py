@@ -179,6 +179,44 @@ def test_bump_next_consumed_and_record_kept(scene, monkeypatch):
     # by test_camera_change_mid_accumulation
 
 
+def test_bump_propagates_to_tile_bands(scene, monkeypatch):
+    """Tiled frames: the top-level bump_next flag must reach every band's
+    sub-cache (raymarch_compacted tiles branch) and the motion frame must
+    equal the serialized render exactly."""
+    import instantvnr_tpu.render.compaction as comp
+
+    monkeypatch.setattr(comp, "_MIN_BUCKET", 128)
+    monkeypatch.setattr(comp, "_FINISH_BUCKET", 256)
+    vol, tf, mc = scene
+    cam1 = Camera.default_for_dims(vol.dims)
+    cam2 = Camera(eye=(1.2 * vol.dims[0], 10, 6), center=(0, 0, 0),
+                  up=(0, 1, 0), fovy=55)
+    frames = {}
+    for replay in (False, True):
+        r = Renderer(48, 48, mc, tf, reference_sample_fn,
+                     sample_ctx=vol.data,
+                     settings=RaymarchSettings(compact=True, tiles=2,
+                                               schedule_replay=replay),
+                     seed=13)
+        r.set_camera(cam1)
+        r.render()
+        r.render()
+        if replay:
+            r.set_camera(cam2)
+            assert r._sched_cache.get("bump_next") is True
+            r.render()
+            # consumed from the top cache and from every band sub-cache
+            assert "bump_next" not in r._sched_cache
+            for i in range(2):
+                sub = r._sched_cache.get(f"tile{i}") or {}
+                assert "bump_next" not in sub
+        else:
+            r.set_camera(cam2)
+            r.render()
+        frames[replay] = r.mapframe()
+    np.testing.assert_array_equal(frames[True], frames[False])
+
+
 def test_bucket_midpoints(monkeypatch):
     """The 3·2^k midpoint ladder (VNR_BUCKET_MIDPOINTS)."""
     import instantvnr_tpu.render.compaction as comp
